@@ -1,0 +1,179 @@
+"""High-level renderers — API parity with the reference's torch_renderer.py.
+
+The reference wraps pytorch3d renderers behind OpenCV-convention cameras
+(DifferentiableRenderer / DepthRender / ColorRender, torch_renderer.py:39-159)
+and its main optimization loop rasterizes the SAME mesh three times per step —
+once each for depth, silhouette and color (camera_pose_optimizer.py:244-250).
+
+Here each renderer rasterizes ONCE and derives every requested output from the
+shared fragment buffers; `RenderOutputs` exposes depth/silhouette/rgb together
+so analysis-by-synthesis steps pay for one rasterization per iteration.
+
+All `render` methods take OpenCV (R, tvec) extrinsics directly — the native
+convention — so the `_camera_pose_from_opencv_to_pytorch` flip the reference
+applies on every call (torch_renderer.py:73-80) disappears.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .cameras.perspective import PerspectiveCamera
+from .rasterize.fragments import Fragments
+from .rasterize.raster import RasterizationSettings, rasterize_meshes
+from .shading.blending import BlendParams, sigmoid_alpha, softmax_rgb_blend
+from .shading.lights import Materials, PointLights
+from .shading.phong import hard_phong_shader, shade_phong, soft_phong_shader
+from .structures.meshes import Meshes
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RenderOutputs:
+    """Everything a pose/shape fitting step needs, from one rasterization."""
+
+    depth: jax.Array                      # (B, H, W), background 0
+    zbuf: jax.Array                       # (B, H, W), background -1
+    silhouette: Optional[jax.Array]       # (B, H, W) soft coverage in [0, 1]
+    rgb: Optional[jax.Array]              # (B, H, W, 3)
+    fragments: Fragments
+
+
+class DifferentiableRenderer:
+    """Base: OpenCV pinhole K + image size (torch_renderer.py:39-71 parity).
+
+    K: (3,3) or (B,3,3) array-like; image_size: (H, W) tuple.
+    """
+
+    def __init__(self, K, image_size: Tuple[int, int]):
+        if not isinstance(image_size, tuple):
+            raise ValueError(
+                "image_size must be a tuple, e.g. (720, 1280)"
+            )
+        self._image_size = (int(image_size[0]), int(image_size[1]))
+        self._base_camera = PerspectiveCamera.from_K(K, self._image_size)
+
+    def camera_with_pose(self, R, tvec) -> PerspectiveCamera:
+        return self._base_camera.replace_pose(R, tvec)
+
+    @property
+    def image_size(self):
+        return self._image_size
+
+
+class MeshRenderer(DifferentiableRenderer):
+    """One-rasterization multi-output mesh renderer (the workhorse)."""
+
+    def __init__(
+        self,
+        K,
+        image_size: Tuple[int, int],
+        blur_radius: float = 0.0,
+        faces_per_pixel: int = 1,
+        sigma: float = 1e-4,
+        gamma: float = 1e-4,
+        background_color=(0.0, 0.0, 0.0),
+        lights: Optional[PointLights] = None,
+        materials: Optional[Materials] = None,
+        pixel_chunk: int = 8192,
+    ):
+        super().__init__(K, image_size)
+        self.settings = RasterizationSettings(
+            image_size=self._image_size,
+            blur_radius=blur_radius,
+            faces_per_pixel=faces_per_pixel,
+            pixel_chunk=pixel_chunk,
+        )
+        self.blend = BlendParams(sigma=sigma, gamma=gamma, background_color=background_color)
+        self.lights = lights if lights is not None else PointLights.make()
+        self.materials = materials if materials is not None else Materials.make()
+
+    def rasterize(self, meshes: Meshes, R, tvec) -> Tuple[Fragments, PerspectiveCamera]:
+        cam = self.camera_with_pose(R, tvec)
+        return rasterize_meshes(meshes, cam, self.settings), cam
+
+    def render(
+        self,
+        meshes: Meshes,
+        R,
+        tvec,
+        *,
+        with_silhouette: bool = True,
+        with_rgb: bool = False,
+        soft_rgb: bool = True,
+    ) -> RenderOutputs:
+        frags, cam = self.rasterize(meshes, R, tvec)
+        sil = sigmoid_alpha(frags, self.blend.sigma) if with_silhouette else None
+        rgb = None
+        if with_rgb:
+            if soft_rgb:
+                rgba = soft_phong_shader(
+                    meshes, frags, cam, self.lights, self.materials, self.blend
+                )
+            else:
+                rgba = hard_phong_shader(
+                    meshes, frags, cam, self.lights, self.materials, self.blend
+                )
+            rgb = rgba[..., :3]
+        return RenderOutputs(
+            depth=frags.depth(), zbuf=frags.zbuf[..., 0],
+            silhouette=sil, rgb=rgb, fragments=frags,
+        )
+
+
+class DepthRender(MeshRenderer):
+    """Depth (+ optional soft silhouette) — torch_renderer.py:83-121 parity.
+
+    `render(meshes, R, tvec, return_silhouette)` returns relu'd nearest depth,
+    and the sigmoid-coverage silhouette when requested — both from a single
+    rasterization (the reference rasterizes twice here)."""
+
+    def __init__(self, K, image_size, faces_per_pixel: int = 1, **kw):
+        super().__init__(K, image_size, faces_per_pixel=faces_per_pixel, **kw)
+
+    def render(self, meshes: Meshes, R, tvec, return_silhouette: bool = False):  # type: ignore[override]
+        out = super().render(
+            meshes, R, tvec, with_silhouette=return_silhouette, with_rgb=False
+        )
+        if not return_silhouette:
+            return out.depth
+        return out.depth, out.silhouette
+
+
+class ColorRender(MeshRenderer):
+    """Soft-Phong RGB renderer — torch_renderer.py:124-159 parity."""
+
+    def __init__(self, K, image_size, blur_radius: float = 0.0,
+                 faces_per_pixel: int = 1, **kw):
+        super().__init__(
+            K, image_size, blur_radius=blur_radius, faces_per_pixel=faces_per_pixel, **kw
+        )
+
+    def render(self, meshes: Meshes, R, tvec):  # type: ignore[override]
+        out = super().render(
+            meshes, R, tvec, with_silhouette=False, with_rgb=True, soft_rgb=True
+        )
+        return out.rgb
+
+
+class SilhouetteRender(MeshRenderer):
+    """Soft-silhouette-only renderer (SoftSilhouetteShader equivalent)."""
+
+    def __init__(self, K, image_size, sigma: float = 1e-4,
+                 faces_per_pixel: int = 8, blur_radius: Optional[float] = None, **kw):
+        import math
+
+        if blur_radius is None:
+            blur_radius = math.log(1.0 / 1e-4 - 1.0) * sigma
+        super().__init__(
+            K, image_size, blur_radius=blur_radius,
+            faces_per_pixel=faces_per_pixel, sigma=sigma, **kw
+        )
+
+    def render(self, meshes: Meshes, R, tvec):  # type: ignore[override]
+        out = super().render(meshes, R, tvec, with_silhouette=True, with_rgb=False)
+        return out.silhouette

@@ -1,0 +1,132 @@
+"""Phong shading over fragment buffers (Soft/HardPhongShader equivalents).
+
+Pure functions replacing pytorch3d's SoftPhongShader / HardPhongShader
+(reference torch_renderer.py:146-153, camera_pose_optimizer.py:147-158):
+interpolate world positions + normals per fragment, evaluate Phong lighting,
+sample textures (vertex colors or UV maps), then blend (hard or softmax).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+from ..cameras.perspective import PerspectiveCamera
+from ..rasterize.fragments import Fragments, interpolate_face_attributes
+from ..structures.meshes import Meshes
+from ..structures.textures import TexturesUV, TexturesVertex
+from .blending import BlendParams, hard_rgb_blend, softmax_rgb_blend
+from .lights import DirectionalLights, Materials, PointLights
+
+Lights = Union[PointLights, DirectionalLights]
+
+
+def sample_textures(meshes: Meshes, fragments: Fragments) -> jax.Array:
+    """Per-fragment texel colors (B, H, W, K, 3).
+
+    TexturesVertex: barycentric interpolation of per-vertex colors.
+    TexturesUV: barycentric interpolation of UVs then bilinear map lookup
+    (the path exercised by the joint shape+texture optimizer, reference
+    deform_mesh_with_color.py:269-271,329).
+    """
+    tex = meshes.textures
+    if tex is None:
+        shape = fragments.pix_to_face.shape + (3,)
+        return jnp.ones(shape, jnp.float32)
+    if isinstance(tex, TexturesVertex):
+        face_feats = tex.face_features(meshes.faces)  # (B, F, 3, C)
+        return interpolate_face_attributes(
+            fragments.pix_to_face, fragments.bary, face_feats
+        )
+    if isinstance(tex, TexturesUV):
+        face_uvs = tex.face_uvs()  # (B, F, 3, 2)
+        uv = interpolate_face_attributes(
+            fragments.pix_to_face, fragments.bary, face_uvs
+        )  # (B, H, W, K, 2)
+        return tex.sample(uv)
+    raise TypeError(f"unsupported textures type {type(tex)!r}")
+
+
+def phong_lighting(
+    points: jax.Array,
+    normals: jax.Array,
+    camera_pos: jax.Array,
+    lights: Lights,
+    materials: Materials,
+):
+    """Per-fragment ambient/diffuse/specular contributions.
+
+    points/normals: (B, ..., 3) world-space; camera_pos: (B, 3).
+    Returns (ambient (B,1..,3), diffuse (B,...,3), specular (B,...,3)).
+    """
+    extra = points.ndim - 2
+    expand = lambda c: c.reshape((c.shape[0],) + (1,) * extra + (3,))
+
+    ambient = expand(lights.ambient_color * materials.ambient_color)
+
+    l_dir = lights.direction_to(points)  # unit, toward light
+    n = normals / jnp.clip(jnp.linalg.norm(normals, axis=-1, keepdims=True), 1e-12, None)
+    ndl = jax.nn.relu(jnp.sum(n * l_dir, axis=-1, keepdims=True))
+    diffuse = expand(lights.diffuse_color * materials.diffuse_color) * ndl
+
+    view = camera_pos.reshape((camera_pos.shape[0],) + (1,) * extra + (3,)) - points
+    view = view / jnp.clip(jnp.linalg.norm(view, axis=-1, keepdims=True), 1e-12, None)
+    # Blinn-free classic Phong: reflect light about the normal.
+    r = 2.0 * jnp.sum(n * l_dir, axis=-1, keepdims=True) * n - l_dir
+    rdv = jax.nn.relu(jnp.sum(r * view, axis=-1, keepdims=True))
+    # Gate specular on front-facing diffuse term (pytorch3d does the same).
+    gate = (ndl > 0).astype(points.dtype)
+    # shininess broadcast to (B, 1..., 1) matching rdv's (B, ..., 1) rank.
+    shininess = materials.shininess.reshape(
+        (materials.shininess.shape[0],) + (1,) * (points.ndim - 1)
+    )
+    specular = (
+        expand(lights.specular_color * materials.specular_color)
+        * gate * jnp.power(jnp.clip(rdv, 1e-6, 1.0), shininess)
+    )
+    return ambient, diffuse, specular
+
+
+def shade_phong(
+    meshes: Meshes,
+    fragments: Fragments,
+    camera: PerspectiveCamera,
+    lights: Optional[Lights] = None,
+    materials: Optional[Materials] = None,
+) -> jax.Array:
+    """Per-fragment Phong colors (B, H, W, K, 3): texel*(ambient+diffuse)+spec."""
+    lights = lights if lights is not None else PointLights.make()
+    materials = materials if materials is not None else Materials.make()
+
+    face_verts = meshes.face_verts()  # (B, F, 3, 3) world corners
+    fv_normals = jax.vmap(lambda n, f: n[f])(meshes.vertex_normals(), meshes.faces)
+
+    pts = interpolate_face_attributes(fragments.pix_to_face, fragments.bary, face_verts)
+    nrm = interpolate_face_attributes(fragments.pix_to_face, fragments.bary, fv_normals)
+
+    texels = sample_textures(meshes, fragments)
+    cam_pos = camera.camera_center_world()
+    ambient, diffuse, specular = phong_lighting(pts, nrm, cam_pos, lights, materials)
+    return texels * (ambient + diffuse) + specular
+
+
+def soft_phong_shader(
+    meshes, fragments, camera, lights=None, materials=None,
+    blend: Optional[BlendParams] = None, znear: float = 1.0, zfar: float = 100.0,
+) -> jax.Array:
+    """SoftPhongShader: Phong colors + softmax blending -> (B, H, W, 4)."""
+    blend = blend or BlendParams()
+    colors = shade_phong(meshes, fragments, camera, lights, materials)
+    return softmax_rgb_blend(colors, fragments, blend, znear=znear, zfar=zfar)
+
+
+def hard_phong_shader(
+    meshes, fragments, camera, lights=None, materials=None,
+    blend: Optional[BlendParams] = None,
+) -> jax.Array:
+    """HardPhongShader: nearest-fragment Phong color -> (B, H, W, 4)."""
+    blend = blend or BlendParams()
+    colors = shade_phong(meshes, fragments, camera, lights, materials)
+    return hard_rgb_blend(colors, fragments, blend)

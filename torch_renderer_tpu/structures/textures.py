@@ -1,0 +1,85 @@
+"""Texture containers — TPU-native equivalents of pytorch3d TexturesVertex /
+TexturesUV (consumed at reference camera_pose_optimizer.py:92-93,
+deform_mesh_with_color.py:269-271,329, mesh_deformer.py:171-173).
+
+Both are plain padded pytrees; sampling happens in shading (gather +
+barycentric interpolation for vertex colors, bilinear map lookup for UV).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TexturesVertex:
+    """Per-vertex features (usually RGB): (B, V, C)."""
+
+    verts_features: jax.Array
+
+    def extend(self, n: int) -> "TexturesVertex":
+        return TexturesVertex(jnp.repeat(self.verts_features, n, axis=0))
+
+    def face_features(self, faces: jax.Array) -> jax.Array:
+        """Gather per-face-vertex features: faces (B, F, 3) -> (B, F, 3, C)."""
+        return jax.vmap(lambda feats, f: feats[f])(self.verts_features, faces)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TexturesUV:
+    """UV-mapped texture: maps (B, Hm, Wm, C) in [0,1], verts_uvs (B, VT, 2)
+    with pytorch3d convention (u right, v up, origin bottom-left of the map),
+    faces_uvs (B, F, 3) indexing verts_uvs."""
+
+    maps: jax.Array
+    faces_uvs: jax.Array
+    verts_uvs: jax.Array
+
+    def extend(self, n: int) -> "TexturesUV":
+        return TexturesUV(
+            jnp.repeat(self.maps, n, axis=0),
+            jnp.repeat(self.faces_uvs, n, axis=0),
+            jnp.repeat(self.verts_uvs, n, axis=0),
+        )
+
+    def face_uvs(self, _faces_unused: Optional[jax.Array] = None) -> jax.Array:
+        """Per-face-corner UVs: (B, F, 3, 2)."""
+        return jax.vmap(lambda uvs, f: uvs[f])(self.verts_uvs, self.faces_uvs)
+
+    def sample(self, uv: jax.Array) -> jax.Array:
+        """Bilinear sample of the map at uv (B, ..., 2) -> (B, ..., C).
+
+        Differentiable wrt both `maps` and `uv` (needed by the joint
+        shape+texture optimizer, reference deform_mesh_with_color.py:269-306).
+        """
+        B = self.maps.shape[0]
+        Hm, Wm = self.maps.shape[1], self.maps.shape[2]
+        u = jnp.clip(uv[..., 0], 0.0, 1.0)
+        v = jnp.clip(uv[..., 1], 0.0, 1.0)
+        # pytorch3d convention: v=0 is the bottom row of the image.
+        x = u * (Wm - 1)
+        y = (1.0 - v) * (Hm - 1)
+        x0 = jnp.clip(jnp.floor(x), 0, Wm - 2).astype(jnp.int32)
+        y0 = jnp.clip(jnp.floor(y), 0, Hm - 2).astype(jnp.int32)
+        wx = x - x0
+        wy = y - y0
+
+        def gather(maps_b, y0b, x0b):
+            c00 = maps_b[y0b, x0b]
+            c01 = maps_b[y0b, x0b + 1]
+            c10 = maps_b[y0b + 1, x0b]
+            c11 = maps_b[y0b + 1, x0b + 1]
+            return c00, c01, c10, c11
+
+        c00, c01, c10, c11 = jax.vmap(gather)(self.maps, y0, x0)
+        wxe = wx[..., None]
+        wye = wy[..., None]
+        top = c00 * (1 - wxe) + c01 * wxe
+        bot = c10 * (1 - wxe) + c11 * wxe
+        return top * (1 - wye) + bot * wye
