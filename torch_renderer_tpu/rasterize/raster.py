@@ -76,7 +76,8 @@ def _select_chunk(pix: jax.Array, fd_b, K: int, blur: float, znear: float):
     pix_h = jnp.concatenate([pix, jnp.ones((P, 1), pix.dtype)], axis=-1)  # (P,3)
 
     # Edge functions for every (pixel, face, edge): one MXU contraction.
-    e = jnp.einsum("pc,fkc->pfk", pix_h, abc)  # (P, F, 3)
+    e = jnp.einsum("pc,fkc->pfk", pix_h, abc,
+                   precision=jax.lax.Precision.HIGHEST)  # (P, F, 3)
     inv_area = 1.0 / area2  # |area2| > eps guaranteed where valid
     bary = e * inv_area[None, :, None]
     inside = jnp.all(bary >= 0.0, axis=-1)
@@ -127,7 +128,8 @@ def _interpolate(
 
     HW = pix_all.shape[0]
     pix_h = jnp.concatenate([pix_all, jnp.ones((HW, 1), pix_all.dtype)], axis=-1)
-    e = jnp.einsum("bpkec,pc->bpke", abcf, pix_h)  # (B, HW, K, 3)
+    e = jnp.einsum("bpkec,pc->bpke", abcf, pix_h,
+                   precision=jax.lax.Precision.HIGHEST)  # (B, HW, K, 3)
     bary = e / jnp.where(jnp.abs(area2f) > 1e-12, area2f, 1.0)[..., None]
     inside = jnp.all(bary >= 0.0, axis=-1)
 

@@ -136,14 +136,15 @@ def axis_angle_to_matrix(axis_angle: jax.Array) -> jax.Array:
 
     Grad-safe at theta = 0 via Taylor-expanded sinc terms.
     """
-    theta2 = jnp.sum(axis_angle * axis_angle, axis=-1, keepdims=True)
-    theta = jnp.sqrt(jnp.clip(theta2, 1e-24, None))
-    small = theta2[..., 0] < 1e-12
+    theta2 = jnp.sum(axis_angle * axis_angle, axis=-1, keepdims=True)[..., 0]
+    small = theta2 < 1e-12
+    # Sanitize BEFORE the non-series branch so its (unused) backward stays
+    # finite at theta = 0 (the double-where pattern).
+    theta2_safe = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(theta2_safe)
     # sin(t)/t and (1-cos(t))/t^2 with series fallbacks near 0.
-    sinc = jnp.where(small, 1.0 - theta2[..., 0] / 6.0, jnp.sin(theta[..., 0]) / theta[..., 0])
-    cosc = jnp.where(
-        small, 0.5 - theta2[..., 0] / 24.0, (1.0 - jnp.cos(theta[..., 0])) / theta2[..., 0]
-    )
+    sinc = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    cosc = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2_safe)
     x, y, z = jnp.moveaxis(axis_angle, -1, 0)
     zero = jnp.zeros_like(x)
     K = jnp.stack(
