@@ -1,0 +1,176 @@
+"""North-star benchmark: batched 256^2 soft-silhouette render+backward FPS/chip.
+
+Protocol (BASELINE.md / BASELINE.json): render a SoftRas-style soft silhouette
+of a 1280-face mesh at 256x256, take gradients w.r.t. the vertex positions
+(the shape-fitting backward), batch of 8. The reference implements this via
+PyTorch3D's CUDA rasterizer + SoftSilhouetteShader
+(camera_pose_optimizer.py:131-137); the CPU baseline here is the same math in
+vectorized torch on CPU (PyTorch3D CPU kernels are not available in this
+image, so the baseline is a best-effort faithful stand-in of the reference
+pipeline on CPU). vs_baseline = our FPS per chip / CPU reference FPS.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+B = 8
+IMAGE = 256
+LEVEL = 3  # 1280 faces
+SIGMA = 1e-4
+STEPS = 30
+
+if "--quick" in sys.argv:  # fast smoke mode (verify skill / CI)
+    B, IMAGE, LEVEL, STEPS = 2, 128, 2, 5
+BASELINE_CACHE = os.path.join(os.path.dirname(__file__), ".bench_cpu_baseline.json")
+
+
+def _scene():
+    from torch_renderer_tpu.ops.icosphere import icosphere
+
+    verts, faces = icosphere(LEVEL)
+    f = 0.8 * IMAGE
+    K = np.array(
+        [[f, 0, IMAGE / 2.0], [0, f, IMAGE / 2.0], [0, 0, 1.0]], np.float32
+    )
+    t = np.array([0.0, 0.0, 3.0], np.float32)
+    return verts, faces, K, t
+
+
+def tpu_fps() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from torch_renderer_tpu.cameras.perspective import PerspectiveCamera
+    from torch_renderer_tpu.rasterize.geometry import setup_faces
+    from torch_renderer_tpu.rasterize.soft import soft_silhouette_binned
+    from torch_renderer_tpu.structures.meshes import Meshes
+
+    verts, faces, K, t = _scene()
+    meshes = Meshes.from_single(verts, faces).extend(B)
+    cam = PerspectiveCamera.from_K(
+        K, (IMAGE, IMAGE), R=np.broadcast_to(np.eye(3, dtype=np.float32), (B, 3, 3)),
+        t=np.tile(t, (B, 1)),
+    )
+
+    def loss_fn(v):
+        fd = setup_faces(meshes.update_padded(v), cam)
+        alpha = soft_silhouette_binned(fd, (IMAGE, IMAGE), sigma=SIGMA)
+        return jnp.sum(alpha)
+
+    step = jax.jit(jax.grad(loss_fn))
+    v0 = meshes.verts
+    g = step(v0)
+    jax.block_until_ready(g)  # compile + warm
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        g = step(v0)
+    jax.block_until_ready(g)
+    dt = time.perf_counter() - t0
+    n_chips = 1  # single-chip benchmark
+    return B * STEPS / dt / n_chips
+
+
+def cpu_reference_fps(use_cache: bool = True) -> float:
+    """Torch-CPU soft-silhouette render+backward (reference-pipeline math)."""
+    if use_cache and os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)["cpu_fps"]
+
+    import torch
+
+    verts_np, faces_np, K, tvec = _scene()
+    verts = torch.tensor(verts_np, requires_grad=True)
+    faces = torch.tensor(faces_np, dtype=torch.long)
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    s = IMAGE / 2.0
+
+    ys = (torch.arange(IMAGE, dtype=torch.float32) + 0.5 - IMAGE / 2.0) / s
+    xs = (torch.arange(IMAGE, dtype=torch.float32) + 0.5 - IMAGE / 2.0) / s
+    yy, xx = torch.meshgrid(ys, xs, indexing="ij")
+    pix = torch.stack([xx.reshape(-1), yy.reshape(-1)], -1)  # (HW, 2)
+
+    def render_backward_once():
+        if verts.grad is not None:
+            verts.grad = None
+        cam = verts + torch.tensor(tvec)
+        z = cam[:, 2].clamp_min(1e-5)
+        u = (fx * cam[:, 0] / z + cx - IMAGE / 2.0) / s
+        v = (fy * cam[:, 1] / z + cy - IMAGE / 2.0) / s
+        pts = torch.stack([u, v], -1)  # (V, 2)
+        tri = pts[faces]  # (F, 3, 2)
+
+        S = torch.zeros(pix.shape[0])
+        FCH, PCH = 256, 8192
+        for f0 in range(0, tri.shape[0], FCH):
+            q = tri[f0 : f0 + FCH]  # (Fc, 3, 2)
+            e0, e1, e2 = q[:, 0], q[:, 1], q[:, 2]
+            area2 = (e1[:, 0] - e0[:, 0]) * (e2[:, 1] - e0[:, 1]) - (
+                e1[:, 1] - e0[:, 1]
+            ) * (e2[:, 0] - e0[:, 0])
+            for p0 in range(0, pix.shape[0], PCH):
+                p = pix[p0 : p0 + PCH][:, None, :]  # (P, 1, 2)
+                d2 = None
+                inside = torch.ones(p.shape[0], q.shape[0], dtype=torch.bool)
+                for a_i, b_i in ((0, 1), (1, 2), (2, 0)):
+                    qa = q[None, :, a_i]
+                    g = q[None, :, b_i] - qa
+                    w = p - qa
+                    cross = g[..., 0] * w[..., 1] - g[..., 1] * w[..., 0]
+                    inside = inside & ((cross * area2[None, :].sign()) >= 0)
+                    len2 = (g * g).sum(-1).clamp_min(1e-12)
+                    tt = ((w * g).sum(-1) / len2).clamp(0.0, 1.0)
+                    dd = (w * w).sum(-1) - 2 * tt * (w * g).sum(-1) + tt * tt * len2
+                    d2 = dd if d2 is None else torch.minimum(d2, dd)
+                signed = torch.where(inside, -d2.clamp_min(0), d2.clamp_min(0))
+                S[p0 : p0 + PCH] += torch.nn.functional.softplus(
+                    -signed / SIGMA
+                ).sum(-1)
+        alpha = 1.0 - torch.exp(-S)
+        alpha.sum().backward()
+
+    t0 = time.perf_counter()
+    render_backward_once()
+    dt_first = time.perf_counter() - t0
+    reps = 2 if dt_first < 15.0 else 1
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        render_backward_once()
+    dt = (time.perf_counter() - t0) / reps
+    fps = 1.0 / dt  # one image per pass (B amortizes linearly on CPU)
+    if use_cache:
+        with open(BASELINE_CACHE, "w") as f:
+            json.dump({"cpu_fps": fps, "seconds_per_image": dt}, f)
+    return fps
+
+
+def main():
+    quick = "--quick" in sys.argv
+    fps = tpu_fps()
+    try:
+        cpu = cpu_reference_fps(use_cache=not quick)
+        vs = fps / cpu if cpu > 0 else float("nan")
+    except Exception:
+        cpu, vs = None, float("nan")
+    print(
+        json.dumps(
+            {
+                "metric": "softsil_256_render_backward_fps_per_chip",
+                "value": round(fps, 2),
+                "unit": "images/s",
+                "vs_baseline": round(vs, 2) if vs == vs else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

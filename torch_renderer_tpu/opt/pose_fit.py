@@ -1,0 +1,254 @@
+"""Camera pose optimization by analysis-by-synthesis — fully on-device.
+
+The flagship workload: TPU-native rebuild of the reference's
+camera_pose_optimizer.py (7-DoF translation+quaternion camera parameter,
+rendered depth/silhouette/RGB matched to reference images with
+L1 + Huber + MSE losses, Adam — reference :205-341) and pose_optimizer.py
+(depth-only object-pose fit against recorded sensor data, :119-151).
+
+Differences from the reference, by design:
+  * ONE rasterization per step feeds every loss term (the reference
+    rasterizes 3x per step, camera_pose_optimizer.py:244-250);
+  * the whole optimization is a single `lax.scan` under jit — zero host
+    round-trips per iteration (the reference logs to wandb/cv2 every step);
+  * optimizer is optax.adam; metrics come back as stacked device arrays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..renderer import MeshRenderer
+from ..structures.meshes import Meshes
+from ..transforms.so3 import (
+    matrix_to_quaternion,
+    quaternion_normalize,
+    quaternion_to_matrix,
+)
+
+
+def huber_loss(pred: jax.Array, target: jax.Array, delta: float = 1.0) -> jax.Array:
+    """Elementwise Huber (SmoothL1 for delta=1), as the reference's
+    torch.nn.functional.huber_loss (camera_pose_optimizer.py:265)."""
+    err = pred - target
+    abs_err = jnp.abs(err)
+    quad = jnp.minimum(abs_err, delta)
+    return 0.5 * quad * quad + delta * (abs_err - quad)
+
+
+def iou(pred_mask: jax.Array, gt_mask: jax.Array, eps: float = 1e-8) -> jax.Array:
+    """Soft IoU over trailing (H, W) dims — the reference's per-iter
+    'confidence' metric (gradient.log)."""
+    inter = jnp.sum(pred_mask * gt_mask, axis=(-2, -1))
+    union = jnp.sum(pred_mask + gt_mask - pred_mask * gt_mask, axis=(-2, -1))
+    return inter / (union + eps)
+
+
+def patch_occlusion(
+    key: jax.Array, image: jax.Array, patch_size: int = 50, n_patches: int = 1,
+    fill: float = 0.0,
+) -> jax.Array:
+    """Zero out random square patches of a (B, H, W) image — the robustness
+    perturbation of reference `patch_image` (camera_pose_optimizer.py:58-74)."""
+    B, H, W = image.shape
+    for i in range(n_patches):
+        key, ky, kx = jax.random.split(key, 3)
+        y0 = jax.random.randint(ky, (B,), 0, max(H - patch_size, 1))
+        x0 = jax.random.randint(kx, (B,), 0, max(W - patch_size, 1))
+        yy = jnp.arange(H)[None, :, None]
+        xx = jnp.arange(W)[None, None, :]
+        inside = (
+            (yy >= y0[:, None, None]) & (yy < y0[:, None, None] + patch_size)
+            & (xx >= x0[:, None, None]) & (xx < x0[:, None, None] + patch_size)
+        )
+        image = jnp.where(inside, fill, image)
+    return image
+
+
+@dataclasses.dataclass(frozen=True)
+class PoseFitConfig:
+    """Loss weights / optimizer settings (reference defaults:
+    camera_pose_optimizer.py:257-276 loss mix, :283 Adam lr=1e-3)."""
+
+    lr: float = 1e-3
+    n_steps: int = 500
+    w_sil: float = 1.0
+    w_depth: float = 1.0
+    w_rgb: float = 0.01
+    w_quat_norm: float = 1.0   # keeps the quaternion near unit norm
+    huber_delta: float = 1.0
+    use_rgb: bool = True
+
+
+def pose_params_from_Rt(R, t) -> Dict[str, jax.Array]:
+    """Initial 7-DoF parameter pytree {t: (B,3), quat: (B,4)} from OpenCV
+    (R, t) — the reference's cam_param packing (camera_pose_optimizer.py:214-227)."""
+    R = jnp.asarray(R, jnp.float32)
+    t = jnp.asarray(t, jnp.float32)
+    if R.ndim == 2:
+        R = R[None]
+    if t.ndim == 1:
+        t = t[None]
+    return {"t": t, "quat": matrix_to_quaternion(R)}
+
+
+def pose_params_to_Rt(params: Dict[str, jax.Array]) -> Tuple[jax.Array, jax.Array]:
+    return quaternion_to_matrix(quaternion_normalize(params["quat"])), params["t"]
+
+
+class CameraPoseFitter:
+    """Analysis-by-synthesis camera pose fit (camera_pose_optimizer.py parity).
+
+    One MeshRenderer rasterization per step produces depth + soft silhouette
+    (+ soft-Phong RGB); the loss mixes silhouette L1, masked depth Huber and
+    RGB MSE exactly as the reference does at camera_pose_optimizer.py:257-276.
+    """
+
+    def __init__(
+        self,
+        K,
+        image_size: Tuple[int, int],
+        config: PoseFitConfig = PoseFitConfig(),
+        faces_per_pixel: int = 4,
+        sigma: float = 1e-4,
+        blur_radius: Optional[float] = None,
+        **renderer_kw,
+    ):
+        import math
+
+        if blur_radius is None:
+            blur_radius = math.log(1.0 / 1e-4 - 1.0) * sigma
+        self.config = config
+        self.renderer = MeshRenderer(
+            K, image_size, blur_radius=blur_radius,
+            faces_per_pixel=faces_per_pixel, sigma=sigma, **renderer_kw,
+        )
+        self._fit_cache: dict = {}
+
+    # -- rendering ----------------------------------------------------------
+    def render(self, meshes: Meshes, params: Dict[str, jax.Array]):
+        R, t = pose_params_to_Rt(params)
+        return self.renderer.render(
+            meshes, R, t, with_silhouette=True, with_rgb=self.config.use_rgb
+        )
+
+    def make_references(
+        self, meshes: Meshes, R_gt, t_gt,
+        occlusion_key: Optional[jax.Array] = None, patch_size: int = 50,
+    ) -> Dict[str, jax.Array]:
+        """Render ground-truth reference images (+ optional patch occlusion of
+        the depth, reference camera_pose_optimizer.py:187-188)."""
+        out = self.renderer.render(
+            jax.lax.stop_gradient(meshes), R_gt, t_gt,
+            with_silhouette=True, with_rgb=self.config.use_rgb,
+        )
+        depth = out.depth
+        if occlusion_key is not None:
+            depth = patch_occlusion(occlusion_key, depth, patch_size)
+        refs = {
+            "depth": depth,
+            "sil": out.silhouette,
+            "mask": (depth > 0).astype(jnp.float32),
+        }
+        if self.config.use_rgb:
+            refs["rgb"] = out.rgb
+        return jax.tree_util.tree_map(jax.lax.stop_gradient, refs)
+
+    # -- loss ---------------------------------------------------------------
+    def loss(self, params, meshes: Meshes, refs) -> Tuple[jax.Array, Dict]:
+        cfg = self.config
+        out = self.render(meshes, params)
+
+        sil_l1 = jnp.mean(jnp.abs(out.silhouette - refs["sil"]))
+        m = refs["mask"]
+        npix = jnp.clip(jnp.sum(m), 1.0, None)
+        depth_h = jnp.sum(huber_loss(out.depth, refs["depth"], cfg.huber_delta) * m) / npix
+        total = cfg.w_sil * sil_l1 + cfg.w_depth * depth_h
+
+        metrics = {"loss_sil": sil_l1, "loss_depth": depth_h}
+        if cfg.use_rgb and "rgb" in refs:
+            rgb_mse = jnp.mean((out.rgb - refs["rgb"]) ** 2)
+            total = total + cfg.w_rgb * rgb_mse
+            metrics["loss_rgb"] = rgb_mse
+
+        qn = jnp.linalg.norm(params["quat"], axis=-1)
+        quat_reg = jnp.mean((qn - 1.0) ** 2)
+        total = total + cfg.w_quat_norm * quat_reg
+
+        metrics["loss"] = total
+        metrics["quat_norm"] = jnp.mean(qn)
+        metrics["iou"] = jnp.mean(
+            iou((out.silhouette > 0.5).astype(jnp.float32), refs["mask"])
+        )
+        return total, metrics
+
+    # -- optimization -------------------------------------------------------
+    def step_fn(self, tx: optax.GradientTransformation):
+        """One (params, opt_state) -> (params, opt_state, metrics) Adam step."""
+
+        def step(params, opt_state, meshes, refs):
+            (loss, metrics), grads = jax.value_and_grad(self.loss, has_aux=True)(
+                params, meshes, refs
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, metrics
+
+        return step
+
+    def fit(
+        self, meshes: Meshes, refs, params0: Dict[str, jax.Array],
+        n_steps: Optional[int] = None,
+    ):
+        """Run the full Adam loop as one jitted lax.scan. Returns
+        (final params, metrics history dict of (n_steps,) arrays)."""
+        cfg = self.config
+        n = int(n_steps if n_steps is not None else cfg.n_steps)
+        tx = optax.adam(cfg.lr)
+        step = self.step_fn(tx)
+
+        if n not in self._fit_cache:
+
+            @jax.jit
+            def run(params, meshes, refs):
+                opt_state = tx.init(params)
+
+                def body(carry, _):
+                    params, opt_state = carry
+                    params, opt_state, metrics = step(params, opt_state, meshes, refs)
+                    return (params, opt_state), metrics
+
+                (params, _), history = jax.lax.scan(
+                    body, (params, opt_state), None, length=n
+                )
+                return params, history
+
+            self._fit_cache[n] = run
+        return self._fit_cache[n](params0, meshes, refs)
+
+
+class DepthPoseFitter(CameraPoseFitter):
+    """Depth+silhouette-only variant — the pose_optimizer.py workload
+    (recorded sensor depth, no RGB term; reference pose_optimizer.py:119-131).
+    """
+
+    def __init__(self, K, image_size, config: Optional[PoseFitConfig] = None, **kw):
+        cfg = config or PoseFitConfig(use_rgb=False, w_rgb=0.0)
+        if cfg.use_rgb:
+            cfg = dataclasses.replace(cfg, use_rgb=False, w_rgb=0.0)
+        super().__init__(K, image_size, cfg, **kw)
+
+    @staticmethod
+    def references_from_recorded(depth: jax.Array) -> Dict[str, jax.Array]:
+        """Reference dict from a recorded depth image (B, H, W) — the
+        filtered_datas.pkl pathway (pose_optimizer.py:41-61)."""
+        depth = jnp.asarray(depth, jnp.float32)
+        if depth.ndim == 2:
+            depth = depth[None]
+        mask = (depth > 0).astype(jnp.float32)
+        return {"depth": depth, "sil": mask, "mask": mask}

@@ -138,12 +138,32 @@ def soft_silhouette_binned(
 # Dense streaming path (exact oracle, no per-tile face cap)
 # ---------------------------------------------------------------------------
 
+def soft_coverage_sum(
+    fd: FaceRasterData,
+    image_size,
+    sigma: float = 1e-4,
+    pixel_chunk: int = 8192,
+    face_chunk: int = 1024,
+) -> jax.Array:
+    """The log-space coverage sum S (B, H, W): alpha = 1 - exp(-S).
+
+    S is a pure SUM over faces, so it decomposes across face shards — the
+    face-parallel path in parallel/sharded.py computes local S per shard and
+    psums over the 'model' mesh axis (one collective per render)."""
+    alpha = soft_silhouette_streaming_face_data(
+        fd, image_size, sigma=sigma, pixel_chunk=pixel_chunk,
+        face_chunk=face_chunk, _return_sum=True,
+    )
+    return alpha
+
+
 def soft_silhouette_streaming_face_data(
     fd: FaceRasterData,
     image_size,
     sigma: float = 1e-4,
     pixel_chunk: int = 8192,
     face_chunk: int = 1024,
+    _return_sum: bool = False,
 ) -> jax.Array:
     """Soft coverage (B, H, W), dense streaming over every face chunk."""
     H, W = image_size
@@ -185,7 +205,7 @@ def soft_silhouette_streaming_face_data(
             return S
 
         S_all = jax.lax.map(per_pixel_tile, pix_tiles).reshape(-1)[:HW]
-        return 1.0 - jnp.exp(-S_all)
+        return S_all if _return_sum else 1.0 - jnp.exp(-S_all)
 
     alpha = jax.vmap(per_mesh)(fd.q, fd.abc, fd.area2, fd.valid)
     return alpha.reshape(alpha.shape[0], H, W)
