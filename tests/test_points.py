@@ -1,0 +1,127 @@
+"""Point-cloud rasterization and compositing tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import torch_renderer_tpu as trt
+from torch_renderer_tpu.rasterize.points import (
+    PointsRasterizationSettings,
+    rasterize_points,
+)
+from torch_renderer_tpu.shading.compositing import (
+    alpha_composite,
+    norm_weighted_composite,
+)
+from torch_renderer_tpu.structures.pointclouds import Pointclouds
+
+H, W = 64, 64
+F = 64.0
+K_MAT = np.array([[F, 0, W / 2], [0, F, H / 2], [0, 0, 1]], np.float32)
+
+
+def cam():
+    return trt.PerspectiveCamera.from_K(K_MAT, (H, W))
+
+
+def test_single_point_lands_on_principal_point():
+    pcl = Pointclouds.from_padded(jnp.asarray([[[0.0, 0.0, 2.0]]]))
+    frags = rasterize_points(
+        pcl, cam(), PointsRasterizationSettings((H, W), radius=0.05)
+    )
+    idx = np.asarray(frags.idx[0, :, :, 0])
+    hit = idx >= 0
+    ys, xs = np.nonzero(hit)
+    # center pixel must be covered, z == 2
+    assert hit[H // 2, W // 2]
+    assert abs(ys.mean() - (H - 1) / 2) < 1.0 and abs(xs.mean() - (W - 1) / 2) < 1.0
+    z = np.asarray(frags.zbuf[0, :, :, 0])[hit]
+    np.testing.assert_allclose(z, 2.0, atol=1e-5)
+    # coverage area ~ pi * (r * s)^2 pixels, r=0.05 NDC, s=32 px/NDC
+    assert 3 <= hit.sum() <= 15
+
+
+def test_nearer_point_wins_slot_zero():
+    pts = jnp.asarray([[[0.0, 0.0, 3.0], [0.0, 0.0, 2.0]]])
+    pcl = Pointclouds.from_padded(pts)
+    frags = rasterize_points(
+        pcl, cam(), PointsRasterizationSettings((H, W), radius=0.05, points_per_pixel=2)
+    )
+    center = np.asarray(frags.idx[0, H // 2, W // 2])
+    assert center[0] == 1 and center[1] == 0  # z=2 point first
+
+
+def test_padded_points_never_rasterize():
+    pcl = Pointclouds.from_lists(
+        [np.array([[0.0, 0.0, 2.0]], np.float32)], pad_to=16
+    )
+    frags = rasterize_points(
+        pcl, cam(), PointsRasterizationSettings((H, W), radius=0.05)
+    )
+    idx = np.asarray(frags.idx)
+    assert idx.max() <= 0  # only point 0 (or empty -1)
+
+
+def test_alpha_composite_full_opacity_front():
+    w = jnp.asarray([1.0, 0.5]).reshape(1, 1, 1, 2)
+    feats = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]).reshape(1, 1, 1, 2, 3)
+    out = np.asarray(alpha_composite(w, feats))[0, 0, 0]
+    np.testing.assert_allclose(out[:3], [1.0, 0.0, 0.0], atol=1e-6)  # front wins
+    np.testing.assert_allclose(out[3], 1.0, atol=1e-6)
+
+
+def test_norm_composite_averages():
+    w = jnp.asarray([0.5, 0.5]).reshape(1, 1, 1, 2)
+    feats = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]).reshape(1, 1, 1, 2, 3)
+    out = np.asarray(norm_weighted_composite(w, feats))[0, 0, 0]
+    np.testing.assert_allclose(out[:3], [0.5, 0.5, 0.0], atol=1e-6)
+
+
+@pytest.mark.parametrize("cls", ["alpha", "norm", "pulsar", "depth"])
+def test_point_renderers_end_to_end(cls):
+    rng = np.random.default_rng(0)
+    pts = rng.standard_normal((200, 3)).astype(np.float32) * 0.3
+    pts[:, 2] += 2.5
+    feats = rng.uniform(0.2, 1.0, (200, 3)).astype(np.float32)
+    pcl = Pointclouds.from_padded(jnp.asarray(pts)[None], features=jnp.asarray(feats)[None])
+    R = np.eye(3, dtype=np.float32)
+    t = np.zeros(3, np.float32)
+
+    renderers = {
+        "alpha": trt.AlphaPointRender(K_MAT, (H, W), radius=0.03),
+        "norm": trt.NormPointRender(K_MAT, (H, W), radius=0.03),
+        "pulsar": trt.PulsarPointRender(K_MAT, (H, W), radius=0.03),
+        "depth": trt.DepthPointRender(K_MAT, (H, W), radius=0.03),
+    }
+    out = renderers[cls].render(pcl, R, t)
+    out_np = np.asarray(out)
+    assert np.all(np.isfinite(out_np))
+    if cls == "depth":
+        assert out_np.shape == (1, H, W)
+        covered = out_np > 0
+        assert covered.sum() > 20
+        np.testing.assert_array_less(out_np[covered], 3.5)
+    else:
+        assert out_np.shape == (1, H, W, 4)
+        assert out_np[..., 3].max() <= 1.0 + 1e-5
+        assert out_np[..., 3].max() > 0.5
+
+
+def test_point_render_gradients_flow_to_positions():
+    pts = jnp.asarray([[[0.05, 0.0, 2.0], [-0.05, 0.02, 2.2]]])
+    pcl = Pointclouds.from_padded(pts)
+    renderer = trt.NormPointRender(K_MAT, (H, W), radius=0.08)
+    R = jnp.eye(3)[None]
+    t = jnp.zeros((1, 3))
+
+    def loss(p):
+        import dataclasses
+
+        out = renderer.render(dataclasses.replace(pcl, points=p), R, t)
+        return jnp.sum(out[..., 3])
+
+    g = jax.grad(loss)(pcl.points)
+    g_np = np.asarray(g)
+    assert np.all(np.isfinite(g_np))
+    assert np.abs(g_np).sum() > 0

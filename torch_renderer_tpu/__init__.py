@@ -21,10 +21,20 @@ from .cameras.perspective import (
 )
 from .rasterize.fragments import Fragments, interpolate_face_attributes
 from .rasterize.raster import RasterizationSettings, rasterize_meshes
+from .rasterize.points import (
+    PointFragments,
+    PointsRasterizationSettings,
+    rasterize_points,
+)
 from .renderer import (
+    AlphaPointRender,
     ColorRender,
+    DepthPointRender,
     DepthRender,
     MeshRenderer,
+    NormPointRender,
+    PointsRenderer,
+    PulsarPointRender,
     RenderOutputs,
     SilhouetteRender,
 )

@@ -1,3 +1,24 @@
+from .deform import (
+    ColorFitConfig,
+    DeformConfig,
+    MeshDeformer,
+    VertexColorFitter,
+)
+from .pose_search import (
+    GMMPoseSearch,
+    PoseSearchConfig,
+    chamfer_loss_landscape,
+    chamfer_scores,
+    pose_errors,
+    poses6d_to_Rt,
+)
+from .registration import (
+    RegisterDataConfig,
+    create_register_data,
+    evaluate_registration,
+    icp_cpu_reference,
+    register_batch,
+)
 from .pose_fit import (
     CameraPoseFitter,
     DepthPoseFitter,
