@@ -1,0 +1,53 @@
+"""Shared helpers for the CLI apps (reference L5 entry points, SURVEY.md §1).
+
+Every app accepts --cpu (force the CPU backend — the axon TPU plugin ignores
+the JAX_PLATFORMS env var, so this must happen via jax.config) and loads its
+scene either from an --obj path or a generated icosphere.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def base_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--cpu", action="store_true", help="run on CPU backend")
+    p.add_argument("--obj", type=str, default=None, help="input OBJ mesh path")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def setup_platform(args) -> None:
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+
+def load_scene_mesh(args, level: int = 3, normalize: bool = True):
+    """Meshes (B=1) from --obj or a generated icosphere."""
+    from torch_renderer_tpu.structures.meshes import Meshes
+
+    if args.obj:
+        from torch_renderer_tpu.io.obj import load_objs_as_meshes
+
+        meshes = load_objs_as_meshes([args.obj])
+    else:
+        from torch_renderer_tpu.ops.icosphere import icosphere
+
+        verts, faces = icosphere(level)
+        meshes = Meshes.from_single(verts, faces)
+    if normalize:
+        meshes, _, _ = meshes.center_and_scale_to_unit_sphere()
+    return meshes
+
+
+def pinhole_K(image_size, focal_scale: float = 0.9) -> np.ndarray:
+    H, W = image_size
+    f = focal_scale * min(H, W)
+    return np.array(
+        [[f, 0, W / 2.0], [0, f, H / 2.0], [0, 0, 1.0]], np.float32
+    )

@@ -1,0 +1,74 @@
+"""Batched depth-render benchmark — the reference's metric harness.
+
+CLI parity with batch_rendering_test.py:341-358 (renders N depth images in
+one batched call and prints per-stage timings) and myrenderer.py:258-289
+(per-call latency). The serial-pyrender side of the reference comparison is
+an external-oracle baseline, not a capability; here the comparison is
+batched-vs-serial on the same device.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from apps._common import base_parser, load_scene_mesh, pinhole_K, setup_platform
+
+
+def main():
+    p = base_parser(__doc__)
+    p.add_argument("--n-views", type=int, default=120)
+    p.add_argument("--height", type=int, default=720)
+    p.add_argument("--width", type=int, default=1280)
+    p.add_argument("--reps", type=int, default=10)
+    args = p.parse_args()
+    setup_platform(args)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from torch_renderer_tpu.cameras.look_at import look_at_view_transform
+    from torch_renderer_tpu.renderer import DepthRender
+    from torch_renderer_tpu.utils.timing import StageTimer, time_fn
+
+    H, W = args.height, args.width
+    N = args.n_views
+    meshes = load_scene_mesh(args)
+    K = pinhole_K((H, W))
+
+    azims = jnp.linspace(0.0, 360.0, N, endpoint=False)
+    Rs, ts = look_at_view_transform(2.7, 15.0, azims)
+
+    renderer = DepthRender(K, (H, W))
+    batched = meshes.extend(N)
+
+    timer = StageTimer()
+    with timer.stage("h2d+setup"):
+        Rs = jax.device_put(Rs)
+        ts = jax.device_put(ts)
+        jax.block_until_ready((Rs, ts))
+
+    render = jax.jit(lambda m, R, t: renderer.render(m, R, t))
+    res = time_fn(render, batched, Rs, ts, reps=args.reps,
+                  name=f"batched depth render {N}x{H}x{W}")
+    print(res)
+    fps = N / res.mean_s
+    print(f"throughput: {fps:.1f} depth images/sec (batched)")
+
+    # serial single-view loop for comparison (the pyrender-style pattern)
+    single = jax.jit(lambda m, R, t: renderer.render(m, R, t))
+    r1 = time_fn(single, meshes, Rs[:1], ts[:1], reps=min(args.reps, 5),
+                 name="serial single-view render")
+    print(r1)
+    print(f"serial-equivalent: {1.0 / r1.mean_s:.1f} images/sec "
+          f"-> batching speedup {fps * r1.mean_s:.1f}x")
+
+    depth = np.asarray(render(batched, Rs, ts))
+    print("depth stats: shape", depth.shape, "coverage",
+          float((depth > 0).mean()), "max", float(depth.max()))
+
+
+if __name__ == "__main__":
+    main()

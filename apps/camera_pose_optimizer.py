@@ -1,0 +1,72 @@
+"""Camera pose optimization demo — the flagship analysis-by-synthesis loop.
+
+CLI parity with the reference's camera_pose_optimizer.py (renders reference
+depth/silhouette/RGB of a mesh, perturbs the pose, fits a 7-DoF
+translation+quaternion camera with Adam; reference :205-341). The whole
+optimization runs as ONE jitted lax.scan on device; prints per-phase loss,
+final pose errors and iters/sec (the BASELINE.json secondary metric).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from apps._common import base_parser, load_scene_mesh, pinhole_K, setup_platform
+
+
+def main():
+    p = base_parser(__doc__)
+    p.add_argument("--image-size", type=int, default=128)
+    p.add_argument("--iters", type=int, default=500)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--no-rgb", action="store_true")
+    p.add_argument("--occlusion", action="store_true",
+                   help="patch-occlude the reference depth (robustness test)")
+    p.add_argument("--perturb-t", type=float, default=0.1)
+    args = p.parse_args()
+    setup_platform(args)
+
+    import jax
+    import numpy as np
+
+    from torch_renderer_tpu.cameras.look_at import look_at_view_transform
+    from torch_renderer_tpu.opt.pose_fit import (
+        CameraPoseFitter, PoseFitConfig, pose_params_from_Rt, pose_params_to_Rt,
+    )
+
+    H = W = args.image_size
+    meshes = load_scene_mesh(args)
+    K = pinhole_K((H, W))
+    R_gt, t_gt = look_at_view_transform(2.7, 15.0, 40.0)
+    R_gt, t_gt = np.asarray(R_gt)[0], np.asarray(t_gt)[0]
+
+    cfg = PoseFitConfig(lr=args.lr, n_steps=args.iters, use_rgb=not args.no_rgb)
+    fitter = CameraPoseFitter(K, (H, W), cfg)
+    occ_key = jax.random.PRNGKey(args.seed) if args.occlusion else None
+    refs = fitter.make_references(meshes, R_gt, t_gt, occlusion_key=occ_key)
+
+    rng = np.random.default_rng(args.seed)
+    t0_ = t_gt + args.perturb_t * rng.standard_normal(3).astype(np.float32)
+    params0 = pose_params_from_Rt(R_gt, t0_)
+
+    t_start = time.perf_counter()
+    params, hist = fitter.fit(meshes, refs, params0)
+    jax.block_until_ready(params)
+    elapsed = time.perf_counter() - t_start
+
+    losses = np.asarray(hist["loss"])
+    ious = np.asarray(hist["iou"])
+    _, t_fit = pose_params_to_Rt(params)
+    err0 = float(np.linalg.norm(t0_ - t_gt))
+    err1 = float(np.linalg.norm(np.asarray(t_fit)[0] - t_gt))
+    print(f"loss: {losses[0]:.5f} -> {losses[-1]:.5f}   iou: {ious[0]:.3f} -> {ious[-1]:.3f}")
+    print(f"translation error: {err0:.4f} -> {err1:.4f} m")
+    print(f"{args.iters} iters in {elapsed:.2f}s (incl. compile) = "
+          f"{args.iters / elapsed:.1f} iters/sec")
+
+
+if __name__ == "__main__":
+    main()

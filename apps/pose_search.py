@@ -1,0 +1,90 @@
+"""GMM cross-entropy global pose search (+ optional ICP refinement).
+
+CLI parity with pytorch3d_icp_evaluation.py (ICPTensorEvalutor :117-341):
+perturb a ground-truth pose, optionally crop/noise the target cloud, then
+search SE(3) with chamfer-scored GMM resampling — fully on-device (the
+reference round-trips to sklearn on the host every EM iteration).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from apps._common import base_parser, load_scene_mesh, setup_platform
+
+
+def main():
+    p = base_parser(__doc__)
+    p.add_argument("--points", type=int, default=500)
+    p.add_argument("--hypotheses", type=int, default=400)
+    p.add_argument("--elite", type=int, default=100)
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--refine", action="store_true", help="ICP-refine the result")
+    args = p.parse_args()
+    setup_platform(args)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from torch_renderer_tpu.ops.icp import SimilarityTransform, iterative_closest_point
+    from torch_renderer_tpu.ops.sample_points import sample_points_from_meshes
+    from torch_renderer_tpu.opt.pose_search import (
+        GMMPoseSearch, PoseSearchConfig, pose_errors,
+    )
+    from torch_renderer_tpu.transforms.so3 import (
+        euler_angles_to_matrix, transform_points,
+    )
+
+    meshes = load_scene_mesh(args)
+    key = jax.random.PRNGKey(args.seed)
+    k_pts, k_pose, k_search = jax.random.split(key, 3)
+    ref = sample_points_from_meshes(meshes, args.points, k_pts)[0]
+    if args.obj is None:
+        # generated icosphere is rotationally symmetric -> squash it and bolt
+        # on an off-axis lobe so the rotation is observable (the reference
+        # uses asymmetric YCB objects)
+        ref = ref * jnp.asarray([1.0, 0.6, 0.35])
+        ref = ref.at[: args.points // 6].add(jnp.asarray([0.7, 0.3, 0.0]))
+
+    gt_rpy = jax.random.uniform(k_pose, (3,), minval=-0.8, maxval=0.8)
+    gt_t = jnp.asarray([0.15, -0.1, 0.2])
+    gt_R = euler_angles_to_matrix(gt_rpy, "XYZ")
+    target = transform_points(gt_R, gt_t, ref)
+
+    cfg = PoseSearchConfig(
+        n_hypotheses=args.hypotheses, n_elite=args.elite, n_iters=args.iters,
+    )
+    searcher = GMMPoseSearch(ref, cfg)
+    t0 = time.perf_counter()
+    out = searcher.search(k_search, target)
+    jax.block_until_ready(out["score"])
+    elapsed = time.perf_counter() - t0
+
+    terr, rerr = pose_errors(out["pose6d"][None], gt_R, gt_t)
+    print(f"search: {args.iters} EM iters x {args.hypotheses} hypotheses in "
+          f"{elapsed:.2f}s (incl. compile); best chamfer {float(out['score']):.5f}")
+    print(f"pose error: trans {float(terr[0]):.4f} m, "
+          f"rot {np.degrees(float(rerr[0])):.2f} deg")
+    hist = np.asarray(out["best_history"])
+    print("best-score history:", np.array2string(hist, precision=4))
+
+    if args.refine:
+        init = SimilarityTransform(
+            R=out["R"][None], t=out["t"][None], s=jnp.ones((1,))
+        )
+        sol = iterative_closest_point(
+            ref[None], target[None], init_transform=init, max_iterations=50
+        )
+        from torch_renderer_tpu.ops.knn_chamfer import chamfer_distance
+
+        cham, _ = chamfer_distance(sol.Xt, target[None])
+        print(f"after ICP refinement: surface chamfer {float(cham):.6f}, "
+              f"rmse {float(sol.rmse[0]):.6f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -83,3 +83,21 @@ class TexturesUV:
         top = c00 * (1 - wxe) + c01 * wxe
         bot = c10 * (1 - wxe) + c11 * wxe
         return top * (1 - wye) + bot * wye
+
+
+def sphere_uv_mapping(verts) -> "jax.Array":
+    """Spherical UV coordinates for a star-shaped mesh: (V, 2) in [0, 1].
+
+    u = azimuth / 2pi, v = 0.5 + asin(y/r)/pi. Used to give generated
+    primitives (ops.icosphere) a TexturesUV parameterization for the joint
+    shape+texture optimizer (reference deform_mesh_with_color.py:269-271
+    loads UVs from the cow OBJ; generated meshes need a synthetic chart).
+    The seam at u=0/1 is shared by a few faces — harmless when the map itself
+    is the optimization variable."""
+    import numpy as np
+
+    v = np.asarray(verts, np.float64)
+    r = np.clip(np.linalg.norm(v, axis=-1), 1e-12, None)
+    u = (np.arctan2(v[:, 0], v[:, 2]) / (2.0 * np.pi)) % 1.0
+    w = 0.5 + np.arcsin(np.clip(v[:, 1] / r, -1.0, 1.0)) / np.pi
+    return jnp.asarray(np.stack([u, w], axis=-1), jnp.float32)

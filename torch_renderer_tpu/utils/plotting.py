@@ -1,0 +1,73 @@
+"""Host-side plotting helpers (matplotlib, optional import).
+
+Rebuild of the reference's plot utilities: `image_grid`
+(plot_image_grid.py:10-53 — imported as utils.plot_image_grid by
+mesh_deformer.py:45) and the GMM-ellipse scatter plots
+(GMM.py:10-26, duplicated at pytorch3d_icp_evaluation.py:72-114).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+
+def image_grid(
+    images,
+    rows: Optional[int] = None,
+    cols: Optional[int] = None,
+    fill: bool = True,
+    show_axes: bool = False,
+    rgb: bool = True,
+):
+    """Display a (N, H, W, C) image batch on a rows x cols grid; returns the
+    matplotlib Figure (plot_image_grid.py parity)."""
+    import matplotlib.pyplot as plt
+
+    images = np.asarray(images)
+    n = images.shape[0]
+    if rows is None and cols is None:
+        cols = int(np.ceil(np.sqrt(n)))
+    if rows is None:
+        rows = int(np.ceil(n / cols))
+    if cols is None:
+        cols = int(np.ceil(n / rows))
+
+    gridspec_kw = {"wspace": 0.0, "hspace": 0.0} if fill else {}
+    fig, axarr = plt.subplots(rows, cols, gridspec_kw=gridspec_kw, figsize=(15, 9))
+    if fill:
+        fig.subplots_adjust(left=0, bottom=0, right=1, top=1)
+    for i, ax in enumerate(np.atleast_1d(axarr).ravel()):
+        if i < n:
+            im = images[i]
+            if rgb and im.ndim == 3:
+                ax.imshow(im[..., :3])
+            else:
+                ax.imshow(im[..., 0] if im.ndim == 3 else im)
+        if not show_axes:
+            ax.set_axis_off()
+    return fig
+
+
+def plot_gmm_ellipses(gmm, points=None, ax=None, n_std: float = 2.0):
+    """Scatter 2D points with the GMM's covariance ellipses overlaid
+    (GMM.py:10-26 parity, for DiagGMM over any 2 dims)."""
+    import matplotlib.pyplot as plt
+    from matplotlib.patches import Ellipse
+
+    if ax is None:
+        _, ax = plt.subplots()
+    if points is not None:
+        pts = np.asarray(points)
+        ax.scatter(pts[:, 0], pts[:, 1], s=4, alpha=0.5)
+    means = np.asarray(gmm.means)[:, :2]
+    var = np.asarray(gmm.var)[:, :2]
+    weights = np.asarray(gmm.weights)
+    for mu, v, w in zip(means, var, weights):
+        e = Ellipse(
+            mu, 2 * n_std * np.sqrt(v[0]), 2 * n_std * np.sqrt(v[1]),
+            alpha=min(0.8, max(0.1, float(w))), facecolor="C1", edgecolor="k",
+        )
+        ax.add_patch(e)
+    return ax
