@@ -1,0 +1,136 @@
+"""Scene assembly, G-buffer decodes, and COCO dataset generation tests."""
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import torch_renderer_tpu as trt
+from torch_renderer_tpu.datagen.coco import (
+    COCODataGenerator,
+    DataGenConfig,
+    ObjectLibrary,
+    reformat_coco_annotations,
+)
+from torch_renderer_tpu.ops.icosphere import cube, icosphere
+from torch_renderer_tpu.shading.gbuffer import (
+    instance_masks,
+    instance_segmentation,
+    render_normals,
+    visibility_fraction,
+)
+from torch_renderer_tpu.structures.scenes import (
+    merge_meshes,
+    place_on_plane,
+    sample_nonoverlapping_xy,
+)
+
+H, W = 64, 80
+F = 60.0
+K = np.array([[F, 0, W / 2], [0, F, H / 2], [0, 0, 1]], np.float32)
+
+
+def test_merge_meshes_offsets_and_ids():
+    sv, sf = icosphere(0)
+    cv, cf = cube(1.0)
+    scene = merge_meshes([sv, cv], [sf, cf], categories=[5, 9])
+    assert scene.meshes.batch_size == 1
+    assert int(scene.meshes.num_verts[0]) == sv.shape[0] + cv.shape[0]
+    f2o = np.asarray(scene.face_to_object)
+    assert (f2o[: sf.shape[0]] == 0).all() and (f2o[sf.shape[0]:] == 1).all()
+    # cube faces must reference offset vertices
+    faces = np.asarray(scene.meshes.faces[0])
+    assert faces[sf.shape[0]:].min() >= sv.shape[0]
+    assert list(scene.object_categories) == [5, 9]
+
+
+def test_place_on_plane_rests_on_ground():
+    sv, _ = icosphere(1)
+    v = place_on_plane(sv, np.eye(3), np.array([0.3, -0.2]), z_plane=0.0)
+    assert abs(v[:, 2].min()) < 1e-5
+    assert abs(v[:, 0].mean() - 0.3) < 0.05
+
+
+def test_nonoverlapping_positions():
+    rng = np.random.default_rng(0)
+    xy = sample_nonoverlapping_xy(rng, 4, radius=0.1, extent=0.5)
+    d = np.linalg.norm(xy[:, None] - xy[None, :], axis=-1)
+    d[np.diag_indices(4)] = 1e9
+    assert d.min() > 0.2
+
+
+@pytest.fixture(scope="module")
+def two_object_scene():
+    sv, sf = icosphere(1)
+    scene = merge_meshes(
+        [sv * 0.3 + np.array([-0.45, 0, 2.2], np.float32),
+         sv * 0.3 + np.array([0.45, 0, 2.2], np.float32)],
+        [sf, sf], categories=[1, 2],
+    )
+    renderer = trt.MeshRenderer(K, (H, W))
+    frags, cam = renderer.rasterize(
+        scene.meshes, np.eye(3, dtype=np.float32), np.zeros(3, np.float32)
+    )
+    return scene, frags, cam
+
+
+def test_instance_segmentation_separates_objects(two_object_scene):
+    scene, frags, _ = two_object_scene
+    seg = np.asarray(instance_segmentation(frags, scene.face_to_object))[0]
+    assert set(np.unique(seg)) == {-1, 0, 1}
+    # object 0 on the left half, object 1 on the right
+    assert (seg[:, : W // 2] != 1).all()
+    assert (seg[:, W // 2:] != 0).all()
+    masks = np.asarray(instance_masks(frags, scene.face_to_object, 2))
+    assert masks.shape == (1, 2, H, W)
+    vis = np.asarray(visibility_fraction(frags, scene.face_to_object, 2))[0]
+    assert (vis > 0.01).all()
+
+
+def test_normals_unit_and_outward(two_object_scene):
+    scene, frags, cam = two_object_scene
+    n = np.asarray(render_normals(scene.meshes, frags, cam, space="camera"))[0]
+    mask = np.asarray(frags.hard_mask())[0]
+    norms = np.linalg.norm(n[mask], axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+    # visible surfaces face the camera: normal z (camera frame) mostly negative
+    assert (n[mask][:, 2] < 0).mean() > 0.9
+
+
+def test_coco_generation_end_to_end(tmp_path):
+    cfg = DataGenConfig(
+        image_size=(48, 64), views_per_scene=2, objects_per_scene=(2, 2),
+        min_visibility=0.0005,
+    )
+    gen = COCODataGenerator(ObjectLibrary.primitives(), cfg)
+    coco = gen.generate(str(tmp_path), n_scenes=2, rng=np.random.default_rng(1))
+
+    assert len(coco["images"]) == 4
+    assert len(coco["annotations"]) >= 4  # most objects visible in most views
+    assert os.path.exists(tmp_path / "annotations.json")
+    assert os.path.exists(tmp_path / "poses.json")
+    pngs = list((tmp_path / "images").glob("*.png"))
+    assert len(pngs) == 4
+
+    with open(tmp_path / "poses.json") as f:
+        poses = json.load(f)
+    assert len(poses) == 4
+    assert "cam_R" in poses[0] and "objects" in poses[0]
+
+    # RLE round-trip: counts sum equals image size
+    ann = coco["annotations"][0]
+    assert sum(ann["segmentation"]["counts"]) == 48 * 64
+    x, y, w, h = ann["bbox"]
+    assert 0 <= x < 64 and 0 <= y < 48 and w > 0 and h > 0
+
+
+def test_reformat_remaps_to_contiguous():
+    coco = {
+        "images": [], "annotations": [{"id": 0, "category_id": 7}],
+        "categories": [{"id": 7, "name": "a"}, {"id": 42, "name": "b"}],
+    }
+    out = reformat_coco_annotations(coco)
+    assert sorted(c["id"] for c in out["categories"]) == [1, 2]
+    assert out["annotations"][0]["category_id"] == 1

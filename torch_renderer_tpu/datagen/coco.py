@@ -1,0 +1,326 @@
+"""Synthetic COCO-style dataset generator driven by OUR renderer.
+
+Capability-parity rebuild of the reference's BlenderProc pipeline
+(coco_data_generator.py, component 16, SURVEY.md §2a/§2c): domain-randomized
+multi-object scenes -> RGB + depth + normals + instance segmentation + COCO
+JSON annotations + 6-DoF pose labels (+ optional Canny edge maps via
+ops/canny). Blender itself is out of scope (SURVEY.md §2c: "the equivalent
+capability is a JAX-side synthetic data generator using our own renderer");
+the randomization axes mirror the reference:
+
+  * object placement: ground-plane rest pose with random yaw + rejection-
+    sampled non-overlapping positions (stand-in for physics settling :296-309)
+  * materials: per-object vertex-color / uniform-color / random mode (:237-266)
+  * camera: spherical-shell sampling, look-at a point of interest, random
+    in-plane roll (:316-349)
+  * lighting: point light on a shell with intensity jitter (:268-288)
+
+All views of a scene render as ONE batched call; annotations are decoded from
+the shared fragments (instance masks, bboxes, visibility filtering).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cameras.look_at import look_at_view_transform
+from ..renderer import MeshRenderer
+from ..shading.gbuffer import instance_segmentation, render_normals
+from ..shading.lights import PointLights
+from ..structures.scenes import (
+    SceneMeshes,
+    merge_meshes,
+    place_on_plane,
+    sample_nonoverlapping_xy,
+)
+from ..transforms.so3 import euler_angles_to_matrix
+
+
+@dataclasses.dataclass(frozen=True)
+class DataGenConfig:
+    image_size: Tuple[int, int] = (480, 640)
+    views_per_scene: int = 25          # reference renders 25 rgbd per scene
+    objects_per_scene: Tuple[int, int] = (2, 5)
+    placement_extent: float = 0.35
+    object_scale: float = 0.12
+    camera_dist: Tuple[float, float] = (0.9, 1.6)
+    camera_elev: Tuple[float, float] = (15.0, 70.0)
+    max_inplane_deg: float = 25.0
+    material_mode: str = "random"      # vertex | uniform | random
+    min_visibility: float = 0.002      # drop annotations below this coverage
+    edge_maps: bool = False
+    focal_scale: float = 0.9
+
+
+class ObjectLibrary:
+    """The generator's model set (the reference loads target objects from
+    instances.json + BOP distractors, :94-152). Each entry: canonical verts
+    (unit-ish scale), faces, category_id, name."""
+
+    def __init__(self, entries: Sequence[Dict]):
+        self.entries = list(entries)
+
+    @staticmethod
+    def primitives(n_categories: int = 3, level: int = 2) -> "ObjectLibrary":
+        """Built-in primitive library (sphere/ellipsoid/cube-ish) for use
+        without external assets."""
+        from ..ops.icosphere import cube, icosphere
+
+        sv, sf = icosphere(level)
+        cv, cf = cube(1.4)
+        entries = [
+            {"verts": sv, "faces": sf, "category_id": 1, "name": "sphere"},
+            {"verts": sv * np.array([1.0, 0.6, 0.4], np.float32),
+             "faces": sf, "category_id": 2, "name": "ellipsoid"},
+            {"verts": cv, "faces": cf, "category_id": 3, "name": "box"},
+        ]
+        return ObjectLibrary(entries[:max(1, n_categories)])
+
+    def __len__(self):
+        return len(self.entries)
+
+
+class COCODataGenerator:
+    """Scene sampler + batched renderer + COCO annotation writer."""
+
+    def __init__(self, library: ObjectLibrary, config: DataGenConfig = DataGenConfig()):
+        self.library = library
+        self.config = config
+        H, W = config.image_size
+        f = config.focal_scale * min(H, W)
+        self.K = np.array(
+            [[f, 0, W / 2.0], [0, f, H / 2.0], [0, 0, 1.0]], np.float32
+        )
+        self.renderer = MeshRenderer(self.K, (H, W), faces_per_pixel=1)
+
+    # -- scene sampling ------------------------------------------------------
+    def _object_colors(self, rng: np.random.Generator, verts: np.ndarray) -> np.ndarray:
+        mode = self.config.material_mode
+        if mode == "random":
+            mode = rng.choice(["vertex", "uniform"])
+        if mode == "uniform":
+            return np.tile(rng.uniform(0.15, 0.95, 3).astype(np.float32),
+                           (verts.shape[0], 1))
+        base = rng.uniform(0.1, 0.9, 3).astype(np.float32)
+        jitter = 0.5 + 0.5 * np.tanh(verts * rng.uniform(1.0, 4.0))
+        return np.clip(base[None] * jitter, 0.0, 1.0).astype(np.float32)
+
+    def sample_scene(self, rng: np.random.Generator):
+        """Returns (SceneMeshes, object_poses list of dicts)."""
+        cfg = self.config
+        lo, hi = cfg.objects_per_scene
+        n = int(rng.integers(lo, hi + 1))
+        picks = rng.integers(0, len(self.library), n)
+        xy = sample_nonoverlapping_xy(
+            rng, n, radius=cfg.object_scale, extent=cfg.placement_extent
+        )
+
+        verts_list, faces_list, colors_list, cats, poses = [], [], [], [], []
+        for i, pick in enumerate(picks):
+            entry = self.library.entries[int(pick)]
+            yaw = rng.uniform(0.0, 2 * np.pi)
+            R = np.asarray(
+                euler_angles_to_matrix(jnp.asarray([0.0, 0.0, yaw]), "XYZ")
+            )
+            v = place_on_plane(
+                np.asarray(entry["verts"]) * cfg.object_scale, R, xy[i]
+            )
+            verts_list.append(v)
+            faces_list.append(np.asarray(entry["faces"]))
+            colors_list.append(self._object_colors(rng, v))
+            cats.append(entry["category_id"])
+            t = v.mean(axis=0)
+            poses.append({
+                "category_id": int(entry["category_id"]),
+                "name": entry["name"],
+                "R": R.tolist(), "t": t.tolist(),
+            })
+        scene = merge_meshes(verts_list, faces_list, colors_list, cats)
+        return scene, poses
+
+    # -- rendering -----------------------------------------------------------
+    def render_scene(self, scene: SceneMeshes, rng: np.random.Generator) -> Dict:
+        cfg = self.config
+        n = cfg.views_per_scene
+        dist = rng.uniform(*cfg.camera_dist, n).astype(np.float32)
+        elev = rng.uniform(*cfg.camera_elev, n).astype(np.float32)
+        azim = rng.uniform(-180.0, 180.0, n).astype(np.float32)
+        roll = np.radians(
+            rng.uniform(-cfg.max_inplane_deg, cfg.max_inplane_deg, n)
+        ).astype(np.float32)
+        # look at the scene's point of interest (object centroid area), with
+        # the camera shell centered slightly above the ground
+        poi = np.array([0.0, 0.0, cfg.object_scale], np.float32)
+        Rs, ts = look_at_view_transform(
+            dist, elev, azim, at=poi, up=(0.0, 0.0, 1.0),
+            inplane_rotation=roll, degrees=True,
+        )
+
+        light_pos = rng.uniform(-1.5, 1.5, 3).astype(np.float32)
+        light_pos[2] = abs(light_pos[2]) + 1.0
+        intensity = rng.uniform(0.6, 1.0)
+        lights = PointLights.make(
+            location=(tuple(light_pos),),
+            ambient=((0.45 * intensity,) * 3,),
+            diffuse=((0.4 * intensity,) * 3,),
+            specular=((0.15 * intensity,) * 3,),
+        )
+        self.renderer.lights = lights
+
+        batched = scene.meshes.extend(n)
+        frags, cam = self.renderer.rasterize(batched, Rs, ts)
+        from ..shading.phong import hard_phong_shader
+
+        rgba = hard_phong_shader(
+            batched, frags, cam, lights, self.renderer.materials,
+            self.renderer.blend,
+        )
+        depth = frags.depth()
+        normals = render_normals(batched, frags, cam, space="camera")
+        seg = instance_segmentation(frags, scene.face_to_object)
+
+        out = {
+            "rgb": rgba[..., :3], "depth": depth, "normals": normals,
+            "segmentation": seg, "R": np.asarray(Rs), "t": np.asarray(ts),
+            "K": self.K,
+        }
+        if cfg.edge_maps:
+            from ..ops.canny import canny_edges
+
+            out["edges"] = canny_edges(out["rgb"] * 255.0, low_threshold=20.0).thresholded
+        return out
+
+    # -- COCO annotation encoding (host side) --------------------------------
+    @staticmethod
+    def _mask_to_bbox(mask: np.ndarray) -> Optional[List[float]]:
+        ys, xs = np.nonzero(mask)
+        if ys.size == 0:
+            return None
+        x0, x1 = xs.min(), xs.max()
+        y0, y1 = ys.min(), ys.max()
+        return [float(x0), float(y0), float(x1 - x0 + 1), float(y1 - y0 + 1)]
+
+    @staticmethod
+    def _mask_to_rle(mask: np.ndarray) -> Dict:
+        """Uncompressed COCO RLE (column-major counts)."""
+        flat = np.asarray(mask, np.uint8).flatten(order="F")
+        change = np.nonzero(np.diff(flat))[0] + 1
+        runs = np.diff(np.concatenate([[0], change, [flat.size]]))
+        counts = runs.tolist()
+        if flat[0] == 1:  # COCO counts start with a zero-run
+            counts = [0] + counts
+        return {"size": list(mask.shape), "counts": counts}
+
+    def generate(
+        self, out_dir: str, n_scenes: int, rng: Optional[np.random.Generator] = None,
+        write_aux: bool = True,
+    ) -> Dict:
+        """Render n_scenes scenes and write a COCO dataset under out_dir:
+        images/*.png, optional depth/normals/seg .npy, annotations.json,
+        poses.json (6-DoF labels). Returns the COCO dict."""
+        rng = rng or np.random.default_rng(0)
+        cfg = self.config
+        os.makedirs(os.path.join(out_dir, "images"), exist_ok=True)
+        if write_aux:
+            os.makedirs(os.path.join(out_dir, "aux"), exist_ok=True)
+
+        cats = {}
+        for e in self.library.entries:
+            cats[e["category_id"]] = {
+                "id": int(e["category_id"]), "name": e["name"],
+                "supercategory": "object",
+            }
+        coco = {"images": [], "annotations": [], "categories": list(cats.values())}
+        all_poses = []
+        img_id = 0
+        ann_id = 0
+        H, W = cfg.image_size
+
+        for s in range(n_scenes):
+            scene, poses = self.sample_scene(rng)
+            rendered = self.render_scene(scene, rng)
+            rgb = np.asarray(rendered["rgb"])
+            seg = np.asarray(rendered["segmentation"])
+            n_obj = len(poses)
+
+            for v in range(cfg.views_per_scene):
+                fname = f"scene{s:04d}_view{v:03d}.png"
+                self._write_png(
+                    os.path.join(out_dir, "images", fname), rgb[v]
+                )
+                if write_aux:
+                    np.save(
+                        os.path.join(out_dir, "aux", fname.replace(".png", "_depth.npy")),
+                        np.asarray(rendered["depth"][v]),
+                    )
+                    np.save(
+                        os.path.join(out_dir, "aux", fname.replace(".png", "_seg.npy")),
+                        seg[v],
+                    )
+                coco["images"].append({
+                    "id": img_id, "file_name": f"images/{fname}",
+                    "height": H, "width": W,
+                })
+                for o in range(n_obj):
+                    mask = seg[v] == o
+                    frac = mask.mean()
+                    if frac < cfg.min_visibility:
+                        continue
+                    bbox = self._mask_to_bbox(mask)
+                    if bbox is None:
+                        continue
+                    coco["annotations"].append({
+                        "id": ann_id, "image_id": img_id,
+                        "category_id": poses[o]["category_id"],
+                        "bbox": bbox, "area": float(mask.sum()),
+                        "iscrowd": 0,
+                        "segmentation": self._mask_to_rle(mask),
+                    })
+                    ann_id += 1
+                all_poses.append({
+                    "image_id": img_id,
+                    "cam_R": rendered["R"][v].tolist(),
+                    "cam_t": rendered["t"][v].tolist(),
+                    "K": rendered["K"].tolist(),
+                    "objects": poses,
+                })
+                img_id += 1
+
+        with open(os.path.join(out_dir, "annotations.json"), "w") as f:
+            json.dump(coco, f)
+        with open(os.path.join(out_dir, "poses.json"), "w") as f:
+            json.dump(all_poses, f)
+        return coco
+
+    @staticmethod
+    def _write_png(path: str, rgb01: np.ndarray) -> None:
+        from PIL import Image
+
+        Image.fromarray(
+            (np.clip(rgb01, 0.0, 1.0) * 255).astype(np.uint8)
+        ).save(path)
+
+
+def reformat_coco_annotations(coco: Dict) -> Dict:
+    """Remap category ids to contiguous 1..N (the reference's
+    reformat_coco_anns for detectron2 consumption, :62-84)."""
+    old_ids = sorted({c["id"] for c in coco["categories"]})
+    remap = {old: i + 1 for i, old in enumerate(old_ids)}
+    out = {
+        "images": coco["images"],
+        "categories": [
+            {**c, "id": remap[c["id"]]} for c in coco["categories"]
+        ],
+        "annotations": [
+            {**a, "category_id": remap[a["category_id"]]}
+            for a in coco["annotations"]
+        ],
+    }
+    return out

@@ -1,0 +1,112 @@
+"""Multi-object scene assembly: merge meshes into one renderable + id maps.
+
+The reference composes multi-object scenes in Blender (coco_data_generator.py
+:174-309). The TPU-native equivalent renders scenes with OUR rasterizer, which
+needs all objects in one padded Meshes plus a per-face object-id table so
+fragments can be decoded into instance masks (shading/gbuffer.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .meshes import Meshes
+from .textures import TexturesVertex
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneMeshes:
+    """A flattened multi-object scene.
+
+    meshes: single-batch (B=1) padded Meshes containing every object.
+    face_to_object: (F,) int32 object index per face (-1 for padding).
+    object_categories: (N,) int32 category id per object.
+    """
+
+    meshes: Meshes
+    face_to_object: jax.Array
+    object_categories: np.ndarray
+
+
+def merge_meshes(
+    verts_list: Sequence[np.ndarray],
+    faces_list: Sequence[np.ndarray],
+    colors_list: Optional[Sequence[np.ndarray]] = None,
+    categories: Optional[Sequence[int]] = None,
+) -> SceneMeshes:
+    """Concatenate per-object (Vi, 3)/(Fi, 3) into one mesh with offset faces.
+
+    colors_list: optional per-object per-vertex RGB -> TexturesVertex.
+    """
+    verts_np = [np.asarray(v, np.float32) for v in verts_list]
+    faces_np = [np.asarray(f, np.int64) for f in faces_list]
+    offsets = np.cumsum([0] + [v.shape[0] for v in verts_np[:-1]])
+    all_verts = np.concatenate(verts_np, axis=0)
+    all_faces = np.concatenate(
+        [f + o for f, o in zip(faces_np, offsets)], axis=0
+    ).astype(np.int32)
+    face_obj = np.concatenate(
+        [np.full(f.shape[0], i, np.int32) for i, f in enumerate(faces_np)]
+    )
+
+    textures = None
+    if colors_list is not None:
+        all_colors = np.concatenate(
+            [np.asarray(c, np.float32) for c in colors_list], axis=0
+        )
+        textures = TexturesVertex(jnp.asarray(all_colors)[None])
+
+    meshes = Meshes.from_single(all_verts, all_faces, textures=textures)
+    cats = np.asarray(
+        categories if categories is not None else np.zeros(len(verts_np)),
+        np.int32,
+    )
+    return SceneMeshes(
+        meshes=meshes,
+        face_to_object=jnp.asarray(face_obj),
+        object_categories=cats,
+    )
+
+
+def place_on_plane(
+    verts: np.ndarray, R: np.ndarray, xy: np.ndarray, z_plane: float = 0.0
+) -> np.ndarray:
+    """Rotate an object and translate it so its bbox bottom rests on the
+    z=z_plane ground at position xy — the static stand-in for the reference's
+    Blender physics settling (coco_data_generator.py:296-309)."""
+    v = np.asarray(verts, np.float32) @ np.asarray(R, np.float32).T
+    lift = z_plane - v[:, 2].min()
+    return v + np.array([xy[0], xy[1], lift], np.float32)
+
+
+def sample_nonoverlapping_xy(
+    rng: np.random.Generator, n: int, radius: float, extent: float,
+    max_tries: int = 200,
+) -> np.ndarray:
+    """Rejection-sample n xy positions with pairwise distance > 2*radius
+    inside [-extent, extent]^2 (object placement without interpenetration)."""
+    out: List[np.ndarray] = []
+    for _ in range(max_tries):
+        if len(out) == n:
+            break
+        cand = rng.uniform(-extent, extent, 2).astype(np.float32)
+        if all(np.linalg.norm(cand - p) > 2 * radius for p in out):
+            out.append(cand)
+    while len(out) < n:  # fall back to random if too crowded
+        out.append(rng.uniform(-extent, extent, 2).astype(np.float32))
+    return np.stack(out)
+
+
+def ground_plane(extent: float = 2.0, z: float = 0.0) -> Tuple[np.ndarray, np.ndarray]:
+    """Large quad in the z=z plane (the reference's 2m room floor)."""
+    verts = np.array(
+        [[-extent, -extent, z], [extent, -extent, z],
+         [extent, extent, z], [-extent, extent, z]], np.float32
+    )
+    faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    return verts, faces
