@@ -209,7 +209,13 @@ class COCODataGenerator:
 
     @staticmethod
     def _mask_to_rle(mask: np.ndarray) -> Dict:
-        """Uncompressed COCO RLE (column-major counts)."""
+        """Uncompressed COCO RLE (column-major counts); native C++ encoder
+        when built (native/objparse.cpp rle_encode), numpy fallback."""
+        from ..io.native import rle_encode as native_rle
+
+        out = native_rle(mask)
+        if out is not None:
+            return out
         flat = np.asarray(mask, np.uint8).flatten(order="F")
         change = np.nonzero(np.diff(flat))[0] + 1
         runs = np.diff(np.concatenate([[0], change, [flat.size]]))

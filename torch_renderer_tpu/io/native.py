@@ -1,0 +1,118 @@
+"""ctypes bindings for the native host-runtime library (native/objparse.cpp).
+
+The TPU compute path is JAX/XLA; the runtime around it (here: OBJ parsing and
+COCO RLE mask encoding — the host-side hot spots of IO and datagen) is C++.
+The library is built on demand with `make` (g++, no external deps) and every
+entry point has a pure-Python fallback, so the package works without a
+toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Dict, Optional
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libtrtpu_native.so"))
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib, _build_failed
+    if _lib is not None:
+        return _lib
+    if _build_failed:
+        return None
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(
+                ["make", "-s"], cwd=os.path.abspath(_NATIVE_DIR),
+                check=True, capture_output=True, timeout=120,
+            )
+        except Exception:
+            _build_failed = True
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        _build_failed = True
+        return None
+
+    lib.objparse_count.restype = ctypes.c_int
+    lib.objparse_count.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.objparse_parse.restype = ctypes.c_int
+    lib.objparse_parse.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.rle_encode.restype = ctypes.c_int64
+    lib.rle_encode.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    _lib = lib
+    return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def parse_obj_bytes(data: bytes) -> Optional[Dict[str, np.ndarray]]:
+    """Parse OBJ text via the native parser. Returns dict(verts (V,3) f32,
+    uvs (T,2) f32, normals (N,3) f32, faces/faces_uv/faces_n (F,3) i32 with
+    -1 for absent uv/normal indices), or None if the library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    counts = (ctypes.c_int64 * 4)()
+    lib.objparse_count(data, len(data), counts)
+    nv, nvt, nvn, ntri = (int(c) for c in counts)
+
+    verts = np.empty((max(nv, 1), 3), np.float32)
+    uvs = np.empty((max(nvt, 1), 2), np.float32)
+    normals = np.empty((max(nvn, 1), 3), np.float32)
+    faces = np.empty((max(ntri, 1), 3), np.int32)
+    faces_uv = np.empty((max(ntri, 1), 3), np.int32)
+    faces_n = np.empty((max(ntri, 1), 3), np.int32)
+
+    fp = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    ip = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    lib.objparse_parse(
+        data, len(data), fp(verts), fp(uvs), fp(normals),
+        ip(faces), ip(faces_uv), ip(faces_n),
+    )
+    return {
+        "verts": verts[:nv], "uvs": uvs[:nvt], "normals": normals[:nvn],
+        "faces": faces[:ntri], "faces_uv": faces_uv[:ntri],
+        "faces_n": faces_n[:ntri],
+    }
+
+
+def rle_encode(mask: np.ndarray) -> Optional[Dict]:
+    """COCO uncompressed RLE via the native encoder (column-major counts);
+    None if the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    m = np.ascontiguousarray(np.asarray(mask, np.uint8))
+    h, w = m.shape
+    counts = np.empty(h * w + 1, np.int32)
+    n = lib.rle_encode(
+        m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w,
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return {"size": [int(h), int(w)], "counts": counts[:n].tolist()}
