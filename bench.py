@@ -137,14 +137,11 @@ def cpu_reference_fps(use_cache: bool = True) -> float:
         alpha = 1.0 - torch.exp(-S)
         alpha.sum().backward()
 
+    # One timed pass (the pipeline is deterministic; the measurement is
+    # cached in-repo so the driver's bench run never pays this cost again).
     t0 = time.perf_counter()
     render_backward_once()
-    dt_first = time.perf_counter() - t0
-    reps = 2 if dt_first < 15.0 else 1
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        render_backward_once()
-    dt = (time.perf_counter() - t0) / reps
+    dt = time.perf_counter() - t0
     fps = 1.0 / dt  # one image per pass (B amortizes linearly on CPU)
     if use_cache:
         with open(BASELINE_CACHE, "w") as f:
