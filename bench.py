@@ -50,7 +50,10 @@ def tpu_fps() -> float:
 
     from torch_renderer_tpu.cameras.perspective import PerspectiveCamera
     from torch_renderer_tpu.rasterize.geometry import setup_faces
-    from torch_renderer_tpu.rasterize.soft import soft_silhouette_binned
+    from torch_renderer_tpu.rasterize.pallas_soft import (
+        soft_silhouette_pallas_fd,
+        suggest_faces_per_tile,
+    )
     from torch_renderer_tpu.structures.meshes import Meshes
 
     verts, faces, K, t = _scene()
@@ -60,9 +63,15 @@ def tpu_fps() -> float:
         t=np.tile(t, (B, 1)),
     )
 
+    # size the tile bins for this scene once (static kernel parameter);
+    # exactness vs the streaming oracle is covered by tests/test_pallas_soft
+    fpt = suggest_faces_per_tile(setup_faces(meshes, cam), (IMAGE, IMAGE))
+
     def loss_fn(v):
         fd = setup_faces(meshes.update_padded(v), cam)
-        alpha = soft_silhouette_binned(fd, (IMAGE, IMAGE), sigma=SIGMA)
+        alpha = soft_silhouette_pallas_fd(
+            fd, (IMAGE, IMAGE), sigma=SIGMA, faces_per_tile=fpt
+        )
         return jnp.sum(alpha)
 
     step = jax.jit(jax.grad(loss_fn))

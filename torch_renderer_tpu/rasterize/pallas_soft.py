@@ -1,0 +1,269 @@
+"""Fused Pallas TPU kernel for tile-binned soft-silhouette coverage.
+
+The north-star hot loop (256^2 soft-silhouette render+backward, BASELINE.md).
+The XLA tile-binned path (rasterize/soft.py) materializes (tiles, pixels,
+faces) intermediates in HBM between fusions; this kernel keeps one tile's
+whole pixel-x-face working set in VMEM and writes only the (tile_pixels,)
+coverage sums — forward AND a hand-derived backward (custom_vjp).
+
+Gradient convention matches the autodiff of rasterize/soft.signed_dist2 and
+SoftRas/pytorch3d: the inside/outside decision and the barycentric edge test
+are treated as non-differentiable selections; gradients flow through the
+squared point-to-edge distances only, to the face corner positions q. The
+clamped foot-of-perpendicular parameter t needs no chain term: d(dd)/dt = 0
+at the interior optimum (envelope theorem) and t is constant where clamped.
+
+Per (pixel p, face f): signed d2 = +min_e dist2(p, edge_e) outside,
+-min_e inside; S(p) = sum_f softplus(-d2 / sigma); alpha = 1 - exp(-S).
+
+Data layout (TPU tiling wants (8, 128)-aligned blocks): per flattened tile,
+faces live in 'planes' (N, 8, F) float32 slabs along the face/lane axis:
+rows 0-5 = qx0, qy0, qx1, qy1, qx2, qy2; row 6 = valid mask; row 7 packs the
+tile origin in its first two lanes. Programs process TN=8 tiles each so every
+block is (8, 8, F) / (8, TP).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .binning import bin_faces, count_overflow, tile_grid, untile_image
+from .geometry import FaceRasterData, setup_faces
+from .soft import SOFT_CUTOFF
+
+_BIG = 1e9
+_TN = 8  # tiles per program (sublane alignment)
+
+
+def _edge_terms(px, py, qxa, qya, qxb, qyb):
+    """Squared distance to segment (a, b) + helpers, broadcast (TP, F).
+
+    Returns (dd, t, wx, wy, gx, gy)."""
+    gx = qxb - qxa
+    gy = qyb - qya
+    len2 = jnp.maximum(gx * gx + gy * gy, 1e-12)
+    wx = px - qxa
+    wy = py - qya
+    wg = wx * gx + wy * gy
+    t = jnp.clip(wg / len2, 0.0, 1.0)
+    dd = wx * wx + wy * wy - 2.0 * t * wg + t * t * len2
+    return jnp.maximum(dd, 0.0), t, wx, wy, gx, gy
+
+
+def _signed_d2(px, py, q, valid):
+    """Signed squared distance (TP, F) + per-edge terms for backward.
+
+    q: tuple of 6 (1, F) rows (qx0, qy0, qx1, qy1, qx2, qy2)."""
+    qx0, qy0, qx1, qy1, qx2, qy2 = q
+    e0 = _edge_terms(px, py, qx0, qy0, qx1, qy1)
+    e1 = _edge_terms(px, py, qx1, qy1, qx2, qy2)
+    e2 = _edge_terms(px, py, qx2, qy2, qx0, qy0)
+    d2 = jnp.minimum(jnp.minimum(e0[0], e1[0]), e2[0])
+
+    # inside test: every edge cross product agrees with the face orientation
+    area2 = (qx1 - qx0) * (qy2 - qy0) - (qy1 - qy0) * (qx2 - qx0)
+    c0 = e0[4] * e0[3] - e0[5] * e0[2]  # gx*wy - gy*wx per edge
+    c1 = e1[4] * e1[3] - e1[5] * e1[2]
+    c2 = e2[4] * e2[3] - e2[5] * e2[2]
+    inside = (c0 * area2 >= 0.0) & (c1 * area2 >= 0.0) & (c2 * area2 >= 0.0)
+
+    signed = jnp.where(inside, -d2, d2)
+    signed = jnp.where(valid > 0.0, signed, _BIG)
+    return signed, d2, inside, (e0, e1, e2)
+
+
+def _pixel_coords(tile: int, inv_s: float, ox, oy):
+    """Tile pixel centers (TP, 1) given the tile origin scalar coords."""
+    tp = tile * tile
+    idx = jax.lax.broadcasted_iota(jnp.int32, (tp, 1), 0)
+    px = ox + (idx % tile).astype(jnp.float32) * inv_s
+    py = oy + (idx // tile).astype(jnp.float32) * inv_s
+    return px, py
+
+
+def _row_inputs(planes_ref, i, tile, inv_s):
+    q = tuple(planes_ref[i, c, :][None, :] for c in range(6))
+    valid = planes_ref[i, 6, :][None, :]
+    ox = planes_ref[i, 7, 0]
+    oy = planes_ref[i, 7, 1]
+    px, py = _pixel_coords(tile, inv_s, ox, oy)
+    return q, valid, px, py
+
+
+def _fwd_kernel(tile, inv_s, inv_sigma, planes_ref, out_ref):
+    for i in range(_TN):
+        q, valid, px, py = _row_inputs(planes_ref, i, tile, inv_s)
+        signed, _, _, _ = _signed_d2(px, py, q, valid)
+        out_ref[i, :] = jnp.sum(jax.nn.softplus(-signed * inv_sigma), axis=-1)
+
+
+def _bwd_kernel(tile, inv_s, inv_sigma, planes_ref, g_ref, dq_ref):
+    for i in range(_TN):
+        q, valid, px, py = _row_inputs(planes_ref, i, tile, inv_s)
+        signed, d2, inside, edges = _signed_d2(px, py, q, valid)
+
+        g = g_ref[i, :][:, None]  # (TP, 1)
+        # dL/d(d2): softplus'(u) = sigmoid(u), u = -signed/sigma,
+        # d(signed)/d(d2) = -1 inside else +1.
+        sgn = jnp.where(inside, -1.0, 1.0)
+        alpha = g * jax.nn.sigmoid(-signed * inv_sigma) * (-inv_sigma) * sgn
+        alpha = jnp.where(valid > 0.0, alpha, 0.0)
+
+        # split min ties evenly (jnp.minimum's subgradient convention)
+        m0 = (edges[0][0] <= d2).astype(jnp.float32)
+        m1 = (edges[1][0] <= d2).astype(jnp.float32)
+        m2 = (edges[2][0] <= d2).astype(jnp.float32)
+        norm = jnp.maximum(m0 + m1 + m2, 1.0)
+
+        def edge_grads(e, m):
+            _, t, wx, wy, gx, gy = e
+            beta = alpha * (m / norm)  # (TP, F)
+            ca = 2.0 * beta * (t - 1.0)
+            cg = 2.0 * beta * t * (1.0 - t)
+            cb_w = -2.0 * beta * t
+            cb_g = 2.0 * beta * t * t
+            # d/dqa = -(d/dw) - (d/dg); d/dqb = d/dg  (w = p - qa, g = qb - qa)
+            dqa_x = jnp.sum(ca * wx + cg * gx, axis=0)
+            dqa_y = jnp.sum(ca * wy + cg * gy, axis=0)
+            dqb_x = jnp.sum(cb_w * wx + cb_g * gx, axis=0)
+            dqb_y = jnp.sum(cb_w * wy + cb_g * gy, axis=0)
+            return dqa_x, dqa_y, dqb_x, dqb_y
+
+        a0x, a0y, b0x, b0y = edge_grads(edges[0], m0)  # edge (q0, q1)
+        a1x, a1y, b1x, b1y = edge_grads(edges[1], m1)  # edge (q1, q2)
+        a2x, a2y, b2x, b2y = edge_grads(edges[2], m2)  # edge (q2, q0)
+
+        dq_ref[i, 0, :] = a0x + b2x  # q0
+        dq_ref[i, 1, :] = a0y + b2y
+        dq_ref[i, 2, :] = b0x + a1x  # q1
+        dq_ref[i, 3, :] = b0y + a1y
+        dq_ref[i, 4, :] = b1x + a2x  # q2
+        dq_ref[i, 5, :] = b1y + a2y
+        dq_ref[i, 6, :] = jnp.zeros_like(a0x)
+        dq_ref[i, 7, :] = jnp.zeros_like(a0x)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _tile_coverage(planes, tile, inv_s, sigma):
+    """planes (N, 8, F) [6 q rows, valid, packed origin] -> S (N, tile^2)."""
+    return _tile_coverage_fwd(planes, tile, inv_s, sigma)[0]
+
+
+def _tile_coverage_fwd(planes, tile, inv_s, sigma):
+    N, _, F = planes.shape
+    tp = tile * tile
+    S = pl.pallas_call(
+        functools.partial(_fwd_kernel, tile, inv_s, 1.0 / sigma),
+        grid=(N // _TN,),
+        in_specs=[
+            pl.BlockSpec((_TN, 8, F), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_TN, tp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, tp), jnp.float32),
+        interpret=_interpret(),
+    )(planes)
+    return S, (planes,)
+
+
+def _tile_coverage_bwd(tile, inv_s, sigma, res, g):
+    (planes,) = res
+    N, _, F = planes.shape
+    tp = tile * tile
+    dplanes = pl.pallas_call(
+        functools.partial(_bwd_kernel, tile, inv_s, 1.0 / sigma),
+        grid=(N // _TN,),
+        in_specs=[
+            pl.BlockSpec((_TN, 8, F), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TN, tp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_TN, 8, F), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, 8, F), jnp.float32),
+        interpret=_interpret(),
+    )(planes, g)
+    return (dplanes,)
+
+
+_tile_coverage.defvjp(_tile_coverage_fwd, _tile_coverage_bwd)
+
+
+def suggest_faces_per_tile(
+    fd: FaceRasterData, image_size, tile: int = 16, sigma: float = 1e-4,
+    margin: float = 1.3, multiple: int = 128,
+) -> int:
+    """Smallest safe (no-overflow) faces_per_tile for this scene, rounded up
+    to a lane multiple. Call OUTSIDE jit with concrete data (e.g. once at fit
+    setup); the result is a static kernel parameter."""
+    pad = math.sqrt(SOFT_CUTOFF * sigma)
+    max_count, _ = count_overflow(fd, image_size, tile, 0, pad)
+    want = int(math.ceil(float(max_count) * margin / multiple)) * multiple
+    return max(multiple, min(want, fd.num_faces))
+
+
+def soft_silhouette_pallas_fd(
+    fd: FaceRasterData,
+    image_size,
+    sigma: float = 1e-4,
+    tile: int = 16,
+    faces_per_tile: int = 128,
+) -> jax.Array:
+    """Tile-binned soft coverage (B, H, W) through the fused Pallas kernel.
+
+    Exact (same sum as the streaming oracle) provided no bin overflows —
+    size faces_per_tile with suggest_faces_per_tile()."""
+    B = fd.q.shape[0]
+    pad = math.sqrt(SOFT_CUTOFF * sigma)
+    bins = bin_faces(fd, image_size, tile, faces_per_tile, pad)
+    TH, TW, _ = tile_grid(image_size, tile)
+    T = TH * TW
+    Fmax = bins.face_idx.shape[-1]
+
+    q_t = jax.vmap(lambda a, i: a[i])(fd.q, bins.face_idx)  # (B, T, Fmax, 3, 2)
+    valid = bins.face_mask.astype(jnp.float32)              # (B, T, Fmax)
+
+    origins = jnp.broadcast_to(bins.tile_origin[None], (B, T, 2))
+    origin_row = jnp.zeros((B, T, Fmax), jnp.float32)
+    origin_row = origin_row.at[..., 0].set(origins[..., 0])
+    origin_row = origin_row.at[..., 1].set(origins[..., 1])
+
+    planes = jnp.stack(
+        [
+            q_t[..., 0, 0], q_t[..., 0, 1],
+            q_t[..., 1, 0], q_t[..., 1, 1],
+            q_t[..., 2, 0], q_t[..., 2, 1],
+            valid, origin_row,
+        ],
+        axis=2,
+    ).reshape(B * T, 8, Fmax)
+
+    N = B * T
+    n_pad = (-N) % _TN
+    if n_pad:
+        planes = jnp.pad(planes, ((0, n_pad), (0, 0), (0, 0)))
+
+    H, W = image_size
+    inv_s = 1.0 / (min(H, W) / 2.0)
+    S = _tile_coverage(planes, tile, inv_s, sigma)[:N]  # (B*T, tp)
+    alpha = 1.0 - jnp.exp(-S.reshape(B, T, tile * tile))
+    return untile_image(alpha, image_size, tile, bins.n_tiles_hw)
+
+
+def soft_silhouette_pallas(
+    meshes, camera, sigma: float = 1e-4, tile: int = 16,
+    faces_per_tile: int = 128,
+) -> jax.Array:
+    """Public entry: meshes + camera -> soft silhouette via the Pallas path."""
+    fd = setup_faces(meshes, camera)
+    return soft_silhouette_pallas_fd(
+        fd, camera.image_size, sigma=sigma, tile=tile,
+        faces_per_tile=faces_per_tile,
+    )
