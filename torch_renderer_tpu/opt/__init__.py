@@ -19,6 +19,11 @@ from .registration import (
     icp_cpu_reference,
     register_batch,
 )
+from .pose_fit_fd import (
+    FDPoseFitConfig,
+    FiniteDifferencePoseFitter,
+    finite_difference_grad,
+)
 from .pose_fit import (
     CameraPoseFitter,
     DepthPoseFitter,

@@ -50,6 +50,30 @@ def image_grid(
     return fig
 
 
+def plot_gaussian_wireframe(mean, cov, ax=None, n_std: float = 2.0, n: int = 24):
+    """3D wireframe of a Gaussian's n_std ellipsoid (the reference's
+    3D_Gaussian_plot.py sandbox, component 19)."""
+    import matplotlib.pyplot as plt
+
+    mean = np.asarray(mean, np.float64).reshape(3)
+    cov = np.asarray(cov, np.float64).reshape(3, 3)
+    if ax is None:
+        fig = plt.figure()
+        ax = fig.add_subplot(projection="3d")
+    w, V = np.linalg.eigh(cov)
+    radii = n_std * np.sqrt(np.clip(w, 0, None))
+    u = np.linspace(0, 2 * np.pi, n)
+    v = np.linspace(0, np.pi, n)
+    sphere = np.stack(
+        [np.outer(np.cos(u), np.sin(v)), np.outer(np.sin(u), np.sin(v)),
+         np.outer(np.ones_like(u), np.cos(v))], axis=-1,
+    )  # (n, n, 3)
+    pts = sphere * radii[None, None] @ V.T + mean
+    ax.plot_wireframe(pts[..., 0], pts[..., 1], pts[..., 2],
+                      rstride=2, cstride=2, alpha=0.4)
+    return ax
+
+
 def plot_gmm_ellipses(gmm, points=None, ax=None, n_std: float = 2.0):
     """Scatter 2D points with the GMM's covariance ellipses overlaid
     (GMM.py:10-26 parity, for DiagGMM over any 2 dims)."""
