@@ -26,6 +26,10 @@ def main():
     p.add_argument("--occlusion", action="store_true",
                    help="patch-occlude the reference depth (robustness test)")
     p.add_argument("--perturb-t", type=float, default=0.1)
+    p.add_argument("--bin-size", type=int, default=None,
+                   help="coarse-to-fine rasterizer tile size (e.g. 16); "
+                        "~1.6x faster steps on TPU")
+    p.add_argument("--max-faces-per-bin", type=int, default=128)
     args = p.parse_args()
     setup_platform(args)
 
@@ -44,7 +48,10 @@ def main():
     R_gt, t_gt = np.asarray(R_gt)[0], np.asarray(t_gt)[0]
 
     cfg = PoseFitConfig(lr=args.lr, n_steps=args.iters, use_rgb=not args.no_rgb)
-    fitter = CameraPoseFitter(K, (H, W), cfg)
+    fitter = CameraPoseFitter(
+        K, (H, W), cfg,
+        bin_size=args.bin_size, max_faces_per_bin=args.max_faces_per_bin,
+    )
     occ_key = jax.random.PRNGKey(args.seed) if args.occlusion else None
     refs = fitter.make_references(meshes, R_gt, t_gt, occlusion_key=occ_key)
 

@@ -57,6 +57,13 @@ class RasterizationSettings:
     znear: float = 1e-5
     pixel_chunk: int = 8192
     clip_barycentric_coords: Optional[bool] = None  # default: blur_radius > 0
+    # Coarse-to-fine selection: bucket faces into bin_size-pixel tiles and
+    # evaluate only each tile's candidates (pytorch3d's bin_size /
+    # max_faces_per_bin). None = dense selection over all faces. Size with
+    # enough headroom (overflowing tiles silently drop high-index faces) —
+    # pallas_soft.suggest_faces_per_tile measures the true maximum.
+    bin_size: Optional[int] = None
+    max_faces_per_bin: int = 128
 
     @property
     def clip_bary(self) -> bool:
@@ -97,12 +104,17 @@ def _select_chunk(pix: jax.Array, fd_b, K: int, blur: float, znear: float):
     cover = cover & valid[None] & (zfrag > znear)
 
     priority = jnp.where(cover, zfrag, INF)
-    if K == 1:
+    k_eff = min(K, priority.shape[-1])
+    if k_eff == 1:
         zmin = jnp.min(priority, axis=-1)
         idx = jnp.argmin(priority, axis=-1).astype(jnp.int32)
-        return jnp.where(zmin < INF, idx, -1)[:, None]
-    negz, idx = jax.lax.top_k(-priority, K)  # nearest first
-    return jnp.where(negz > -INF, idx.astype(jnp.int32), -1)
+        out = jnp.where(zmin < INF, idx, -1)[:, None]
+    else:
+        negz, idx = jax.lax.top_k(-priority, k_eff)  # nearest first
+        out = jnp.where(negz > -INF, idx.astype(jnp.int32), -1)
+    if k_eff < K:
+        out = jnp.pad(out, ((0, 0), (0, K - k_eff)), constant_values=-1)
+    return out
 
 
 def _interpolate(
@@ -153,6 +165,62 @@ def _interpolate(
     )
 
 
+def _select_binned(fd_sel: FaceRasterData, settings: RasterizationSettings):
+    """Coarse-to-fine selection: per-tile candidate lists, then per-pixel
+    top-K within each tile. Returns (B, HW, K) global face ids (-1 empty)."""
+    import math
+
+    from .binning import bin_faces, gather_bins, tile_pixel_coords, untile_image
+
+    H, W = settings.image_size
+    K = settings.faces_per_pixel
+    tile = settings.bin_size
+    pad_radius = math.sqrt(settings.blur_radius) if settings.blur_radius > 0 else 0.0
+    bins = bin_faces(fd_sel, (H, W), tile, settings.max_faces_per_bin, pad_radius)
+    q_t, abc_t, a2_t, _, invz_t = gather_bins(fd_sel, bins)
+    valid_t = bins.face_mask  # (B, T, Fmax)
+    B, T, Fmax = valid_t.shape
+    tp = tile * tile
+
+    local = tile_pixel_coords((H, W), tile)  # (tp, 2)
+    flat = lambda a: a.reshape((B * T,) + a.shape[2:])
+    qf, abcf, a2f, invzf, vf = (
+        flat(q_t), flat(abc_t), flat(a2_t), flat(invz_t), flat(valid_t)
+    )
+    of = jnp.broadcast_to(bins.tile_origin[None], (B, T, 2)).reshape(B * T, 2)
+
+    N = B * T
+    tiles_per_chunk = max(1, min(settings.pixel_chunk // tp, N))
+    n_chunks = -(-N // tiles_per_chunk)
+    padn = n_chunks * tiles_per_chunk - N
+    padc = lambda a: jnp.pad(
+        a, [(0, padn)] + [(0, 0)] * (a.ndim - 1)
+    ).reshape((n_chunks, tiles_per_chunk) + a.shape[1:])
+
+    def per_chunk(args):
+        q, invz, a2, abc, v, o = args
+        pix = local[None] + o[:, None, :]  # (c, tp, 2)
+        return jax.vmap(
+            lambda p, q_, i_, a_, ab_, v_: _select_chunk(
+                p, (q_, i_, a_, ab_, v_), K, settings.blur_radius, settings.znear
+            )
+        )(pix, q, invz, a2, abc, v)
+
+    idx_local = jax.lax.map(
+        per_chunk, (padc(qf), padc(invzf), padc(a2f), padc(abcf), padc(vf), padc(of))
+    ).reshape(n_chunks * tiles_per_chunk, tp, K)[:N]
+
+    # bin-local candidate slot -> global face id
+    face_idx_flat = flat(bins.face_idx)  # (N, Fmax)
+    g = jax.vmap(lambda f, i: f[jnp.maximum(i, 0)])(face_idx_flat, idx_local)
+    g = jnp.where(idx_local >= 0, g, -1)  # (N, tp, K)
+
+    img = untile_image(
+        g.reshape(B, T, tp, K), (H, W), tile, bins.n_tiles_hw
+    )  # (B, H, W, K)
+    return img.reshape(B, H * W, K)
+
+
 def rasterize_face_data(
     fd: FaceRasterData, settings: RasterizationSettings
 ) -> Fragments:
@@ -161,21 +229,27 @@ def rasterize_face_data(
     K = settings.faces_per_pixel
     pix_all = pixel_coords_raster((H, W))  # (HW, 2)
     HW = pix_all.shape[0]
-    chunk = min(settings.pixel_chunk, HW)
-    n_chunks = -(-HW // chunk)
-    pad = n_chunks * chunk - HW
-    pix_pad = jnp.pad(pix_all, ((0, pad), (0, 0))).reshape(n_chunks, chunk, 2)
 
     fd_sel = jax.lax.stop_gradient(fd)
 
-    def per_mesh(fd_b):
-        leaves = (fd_b.q, fd_b.invz, fd_b.area2, fd_b.abc, fd_b.valid)
-        return jax.lax.map(
-            lambda pc: _select_chunk(pc, leaves, K, settings.blur_radius, settings.znear),
-            pix_pad,
-        ).reshape(n_chunks * chunk, K)[:HW]
+    if settings.bin_size is not None:
+        pix_to_face = _select_binned(fd_sel, settings)  # (B, HW, K)
+    else:
+        chunk = min(settings.pixel_chunk, HW)
+        n_chunks = -(-HW // chunk)
+        pad = n_chunks * chunk - HW
+        pix_pad = jnp.pad(pix_all, ((0, pad), (0, 0))).reshape(n_chunks, chunk, 2)
 
-    pix_to_face = jax.vmap(per_mesh)(fd_sel)  # (B, HW, K)
+        def per_mesh(fd_b):
+            leaves = (fd_b.q, fd_b.invz, fd_b.area2, fd_b.abc, fd_b.valid)
+            return jax.lax.map(
+                lambda pc: _select_chunk(
+                    pc, leaves, K, settings.blur_radius, settings.znear
+                ),
+                pix_pad,
+            ).reshape(n_chunks * chunk, K)[:HW]
+
+        pix_to_face = jax.vmap(per_mesh)(fd_sel)  # (B, HW, K)
 
     frags = _interpolate(pix_all, fd, pix_to_face, settings.clip_bary)
     reshape = lambda a: a.reshape((a.shape[0], H, W) + a.shape[2:])

@@ -80,6 +80,8 @@ class MeshRenderer(DifferentiableRenderer):
         lights: Optional[PointLights] = None,
         materials: Optional[Materials] = None,
         pixel_chunk: int = 8192,
+        bin_size: Optional[int] = None,
+        max_faces_per_bin: int = 128,
     ):
         super().__init__(K, image_size)
         self.settings = RasterizationSettings(
@@ -87,6 +89,8 @@ class MeshRenderer(DifferentiableRenderer):
             blur_radius=blur_radius,
             faces_per_pixel=faces_per_pixel,
             pixel_chunk=pixel_chunk,
+            bin_size=bin_size,
+            max_faces_per_bin=max_faces_per_bin,
         )
         self.blend = BlendParams(sigma=sigma, gamma=gamma, background_color=background_color)
         self.lights = lights if lights is not None else PointLights.make()
