@@ -19,6 +19,7 @@ from .registration import (
     icp_cpu_reference,
     register_batch,
 )
+from .creator import CreatorConfig, TwoPhaseCreator
 from .pose_fit_fd import (
     FDPoseFitConfig,
     FiniteDifferencePoseFitter,

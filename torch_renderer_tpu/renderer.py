@@ -54,8 +54,15 @@ class DifferentiableRenderer:
             raise ValueError(
                 "image_size must be a tuple, e.g. (720, 1280)"
             )
+        K_arr = jnp.asarray(K, jnp.float32)
+        if K_arr.shape[-2:] != (3, 3) or K_arr.ndim not in (2, 3):
+            # the reference validates its pinhole input the same way
+            # (torch_renderer.py:44-58, ERROR on malformed K)
+            raise ValueError(
+                f"K must be (3, 3) or (B, 3, 3), got {K_arr.shape}"
+            )
         self._image_size = (int(image_size[0]), int(image_size[1]))
-        self._base_camera = PerspectiveCamera.from_K(K, self._image_size)
+        self._base_camera = PerspectiveCamera.from_K(K_arr, self._image_size)
 
     def camera_with_pose(self, R, tvec) -> PerspectiveCamera:
         return self._base_camera.replace_pose(R, tvec)

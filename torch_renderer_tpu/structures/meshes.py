@@ -129,6 +129,37 @@ class Meshes:
             (verts[b, : nv[b]], faces[b, : nf[b]]) for b in range(self.batch_size)
         ]
 
+    # -- pytorch3d-style accessors (API familiarity for reference users) -----
+    def verts_padded(self) -> jax.Array:
+        return self.verts
+
+    def faces_padded(self) -> jax.Array:
+        return self.faces
+
+    def verts_list(self) -> List[np.ndarray]:
+        return [v for v, _ in self.detach_to_lists()]
+
+    def faces_list(self) -> List[np.ndarray]:
+        return [f for _, f in self.detach_to_lists()]
+
+    def verts_packed(self) -> jax.Array:
+        """All valid vertices concatenated (host-side shapes; for device-side
+        math prefer the padded arrays + masks)."""
+        return jnp.concatenate(
+            [jnp.asarray(v) for v, _ in self.detach_to_lists()], axis=0
+        )
+
+    def get_mesh_verts_faces(self, index: int):
+        """(verts (Vi, 3), faces (Fi, 3)) of one mesh (pytorch3d parity,
+        reference deform_mesh_from_pcd.py:231)."""
+        return self.detach_to_lists()[index]
+
+    def num_verts_per_mesh(self) -> jax.Array:
+        return self.num_verts
+
+    def num_faces_per_mesh(self) -> jax.Array:
+        return self.num_faces
+
     # -- geometry -----------------------------------------------------------
     def face_verts(self) -> jax.Array:
         """Gather per-face corner positions: (B, F, 3, 3)."""

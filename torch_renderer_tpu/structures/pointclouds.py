@@ -87,3 +87,14 @@ class Pointclouds:
         n = np.asarray(self.num_points)
         pts = np.asarray(self.points)
         return [pts[b, : n[b]] for b in range(self.batch_size)]
+
+    # -- pytorch3d-style accessors (reference pytorch3d_icp_registeration.py
+    # :93,142 uses points_padded/points_list) ---------------------------------
+    def points_padded(self) -> jax.Array:
+        return self.points
+
+    def points_list(self) -> List[np.ndarray]:
+        return self.detach_to_lists()
+
+    def num_points_per_cloud(self) -> jax.Array:
+        return self.num_points

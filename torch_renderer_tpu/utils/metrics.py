@@ -65,6 +65,30 @@ class MetricLogger:
         if self._f:
             self._f.flush()
 
+    def log_image(self, name: str, image, step: int = 0,
+                  out_dir: Optional[str] = None) -> Optional[str]:
+        """Image panel logging (the reference's wandb.Image panels,
+        camera_pose_optimizer.py:331-341): sends to wandb when active and/or
+        writes a PNG under out_dir. Returns the written path (or None)."""
+        img = np.asarray(image)
+        if img.ndim == 2:
+            lo, hi = float(img.min()), float(img.max())
+            img = (img - lo) / (hi - lo) if hi > lo else img * 0.0
+            img = np.stack([img] * 3, axis=-1)
+        img8 = (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
+        if self._wandb:
+            self._wandb.log({name: self._wandb.Image(img8)}, step=step)
+        if out_dir:
+            import os
+
+            from PIL import Image
+
+            os.makedirs(out_dir, exist_ok=True)
+            path = os.path.join(out_dir, f"{name}_{step:06d}.png")
+            Image.fromarray(img8).save(path)
+            return path
+        return None
+
     def close(self) -> None:
         if self._f:
             self._f.close()
