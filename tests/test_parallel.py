@@ -104,3 +104,14 @@ def test_data_parallel_matches_single_device(scene, device_mesh):
     cam_s = replicate(cam, device_mesh)
     got = jax.jit(soft_silhouette_streaming)(meshes_s, cam_s)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_sharded_pallas_matches_streaming(scene, device_mesh):
+    """Face-sharded Pallas kernel inside shard_map == streaming oracle."""
+    meshes, cam, _ = scene
+    want = soft_silhouette_streaming(meshes, cam)
+    got = soft_silhouette_sharded(
+        shard_batch(meshes, device_mesh), cam, device_mesh,
+        impl="pallas", faces_per_tile=40,  # 80 faces / 2 shards
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)

@@ -49,6 +49,8 @@ def soft_silhouette_sharded(
     face_chunk: int = 1024,
     data_axis: str = DATA_AXIS,
     model_axis: str = MODEL_AXIS,
+    impl: str = "streaming",
+    faces_per_tile: int = 128,
 ) -> jax.Array:
     """Soft silhouette (B, H, W) with faces sharded over `model_axis` and the
     batch over `data_axis`. Exact (same sum as the dense streaming oracle);
@@ -56,6 +58,8 @@ def soft_silhouette_sharded(
 
     B must be divisible by the data-axis size; the face axis is zero-padded
     (padding faces carry valid=False and contribute softplus of +inf = 0).
+    impl='pallas' runs each shard's coverage sum through the fused TPU kernel
+    (rasterize/pallas_soft) — size faces_per_tile for the LOCAL face count.
     """
     msize = device_mesh.shape[model_axis]
     dsize = device_mesh.shape[data_axis]
@@ -70,10 +74,18 @@ def soft_silhouette_sharded(
     image_size = camera.image_size
 
     def local(fd_local):
-        S = soft_coverage_sum(
-            fd_local, image_size, sigma=sigma,
-            pixel_chunk=pixel_chunk, face_chunk=face_chunk,
-        )
+        if impl == "pallas":
+            from ..rasterize.pallas_soft import soft_silhouette_pallas_fd
+
+            S = soft_silhouette_pallas_fd(
+                fd_local, image_size, sigma=sigma,
+                faces_per_tile=faces_per_tile, return_sum=True,
+            )
+        else:
+            S = soft_coverage_sum(
+                fd_local, image_size, sigma=sigma,
+                pixel_chunk=pixel_chunk, face_chunk=face_chunk,
+            )
         return jax.lax.psum(S, model_axis)
 
     # check_vma=False: the coverage sum's scan carry is initialized with

@@ -215,6 +215,7 @@ def soft_silhouette_pallas_fd(
     sigma: float = 1e-4,
     tile: int = 16,
     faces_per_tile: int = 128,
+    return_sum: bool = False,
 ) -> jax.Array:
     """Tile-binned soft coverage (B, H, W) through the fused Pallas kernel.
 
@@ -253,8 +254,10 @@ def soft_silhouette_pallas_fd(
     H, W = image_size
     inv_s = 1.0 / (min(H, W) / 2.0)
     S = _tile_coverage(planes, tile, inv_s, sigma)[:N]  # (B*T, tp)
-    alpha = 1.0 - jnp.exp(-S.reshape(B, T, tile * tile))
-    return untile_image(alpha, image_size, tile, bins.n_tiles_hw)
+    per_tile = S.reshape(B, T, tile * tile)
+    if not return_sum:
+        per_tile = 1.0 - jnp.exp(-per_tile)
+    return untile_image(per_tile, image_size, tile, bins.n_tiles_hw)
 
 
 def soft_silhouette_pallas(
