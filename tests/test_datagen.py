@@ -134,3 +134,17 @@ def test_reformat_remaps_to_contiguous():
     out = reformat_coco_annotations(coco)
     assert sorted(c["id"] for c in out["categories"]) == [1, 2]
     assert out["annotations"][0]["category_id"] == 1
+
+
+def test_edge_maps_option(tmp_path):
+    cfg = DataGenConfig(
+        image_size=(48, 64), views_per_scene=1, objects_per_scene=(1, 1),
+        edge_maps=True,
+    )
+    gen = COCODataGenerator(ObjectLibrary.primitives(1), cfg)
+    scene, _ = gen.sample_scene(np.random.default_rng(0))
+    out = gen.render_scene(scene, np.random.default_rng(0))
+    edges = np.asarray(out["edges"])
+    assert edges.shape == (1, 48, 64)
+    assert np.isfinite(edges).all()
+    assert (edges > 0).sum() > 10  # object boundary produces edges
