@@ -205,3 +205,53 @@ def test_gmm_recovers_two_blobs(rng):
         np.linalg.norm(samples - mu[0], axis=-1), np.linalg.norm(samples - mu[1], axis=-1)
     )
     assert np.quantile(d, 0.9) < 1.2
+
+
+def test_chunked_chamfer_matches_dense():
+    from torch_renderer_tpu.ops.knn_chamfer import (
+        chamfer_distance,
+        chamfer_distance_chunked,
+        nn_points,
+        nn_points_chunked,
+    )
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 333, 3)).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal((2, 257, 3)).astype(np.float32))
+    xm = jnp.asarray((rng.uniform(size=(2, 333)) > 0.2).astype(np.float32))
+    ym = jnp.asarray((rng.uniform(size=(2, 257)) > 0.2).astype(np.float32))
+
+    d1, i1 = nn_points(x, y, xm, ym)
+    d2, i2 = nn_points_chunked(x, y, xm, ym, chunk=100)
+    # padding changes matmul accumulation order -> f32 noise; near-ties may
+    # flip argmin, so compare the distances implied by each index choice
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-5)
+    same = np.asarray(i1) == np.asarray(i2)
+    assert same.mean() > 0.99
+
+    c1, _ = chamfer_distance(x, y, xm, ym, batch_reduction=None)
+    c2, _ = chamfer_distance_chunked(x, y, xm, ym, batch_reduction=None, chunk=128)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), rtol=1e-4)
+
+
+def test_soft_silhouette_check_grads():
+    """Formal first-order gradient check on the soft rasterization path
+    (SURVEY.md §4: jax.test_util.check_grads on the soft rasterizer)."""
+    from jax.test_util import check_grads
+
+    from torch_renderer_tpu.cameras.perspective import PerspectiveCamera
+    from torch_renderer_tpu.ops.icosphere import icosphere
+    from torch_renderer_tpu.rasterize.soft import soft_silhouette_streaming
+    from torch_renderer_tpu.structures.meshes import Meshes
+
+    verts, faces = icosphere(0)
+    meshes = Meshes.from_single(verts, faces)
+    K = np.array([[16.0, 0, 8.0], [0, 16.0, 8.0], [0, 0, 1]], np.float32)
+    cam = PerspectiveCamera.from_K(K, (16, 16), t=np.array([0, 0, 3.0], np.float32))
+
+    def f(v):
+        # sigma large enough that eps-perturbations stay smooth
+        return jnp.sum(soft_silhouette_streaming(meshes.update_padded(v), cam,
+                                                 sigma=5e-3))
+
+    check_grads(f, (meshes.verts,), order=1, modes=["rev"], atol=2e-2, rtol=2e-2)

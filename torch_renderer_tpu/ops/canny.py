@@ -16,8 +16,6 @@ reference was (gradients flow through the retained magnitudes).
 from __future__ import annotations
 
 import dataclasses
-import math
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

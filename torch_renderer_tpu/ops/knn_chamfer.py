@@ -124,3 +124,57 @@ def chamfer_pointclouds(
     return chamfer_distance(
         a.points, b.points, a.mask(), b.mask(), batch_reduction=batch_reduction
     )
+
+
+def nn_points_chunked(
+    x: jax.Array, y: jax.Array,
+    x_mask: Optional[jax.Array] = None, y_mask: Optional[jax.Array] = None,
+    chunk: int = 4096,
+) -> Tuple[jax.Array, jax.Array]:
+    """nn_points with the (B, N, M) distance matrix never materialized:
+    scans x in chunks of `chunk` rows, carrying running (min d2, argmin).
+
+    For the reference's cloud sizes (<=2k) the dense path is faster; this is
+    the production path for scan-scale clouds (100k+ points) where O(N*M)
+    memory would not fit. Peak memory O(B * chunk * M).
+    """
+    B, N, _ = x.shape
+    n_chunks = -(-N // chunk)
+    pad = n_chunks * chunk - N
+    xp = jnp.pad(x, ((0, 0), (0, pad), (0, 0))).reshape(B, n_chunks, chunk, 3)
+
+    def body(_, xc):
+        d2 = square_distance_matrix(xc, y)  # (B, chunk, M)
+        d2 = _mask_cols(d2, y_mask)
+        return None, (jnp.min(d2, axis=-1), jnp.argmin(d2, axis=-1).astype(jnp.int32))
+
+    _, (dmin, idx) = jax.lax.scan(body, None, jnp.swapaxes(xp, 0, 1))
+    dmin = jnp.swapaxes(dmin, 0, 1).reshape(B, n_chunks * chunk)[:, :N]
+    idx = jnp.swapaxes(idx, 0, 1).reshape(B, n_chunks * chunk)[:, :N]
+    if x_mask is not None:
+        dmin = dmin * x_mask
+    return dmin, idx
+
+
+def chamfer_distance_chunked(
+    x: jax.Array, y: jax.Array,
+    x_mask: Optional[jax.Array] = None, y_mask: Optional[jax.Array] = None,
+    batch_reduction: Optional[str] = "mean",
+    chunk: int = 4096,
+):
+    """Memory-bounded symmetric chamfer for large clouds (same semantics as
+    chamfer_distance with point_reduction='mean')."""
+    dx, _ = nn_points_chunked(x, y, x_mask, y_mask, chunk)
+    nx = jnp.clip(
+        jnp.sum(x_mask, axis=-1) if x_mask is not None else x.shape[1], 1, None
+    )
+    dy, _ = nn_points_chunked(y, x, y_mask, x_mask, chunk)
+    ny = jnp.clip(
+        jnp.sum(y_mask, axis=-1) if y_mask is not None else y.shape[1], 1, None
+    )
+    cham = jnp.sum(dx, axis=-1) / nx + jnp.sum(dy, axis=-1) / ny
+    if batch_reduction == "mean":
+        return jnp.mean(cham), None
+    if batch_reduction == "sum":
+        return jnp.sum(cham), None
+    return cham, None

@@ -10,8 +10,6 @@ the sampled positions (the chamfer deformation loop depends on this).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -17,7 +17,6 @@ Two parallel axes (see parallel/mesh.py):
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

@@ -25,9 +25,9 @@ import jax.numpy as jnp
 from .cameras.perspective import PerspectiveCamera
 from .rasterize.fragments import Fragments
 from .rasterize.raster import RasterizationSettings, rasterize_meshes
-from .shading.blending import BlendParams, sigmoid_alpha, softmax_rgb_blend
+from .shading.blending import BlendParams, sigmoid_alpha
 from .shading.lights import Materials, PointLights
-from .shading.phong import hard_phong_shader, shade_phong, soft_phong_shader
+from .shading.phong import hard_phong_shader, soft_phong_shader
 from .structures.meshes import Meshes
 
 
