@@ -117,3 +117,21 @@ def test_iou_metric():
     assert float(iou(a, a)[0]) == pytest.approx(1.0, abs=1e-6)
     b = jnp.zeros((1, 8, 8)).at[:, 2:6].set(1.0)
     assert float(iou(a, b)[0]) == pytest.approx(1.0 / 3.0, abs=1e-5)
+
+
+def test_pallas_silhouette_fitter_converges(scene):
+    """silhouette_impl='pallas': exact all-faces silhouette + K=1 fragments."""
+    meshes, K, R_gt, t_gt = scene
+    fitter = DepthPoseFitter(
+        K, IMAGE, PoseFitConfig(lr=5e-3, use_rgb=False),
+        silhouette_impl="pallas", faces_per_tile=80,
+    )
+    refs = fitter.make_references(meshes, R_gt, t_gt)
+    t0 = t_gt + np.array([0.12, -0.08, 0.15], np.float32)
+    params, hist = fitter.fit(meshes, refs, pose_params_from_Rt(R_gt, t0),
+                              n_steps=40)
+    losses = np.asarray(hist["loss"])
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < 0.6 * losses[0]
+    _, t_fit = pose_params_to_Rt(params)
+    assert np.linalg.norm(np.asarray(t_fit)[0] - t_gt) < np.linalg.norm(t0 - t_gt)

@@ -77,3 +77,18 @@ def test_time_fn_and_stage_timer():
     with t.stage("a"):
         pass
     assert "a" in t.stages and "total" in t.report()
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    from torch_renderer_tpu.utils.checkpoint import (
+        load_checkpoint_orbax,
+        save_checkpoint_orbax,
+    )
+
+    tree = {"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.ones(3)}
+    path = str(tmp_path / "ck_orbax")
+    save_checkpoint_orbax(path, tree)
+    like = {"w": jnp.zeros((2, 3)), "b": jnp.zeros(3)}
+    back = load_checkpoint_orbax(path, like)
+    np.testing.assert_allclose(np.asarray(back["w"]), np.asarray(tree["w"]))

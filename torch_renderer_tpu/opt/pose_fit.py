@@ -117,11 +117,23 @@ class CameraPoseFitter:
         faces_per_pixel: int = 4,
         sigma: float = 1e-4,
         blur_radius: Optional[float] = None,
+        silhouette_impl: str = "fragments",
+        faces_per_tile: int = 128,
         **renderer_kw,
     ):
+        """silhouette_impl='pallas' renders the silhouette with the exact
+        fused kernel over ALL faces (rasterize/pallas_soft) and drops the
+        fragment count to K=1 hard hits for depth/RGB — faster and closer to
+        the true SoftRas coverage than the K-fragment approximation."""
         import math
 
-        if blur_radius is None:
+        self.silhouette_impl = silhouette_impl
+        self.sigma = sigma
+        self.faces_per_tile = faces_per_tile
+        if silhouette_impl == "pallas":
+            blur_radius = 0.0
+            faces_per_pixel = min(faces_per_pixel, 1)
+        elif blur_radius is None:
             blur_radius = math.log(1.0 / 1e-4 - 1.0) * sigma
         self.config = config
         self.renderer = MeshRenderer(
@@ -133,6 +145,20 @@ class CameraPoseFitter:
     # -- rendering ----------------------------------------------------------
     def render(self, meshes: Meshes, params: Dict[str, jax.Array]):
         R, t = pose_params_to_Rt(params)
+        if self.silhouette_impl == "pallas":
+            import dataclasses as _dc
+
+            from ..rasterize.pallas_soft import soft_silhouette_pallas
+
+            out = self.renderer.render(
+                meshes, R, t, with_silhouette=False, with_rgb=self.config.use_rgb
+            )
+            cam = self.renderer.camera_with_pose(R, t)
+            sil = soft_silhouette_pallas(
+                meshes, cam, sigma=self.sigma,
+                faces_per_tile=self.faces_per_tile,
+            )
+            return _dc.replace(out, silhouette=sil)
         return self.renderer.render(
             meshes, R, t, with_silhouette=True, with_rgb=self.config.use_rgb
         )
@@ -142,10 +168,11 @@ class CameraPoseFitter:
         occlusion_key: Optional[jax.Array] = None, patch_size: int = 50,
     ) -> Dict[str, jax.Array]:
         """Render ground-truth reference images (+ optional patch occlusion of
-        the depth, reference camera_pose_optimizer.py:187-188)."""
-        out = self.renderer.render(
-            jax.lax.stop_gradient(meshes), R_gt, t_gt,
-            with_silhouette=True, with_rgb=self.config.use_rgb,
+        the depth, reference camera_pose_optimizer.py:187-188). Uses the SAME
+        render path as the optimization (self.render) so the loss is exactly
+        zero at the true pose whichever silhouette_impl is active."""
+        out = self.render(
+            jax.lax.stop_gradient(meshes), pose_params_from_Rt(R_gt, t_gt)
         )
         depth = out.depth
         if occlusion_key is not None:

@@ -43,6 +43,21 @@ def load_checkpoint(path: str, like: Any) -> Tuple[Any, Optional[int]]:
     return jax.tree_util.tree_unflatten(treedef, leaves), step
 
 
+def save_checkpoint_orbax(path: str, tree: Any) -> None:
+    """Orbax-backed checkpoint (directory layout; async-capable, multi-host
+    friendly). Use for large states; the .npz path is the zero-dependency
+    default."""
+    import orbax.checkpoint as ocp
+
+    ocp.StandardCheckpointer().save(os.path.abspath(path), tree)
+
+
+def load_checkpoint_orbax(path: str, like: Any) -> Any:
+    import orbax.checkpoint as ocp
+
+    return ocp.StandardCheckpointer().restore(os.path.abspath(path), like)
+
+
 def export_mesh_snapshot(path: str, meshes, index: int = 0, verts_rgb=None) -> None:
     """OBJ snapshot of one mesh from a padded batch (the reference's
     periodic save_obj checkpoints)."""
