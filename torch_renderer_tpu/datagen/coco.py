@@ -57,6 +57,9 @@ class DataGenConfig:
     min_visibility: float = 0.002      # drop annotations below this coverage
     edge_maps: bool = False
     focal_scale: float = 0.9
+    view_chunk: int = 8                # views rendered per device call
+    bin_size: int = 16                 # coarse-to-fine rasterizer tile
+    max_faces_per_bin: int = 256
 
 
 class ObjectLibrary:
@@ -98,7 +101,32 @@ class COCODataGenerator:
         self.K = np.array(
             [[f, 0, W / 2.0], [0, f, H / 2.0], [0, 0, 1.0]], np.float32
         )
-        self.renderer = MeshRenderer(self.K, (H, W), faces_per_pixel=1)
+        self.renderer = MeshRenderer(
+            self.K, (H, W), faces_per_pixel=1,
+            bin_size=config.bin_size, max_faces_per_bin=config.max_faces_per_bin,
+        )
+        # static scene padding budget: every sampled scene shares one
+        # compiled shape (max objects x largest library entry)
+        n_max = config.objects_per_scene[1]
+        self._pad_verts = n_max * max(e["verts"].shape[0] for e in library.entries)
+        self._pad_faces = n_max * max(
+            np.asarray(e["faces"]).shape[0] for e in library.entries
+        )
+        self._render_chunk = jax.jit(self._render_views)
+
+    def _render_views(self, batched, Rs, ts, lights, face_to_object):
+        from ..shading.phong import hard_phong_shader
+
+        frags, cam = self.renderer.rasterize(batched, Rs, ts)
+        rgba = hard_phong_shader(
+            batched, frags, cam, lights, self.renderer.materials,
+            self.renderer.blend,
+        )
+        return (
+            rgba[..., :3], frags.depth(),
+            render_normals(batched, frags, cam, space="camera"),
+            instance_segmentation(frags, face_to_object),
+        )
 
     # -- scene sampling ------------------------------------------------------
     def _object_colors(self, rng: np.random.Generator, verts: np.ndarray) -> np.ndarray:
@@ -142,7 +170,10 @@ class COCODataGenerator:
                 "name": entry["name"],
                 "R": R.tolist(), "t": t.tolist(),
             })
-        scene = merge_meshes(verts_list, faces_list, colors_list, cats)
+        scene = merge_meshes(
+            verts_list, faces_list, colors_list, cats,
+            pad_verts_to=self._pad_verts, pad_faces_to=self._pad_faces,
+        )
         return scene, poses
 
     # -- rendering -----------------------------------------------------------
@@ -174,22 +205,28 @@ class COCODataGenerator:
         )
         self.renderer.lights = lights
 
-        batched = scene.meshes.extend(n)
-        frags, cam = self.renderer.rasterize(batched, Rs, ts)
-        from ..shading.phong import hard_phong_shader
-
-        rgba = hard_phong_shader(
-            batched, frags, cam, lights, self.renderer.materials,
-            self.renderer.blend,
-        )
-        depth = frags.depth()
-        normals = render_normals(batched, frags, cam, space="camera")
-        seg = instance_segmentation(frags, scene.face_to_object)
+        # Render views in fixed-size chunks through ONE jitted function:
+        # bounds device memory at large image sizes and compiles exactly once
+        # across chunks AND scenes (static padded scene shapes).
+        vc = min(self.config.view_chunk, n)
+        batched = scene.meshes.extend(vc)
+        rgbs, depths, normals_l, segs = [], [], [], []
+        for v0 in range(0, n, vc):
+            idx = [min(v0 + i, n - 1) for i in range(vc)]  # repeat-pad tail
+            rgb_c, depth_c, nrm_c, seg_c = self._render_chunk(
+                batched, Rs[idx, :], ts[idx, :], lights, scene.face_to_object
+            )
+            keep = min(vc, n - v0)
+            rgbs.append(np.asarray(rgb_c)[:keep])
+            depths.append(np.asarray(depth_c)[:keep])
+            normals_l.append(np.asarray(nrm_c)[:keep])
+            segs.append(np.asarray(seg_c)[:keep])
 
         out = {
-            "rgb": rgba[..., :3], "depth": depth, "normals": normals,
-            "segmentation": seg, "R": np.asarray(Rs), "t": np.asarray(ts),
-            "K": self.K,
+            "rgb": np.concatenate(rgbs), "depth": np.concatenate(depths),
+            "normals": np.concatenate(normals_l),
+            "segmentation": np.concatenate(segs),
+            "R": np.asarray(Rs), "t": np.asarray(ts), "K": self.K,
         }
         if cfg.edge_maps:
             from ..ops.canny import canny_edges

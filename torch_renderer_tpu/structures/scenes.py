@@ -38,10 +38,14 @@ def merge_meshes(
     faces_list: Sequence[np.ndarray],
     colors_list: Optional[Sequence[np.ndarray]] = None,
     categories: Optional[Sequence[int]] = None,
+    pad_verts_to: Optional[int] = None,
+    pad_faces_to: Optional[int] = None,
 ) -> SceneMeshes:
     """Concatenate per-object (Vi, 3)/(Fi, 3) into one mesh with offset faces.
 
     colors_list: optional per-object per-vertex RGB -> TexturesVertex.
+    pad_verts_to/pad_faces_to: static padding budget so every sampled scene
+    shares ONE compiled shape (padding faces get object id -1).
     """
     verts_np = [np.asarray(v, np.float32) for v in verts_list]
     faces_np = [np.asarray(f, np.int64) for f in faces_list]
@@ -53,15 +57,27 @@ def merge_meshes(
     face_obj = np.concatenate(
         [np.full(f.shape[0], i, np.int32) for i, f in enumerate(faces_np)]
     )
+    if pad_faces_to is not None and pad_faces_to > face_obj.shape[0]:
+        face_obj = np.concatenate(
+            [face_obj, np.full(pad_faces_to - face_obj.shape[0], -1, np.int32)]
+        )
 
     textures = None
     if colors_list is not None:
         all_colors = np.concatenate(
             [np.asarray(c, np.float32) for c in colors_list], axis=0
         )
+        if pad_verts_to is not None and pad_verts_to > all_colors.shape[0]:
+            all_colors = np.concatenate([
+                all_colors,
+                np.zeros((pad_verts_to - all_colors.shape[0], 3), np.float32),
+            ])
         textures = TexturesVertex(jnp.asarray(all_colors)[None])
 
-    meshes = Meshes.from_single(all_verts, all_faces, textures=textures)
+    meshes = Meshes.from_lists(
+        [all_verts], [all_faces], textures=textures,
+        pad_verts_to=pad_verts_to, pad_faces_to=pad_faces_to,
+    )
     cats = np.asarray(
         categories if categories is not None else np.zeros(len(verts_np)),
         np.int32,
