@@ -49,7 +49,11 @@ def save_checkpoint_orbax(path: str, tree: Any) -> None:
     default."""
     import orbax.checkpoint as ocp
 
-    ocp.StandardCheckpointer().save(os.path.abspath(path), tree)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), tree)
+    # StandardCheckpointer saves asynchronously; block until the files are
+    # committed so an immediate restore (or process exit) is safe.
+    ckptr.wait_until_finished()
 
 
 def load_checkpoint_orbax(path: str, like: Any) -> Any:
