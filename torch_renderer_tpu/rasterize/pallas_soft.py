@@ -87,25 +87,41 @@ def _pixel_coords(tile: int, inv_s: float, ox, oy):
     return px, py
 
 
-def _row_inputs(planes_ref, i, tile, inv_s):
-    q = tuple(planes_ref[i, c, :][None, :] for c in range(6))
-    valid = planes_ref[i, 6, :][None, :]
+# Face axis is processed in chunks of _FC lanes: bounds the VMEM working set
+# (a (tile^2, _FC) slab per intermediate) independently of faces_per_tile.
+_FC = 128
+
+
+def _row_inputs(planes_ref, i, f0, tile, inv_s):
+    sl = pl.ds(f0, _FC)
+    q = tuple(planes_ref[i, c, sl][None, :] for c in range(6))
+    valid = planes_ref[i, 6, sl][None, :]
     ox = planes_ref[i, 7, 0]
     oy = planes_ref[i, 7, 1]
     px, py = _pixel_coords(tile, inv_s, ox, oy)
     return q, valid, px, py
 
 
-def _fwd_kernel(tile, inv_s, inv_sigma, planes_ref, out_ref):
+def _fwd_kernel(tile, inv_s, inv_sigma, n_fc, planes_ref, out_ref):
     for i in range(_TN):
-        q, valid, px, py = _row_inputs(planes_ref, i, tile, inv_s)
-        signed, _, _, _ = _signed_d2(px, py, q, valid)
-        out_ref[i, :] = jnp.sum(jax.nn.softplus(-signed * inv_sigma), axis=-1)
+        S = None
+        for c in range(n_fc):
+            q, valid, px, py = _row_inputs(planes_ref, i, c * _FC, tile, inv_s)
+            signed, _, _, _ = _signed_d2(px, py, q, valid)
+            part = jnp.sum(jax.nn.softplus(-signed * inv_sigma), axis=-1)
+            S = part if S is None else S + part
+        out_ref[i, :] = S
 
 
-def _bwd_kernel(tile, inv_s, inv_sigma, planes_ref, g_ref, dq_ref):
+def _bwd_kernel(tile, inv_s, inv_sigma, n_fc, planes_ref, g_ref, dq_ref):
     for i in range(_TN):
-        q, valid, px, py = _row_inputs(planes_ref, i, tile, inv_s)
+        for c in range(n_fc):
+            _bwd_row_chunk(tile, inv_s, inv_sigma, planes_ref, g_ref, dq_ref,
+                           i, c * _FC)
+
+
+def _bwd_row_chunk(tile, inv_s, inv_sigma, planes_ref, g_ref, dq_ref, i, f0):
+        q, valid, px, py = _row_inputs(planes_ref, i, f0, tile, inv_s)
         signed, d2, inside, edges = _signed_d2(px, py, q, valid)
 
         g = g_ref[i, :][:, None]  # (TP, 1)
@@ -139,14 +155,15 @@ def _bwd_kernel(tile, inv_s, inv_sigma, planes_ref, g_ref, dq_ref):
         a1x, a1y, b1x, b1y = edge_grads(edges[1], m1)  # edge (q1, q2)
         a2x, a2y, b2x, b2y = edge_grads(edges[2], m2)  # edge (q2, q0)
 
-        dq_ref[i, 0, :] = a0x + b2x  # q0
-        dq_ref[i, 1, :] = a0y + b2y
-        dq_ref[i, 2, :] = b0x + a1x  # q1
-        dq_ref[i, 3, :] = b0y + a1y
-        dq_ref[i, 4, :] = b1x + a2x  # q2
-        dq_ref[i, 5, :] = b1y + a2y
-        dq_ref[i, 6, :] = jnp.zeros_like(a0x)
-        dq_ref[i, 7, :] = jnp.zeros_like(a0x)
+        sl = pl.ds(f0, _FC)
+        dq_ref[i, 0, sl] = a0x + b2x  # q0
+        dq_ref[i, 1, sl] = a0y + b2y
+        dq_ref[i, 2, sl] = b0x + a1x  # q1
+        dq_ref[i, 3, sl] = b0y + a1y
+        dq_ref[i, 4, sl] = b1x + a2x  # q2
+        dq_ref[i, 5, sl] = b1y + a2y
+        dq_ref[i, 6, sl] = jnp.zeros_like(a0x)
+        dq_ref[i, 7, sl] = jnp.zeros_like(a0x)
 
 
 def _interpret() -> bool:
@@ -163,7 +180,7 @@ def _tile_coverage_fwd(planes, tile, inv_s, sigma):
     N, _, F = planes.shape
     tp = tile * tile
     S = pl.pallas_call(
-        functools.partial(_fwd_kernel, tile, inv_s, 1.0 / sigma),
+        functools.partial(_fwd_kernel, tile, inv_s, 1.0 / sigma, F // _FC),
         grid=(N // _TN,),
         in_specs=[
             pl.BlockSpec((_TN, 8, F), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -180,7 +197,7 @@ def _tile_coverage_bwd(tile, inv_s, sigma, res, g):
     N, _, F = planes.shape
     tp = tile * tile
     dplanes = pl.pallas_call(
-        functools.partial(_bwd_kernel, tile, inv_s, 1.0 / sigma),
+        functools.partial(_bwd_kernel, tile, inv_s, 1.0 / sigma, F // _FC),
         grid=(N // _TN,),
         in_specs=[
             pl.BlockSpec((_TN, 8, F), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -245,6 +262,11 @@ def soft_silhouette_pallas_fd(
         ],
         axis=2,
     ).reshape(B * T, 8, Fmax)
+    # pad the face/lane axis to the kernel's chunk size (padding faces carry
+    # valid=0; jnp.pad's VJP slices the gradient back)
+    f_pad = (-Fmax) % _FC
+    if f_pad:
+        planes = jnp.pad(planes, ((0, 0), (0, 0), (0, f_pad)))
 
     N = B * T
     n_pad = (-N) % _TN
