@@ -104,6 +104,9 @@ class COCODataGenerator:
         self.renderer = MeshRenderer(
             self.K, (H, W), faces_per_pixel=1,
             bin_size=config.bin_size, max_faces_per_bin=config.max_faces_per_bin,
+            # large selection chunks: the binned select otherwise degrades
+            # into hundreds of tiny sequential lax.map steps at 480x640
+            pixel_chunk=131072,
         )
         # static scene padding budget: every sampled scene shares one
         # compiled shape (max objects x largest library entry)

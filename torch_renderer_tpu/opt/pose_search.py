@@ -162,6 +162,21 @@ class GMMPoseSearch:
             target_mask = jnp.ones(target_points.shape[0], jnp.float32)
         return self._search_jit(key, target_points, target_mask)
 
+    def search_batch(
+        self, key: jax.Array, target_points: jax.Array,
+        target_mask: Optional[jax.Array] = None,
+    ) -> Dict[str, jax.Array]:
+        """Vmapped search over a batch of targets (B, M, 3) — B independent
+        global pose searches in ONE compiled program (the serving-scale
+        version of the reference's one-object loop). Returned leaves gain a
+        leading batch dim."""
+        target_points = jnp.asarray(target_points, jnp.float32)
+        B = target_points.shape[0]
+        if target_mask is None:
+            target_mask = jnp.ones(target_points.shape[:2], jnp.float32)
+        keys = jax.random.split(key, B)
+        return jax.jit(jax.vmap(self._search))(keys, target_points, target_mask)
+
 
 # ---------------------------------------------------------------------------
 # Chamfer loss-landscape evaluation (chamfer_loss_evaluation.py parity)
