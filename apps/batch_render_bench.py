@@ -22,6 +22,13 @@ def main():
     p.add_argument("--height", type=int, default=720)
     p.add_argument("--width", type=int, default=1280)
     p.add_argument("--reps", type=int, default=10)
+    p.add_argument("--view-chunk", type=int, default=12,
+                   help="views per device call (bounds the per-pixel buffers "
+                        "at large image sizes)")
+    p.add_argument("--bin-size", type=int, default=32)
+    p.add_argument("--max-faces-per-bin", type=int, default=0,
+                   help="0 = auto-size from the scene's measured max tile "
+                        "occupancy (pallas_soft.suggest_faces_per_tile)")
     args = p.parse_args()
     setup_platform(args)
 
@@ -41,8 +48,26 @@ def main():
     azims = jnp.linspace(0.0, 360.0, N, endpoint=False)
     Rs, ts = look_at_view_transform(2.7, 15.0, azims)
 
-    renderer = DepthRender(K, (H, W))
-    batched = meshes.extend(N)
+    mfb = args.max_faces_per_bin
+    if mfb == 0:
+        from torch_renderer_tpu.cameras.perspective import PerspectiveCamera
+        from torch_renderer_tpu.rasterize.binning import count_overflow
+        from torch_renderer_tpu.rasterize.geometry import setup_faces
+
+        vc0 = min(args.view_chunk, N)
+        cam0 = PerspectiveCamera.from_K(K, (H, W), R=Rs[:vc0], t=ts[:vc0])
+        max_count, _ = count_overflow(
+            setup_faces(meshes.extend(vc0), cam0), (H, W), args.bin_size, 0, 0.0
+        )
+        mfb = max(8, int(float(max_count) * 1.3))
+        print(f"auto max_faces_per_bin = {mfb} (measured max {int(max_count)})")
+
+    renderer = DepthRender(
+        K, (H, W), pixel_chunk=1048576,
+        bin_size=args.bin_size, max_faces_per_bin=mfb,
+    )
+    vc = min(args.view_chunk, N)
+    batched = meshes.extend(vc)
 
     timer = StageTimer()
     with timer.stage("h2d+setup"):
@@ -51,8 +76,17 @@ def main():
         jax.block_until_ready((Rs, ts))
 
     render = jax.jit(lambda m, R, t: renderer.render(m, R, t))
-    res = time_fn(render, batched, Rs, ts, reps=args.reps,
-                  name=f"batched depth render {N}x{H}x{W}")
+
+    def render_all():
+        outs = []
+        for v0 in range(0, N, vc):
+            idx = [min(v0 + i, N - 1) for i in range(vc)]
+            outs.append(render(batched, Rs[idx, :], ts[idx, :]))
+        jax.block_until_ready(outs)
+        return outs
+
+    res = time_fn(render_all, reps=args.reps,
+                  name=f"batched depth render {N}x{H}x{W} (chunks of {vc})")
     print(res)
     fps = N / res.mean_s
     print(f"throughput: {fps:.1f} depth images/sec (batched)")
@@ -65,7 +99,7 @@ def main():
     print(f"serial-equivalent: {1.0 / r1.mean_s:.1f} images/sec "
           f"-> batching speedup {fps * r1.mean_s:.1f}x")
 
-    depth = np.asarray(render(batched, Rs, ts))
+    depth = np.asarray(render(batched, Rs[:vc, :], ts[:vc, :]))
     print("depth stats: shape", depth.shape, "coverage",
           float((depth > 0).mean()), "max", float(depth.max()))
 

@@ -115,6 +115,70 @@ def gather_bins(fd: FaceRasterData, bins: TileBins):
     return g(fd.q), g(fd.abc), g(fd.area2), g(fd.z), g(fd.invz)
 
 
+def gather_bin_planes(fd: FaceRasterData, bins: TileBins,
+                      onehot_max_faces: int = 8192):
+    """Per-tile face data as scalar channel planes, each (B, T, Fmax).
+
+    TPU layout notes:
+      * gathering arrays with tiny trailing dims (the (3, 2) corners /
+        (3, 3) edge coefficients) makes XLA tile-pad them up to ~40x their
+        logical size at big tile counts — hence scalar channels;
+      * TPU dynamic gathers run nearly scalar (~90 ns/element), so for
+        modest face counts the 12-channel gather is ONE one-hot matmul on
+        the MXU instead (chunked over tiles); arbitrary-index gather remains
+        the fallback for huge meshes where the one-hot would be wider than
+        onehot_max_faces lanes.
+    Returns dict with qx0..qy2, z0..2, invz0..2.
+    """
+    B, T, Fmax = bins.face_idx.shape
+    F = fd.num_faces
+
+    planes = jnp.stack(
+        [fd.q[:, :, k, 0] for k in range(3)]
+        + [fd.q[:, :, k, 1] for k in range(3)]
+        + [fd.z[:, :, k] for k in range(3)]
+        + [fd.invz[:, :, k] for k in range(3)],
+        axis=-1,
+    )  # (B, F, 12) — order: qx0..2, qy0..2, z0..2, invz0..2
+
+    if F <= onehot_max_faces:
+        # chunk tiles so the one-hot stays a bounded VMEM/HBM guest
+        t_chunk = max(1, min(T, 1 + 2_000_000 // (Fmax * F)))
+        n_chunks = -(-T // t_chunk)
+        padt = n_chunks * t_chunk - T
+        idx = jnp.pad(bins.face_idx, ((0, 0), (0, padt), (0, 0)))
+        idx = idx.reshape(B, n_chunks, t_chunk, Fmax)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (1, t_chunk, Fmax, F), 3)
+
+        def chunk_gather(idx_c):  # (B, t_chunk, Fmax) -> (B, t_chunk, Fmax, 12)
+            onehot = (idx_c[..., None] == iota).astype(planes.dtype)
+            return jnp.einsum(
+                "btkf,bfc->btkc", onehot, planes,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        gathered = jax.lax.map(
+            chunk_gather, jnp.swapaxes(idx, 0, 1)
+        )  # (n_chunks, B, t_chunk, Fmax, 12)
+        gathered = jnp.swapaxes(gathered, 0, 1).reshape(
+            B, n_chunks * t_chunk, Fmax, 12
+        )[:, :T]
+    else:
+        flat_idx = bins.face_idx.reshape(B, T * Fmax)
+        out = {}
+        for c, name in enumerate(_PLANE_ORDER):
+            out[name] = jnp.take_along_axis(
+                planes[:, :, c], flat_idx, axis=1
+            ).reshape(B, T, Fmax)
+        return out
+
+    return {name: gathered[..., c] for c, name in enumerate(_PLANE_ORDER)}
+
+
+_PLANE_ORDER = ("qx0", "qx1", "qx2", "qy0", "qy1", "qy2",
+                "z0", "z1", "z2", "invz0", "invz1", "invz2")
+
+
 def tile_pixel_coords(image_size, tile: int):
     """Local pixel offsets within a tile, raster units: (tile*tile, 2)."""
     H, W = image_size

@@ -117,6 +117,48 @@ def _select_chunk(pix: jax.Array, fd_b, K: int, blur: float, znear: float):
     return out
 
 
+def _fragment_math(px, py, qx, qy, zf, invzf, clip_bary: bool):
+    """Shared differentiable fragment math on scalar channels of any shape S.
+
+    px, py: (S,) pixel coords; qx, qy, zf, invzf: 3-lists of (S,) gathered
+    corner channels. Returns (zbuf (S,), pc 3-list (S,), dists (S,)).
+    """
+    def cross_e(ax, ay, bx, by):
+        return (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+
+    e0 = cross_e(qx[1], qy[1], qx[2], qy[2])
+    e1 = cross_e(qx[2], qy[2], qx[0], qy[0])
+    e2 = cross_e(qx[0], qy[0], qx[1], qy[1])
+    area2 = (qx[1] - qx[0]) * (qy[2] - qy[0]) - (qy[1] - qy[0]) * (qx[2] - qx[0])
+    inv_area = 1.0 / jnp.where(jnp.abs(area2) > 1e-12, area2, 1.0)
+    bary = [e0 * inv_area, e1 * inv_area, e2 * inv_area]
+    inside = (bary[0] >= 0.0) & (bary[1] >= 0.0) & (bary[2] >= 0.0)
+
+    npc = [bary[k] * invzf[k] for k in range(3)]
+    denom = jnp.clip(npc[0] + npc[1] + npc[2], 1e-12, None)
+    pc = [npc[k] / denom for k in range(3)]
+    if clip_bary:
+        rp = [jax.nn.relu(pc[k]) for k in range(3)]
+        rden = jnp.clip(rp[0] + rp[1] + rp[2], 1e-12, None)
+        pc = [rp[k] / rden for k in range(3)]
+    zbuf = pc[0] * zf[0] + pc[1] * zf[1] + pc[2] * zf[2]
+
+    d2 = None
+    for a_i, b_i in ((0, 1), (1, 2), (2, 0)):
+        gx = qx[b_i] - qx[a_i]
+        gy = qy[b_i] - qy[a_i]
+        len2 = jnp.clip(gx * gx + gy * gy, 1e-12, None)
+        wx = px - qx[a_i]
+        wy = py - qy[a_i]
+        wg = wx * gx + wy * gy
+        t = jnp.clip(wg / len2, 0.0, 1.0)
+        dd = wx * wx + wy * wy - 2.0 * t * wg + t * t * len2
+        d2 = dd if d2 is None else jnp.minimum(d2, dd)
+    d2 = jnp.maximum(d2, 0.0)
+    dists = jnp.where(inside, -d2, d2)
+    return zbuf, pc, dists
+
+
 def _interpolate(
     pix_all: jax.Array, fd: FaceRasterData, pix_to_face: jax.Array,
     clip_bary: bool,
@@ -125,68 +167,136 @@ def _interpolate(
 
     pix_all: (HW, 2); pix_to_face: (B, HW, K). Returns flat Fragments with
     image dims (B, HW, K, ...) — caller reshapes to (B, H, W, K, ...).
+
+    TPU layout note: everything is computed on flattened (B, HW*K) scalar
+    channels gathered from per-face (B, F) planes. Gathering arrays with tiny
+    trailing dims — e.g. the per-face (3, 3) edge coefficients — makes XLA's
+    (sublane, 128-lane) tiling pad them up to 40x their logical size at
+    1280x720-scale pixel counts; edge functions are instead recomputed from
+    the six corner-coordinate channels.
     """
-    safe = jnp.maximum(pix_to_face, 0)
+    B, HW, K = pix_to_face.shape
+    flat_idx = jnp.maximum(pix_to_face, 0).reshape(B, HW * K)
 
-    def gather_b(arr_b, idx_b):
-        return arr_b[idx_b]
+    def g(plane):  # (B, F) -> (B, HW*K)
+        return jnp.take_along_axis(plane, flat_idx, axis=1)
 
-    g = lambda arr: jax.vmap(gather_b)(arr, safe)
-    qf = g(fd.q)          # (B, HW, K, 3, 2)
-    zf = g(fd.z)          # (B, HW, K, 3)
-    invzf = g(fd.invz)    # (B, HW, K, 3)
-    area2f = g(fd.area2)  # (B, HW, K)
-    abcf = g(fd.abc)      # (B, HW, K, 3, 3)
+    qx = [g(fd.q[:, :, k, 0]) for k in range(3)]
+    qy = [g(fd.q[:, :, k, 1]) for k in range(3)]
+    zf = [g(fd.z[:, :, k]) for k in range(3)]
+    invzf = [g(fd.invz[:, :, k]) for k in range(3)]
 
-    HW = pix_all.shape[0]
-    pix_h = jnp.concatenate([pix_all, jnp.ones((HW, 1), pix_all.dtype)], axis=-1)
-    e = jnp.einsum("bpkec,pc->bpke", abcf, pix_h,
-                   precision=jax.lax.Precision.HIGHEST)  # (B, HW, K, 3)
-    bary = e / jnp.where(jnp.abs(area2f) > 1e-12, area2f, 1.0)[..., None]
-    inside = jnp.all(bary >= 0.0, axis=-1)
+    # pixel coords per (pixel, slot): broadcast along K then flatten
+    px = jnp.broadcast_to(pix_all[None, :, None, 0], (B, HW, K)).reshape(B, HW * K)
+    py = jnp.broadcast_to(pix_all[None, :, None, 1], (B, HW, K)).reshape(B, HW * K)
 
-    # Perspective-correct barycentrics.
-    npc = bary * invzf
-    pc = npc / jnp.clip(jnp.sum(npc, axis=-1, keepdims=True), 1e-12, None)
-    if clip_bary:
-        rp = jax.nn.relu(pc)
-        pc = rp / jnp.clip(jnp.sum(rp, axis=-1, keepdims=True), 1e-12, None)
-    zbuf = jnp.sum(pc * zf, axis=-1)
-
-    d2 = point_to_edges_dist2(pix_all[None, :, None, :], qf)  # (B, HW, K)
-    dists = jnp.where(inside, -d2, d2)
+    zbuf, pc, dists = _fragment_math(px, py, qx, qy, zf, invzf, clip_bary)
 
     live = pix_to_face >= 0
+    reshape = lambda a: a.reshape(B, HW, K)
     return Fragments(
         pix_to_face=pix_to_face,
-        zbuf=jnp.where(live, zbuf, -1.0),
-        bary=jnp.where(live[..., None], pc, 0.0),
-        dists=jnp.where(live, dists, EMPTY_DIST),
+        zbuf=jnp.where(live, reshape(zbuf), -1.0),
+        bary=jnp.where(
+            live[..., None],
+            jnp.stack([reshape(b) for b in pc], axis=-1), 0.0,
+        ),
+        dists=jnp.where(live, reshape(dists), EMPTY_DIST),
     )
 
 
-def _select_binned(fd_sel: FaceRasterData, settings: RasterizationSettings):
-    """Coarse-to-fine selection: per-tile candidate lists, then per-pixel
-    top-K within each tile. Returns (B, HW, K) global face ids (-1 empty)."""
+def _select_tile_channels(px, py, ch, valid, K, blur, znear):
+    """Top-K selection for one chunk of tiles from scalar channel planes.
+
+    px, py: (c, tp, 1); ch: dict of (c, 1, Fmax) channel rows; valid
+    (c, 1, Fmax). Broadcasts to (c, tp, Fmax) — all big-minor-dim arrays.
+    Returns (c, tp, K) bin-local indices (-1 empty), nearest first.
+    """
+    qx = [ch[f"qx{k}"] for k in range(3)]
+    qy = [ch[f"qy{k}"] for k in range(3)]
+    invz = [ch[f"invz{k}"] for k in range(3)]
+
+    def cross_e(ax, ay, bx, by):
+        return (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+
+    # edge k opposite corner k (matches geometry.setup_faces' abc convention)
+    e0 = cross_e(qx[1], qy[1], qx[2], qy[2])
+    e1 = cross_e(qx[2], qy[2], qx[0], qy[0])
+    e2 = cross_e(qx[0], qy[0], qx[1], qy[1])
+    area2 = (qx[1] - qx[0]) * (qy[2] - qy[0]) - (qy[1] - qy[0]) * (qx[2] - qx[0])
+    inv_area = 1.0 / jnp.where(jnp.abs(area2) > 1e-12, area2, 1.0)
+    b0, b1, b2 = e0 * inv_area, e1 * inv_area, e2 * inv_area
+    inside = (b0 >= 0.0) & (b1 >= 0.0) & (b2 >= 0.0)
+
+    rb0, rb1, rb2 = jax.nn.relu(b0), jax.nn.relu(b1), jax.nn.relu(b2)
+    denom = jnp.clip(rb0 * invz[0] + rb1 * invz[1] + rb2 * invz[2], 1e-12, None)
+    zfrag = (rb0 + rb1 + rb2) / denom
+
+    if blur > 0.0:
+        d2 = None
+        for a_i, b_i in ((0, 1), (1, 2), (2, 0)):
+            gx = qx[b_i] - qx[a_i]
+            gy = qy[b_i] - qy[a_i]
+            len2 = jnp.clip(gx * gx + gy * gy, 1e-12, None)
+            wx = px - qx[a_i]
+            wy = py - qy[a_i]
+            wg = wx * gx + wy * gy
+            t = jnp.clip(wg / len2, 0.0, 1.0)
+            dd = wx * wx + wy * wy - 2.0 * t * wg + t * t * len2
+            d2 = dd if d2 is None else jnp.minimum(d2, dd)
+        cover = inside | (jnp.maximum(d2, 0.0) < blur)
+    else:
+        cover = inside
+    cover = cover & (valid > 0) & (zfrag > znear)
+
+    priority = jnp.where(cover, zfrag, INF)
+    k_eff = min(K, priority.shape[-1])
+    if k_eff == 1:
+        zmin = jnp.min(priority, axis=-1)
+        idx = jnp.argmin(priority, axis=-1).astype(jnp.int32)
+        out = jnp.where(zmin < INF, idx, -1)[..., None]
+    else:
+        negz, idx = jax.lax.top_k(-priority, k_eff)
+        out = jnp.where(negz > -INF, idx.astype(jnp.int32), -1)
+    if k_eff < K:
+        out = jnp.pad(
+            out, ((0, 0), (0, 0), (0, K - k_eff)), constant_values=-1
+        )
+    return out
+
+
+def _rasterize_binned(fd: FaceRasterData, settings: RasterizationSettings) -> Fragments:
+    """Fused coarse-to-fine rasterization: selection AND interpolation happen
+    per pixel tile, so the interpolation 'gather' is a masked reduction over
+    the tile's <=Fmax candidate lanes instead of an arbitrary-index gather
+    over all faces (which TPUs execute nearly scalar — 10x slower at 720p).
+    Returns image-shaped Fragments (B, H, W, K, ...)."""
     import math
 
-    from .binning import bin_faces, gather_bins, tile_pixel_coords, untile_image
+    from .binning import (
+        bin_faces,
+        gather_bin_planes,
+        tile_pixel_coords,
+        untile_image,
+    )
 
     H, W = settings.image_size
     K = settings.faces_per_pixel
     tile = settings.bin_size
-    pad_radius = math.sqrt(settings.blur_radius) if settings.blur_radius > 0 else 0.0
+    blur = settings.blur_radius
+    pad_radius = math.sqrt(blur) if blur > 0 else 0.0
+    fd_sel = jax.lax.stop_gradient(fd)
     bins = bin_faces(fd_sel, (H, W), tile, settings.max_faces_per_bin, pad_radius)
-    q_t, abc_t, a2_t, _, invz_t = gather_bins(fd_sel, bins)
-    valid_t = bins.face_mask  # (B, T, Fmax)
+    ch = gather_bin_planes(fd, bins)  # DIFFERENTIABLE channel planes (B,T,Fmax)
+    valid_t = bins.face_mask.astype(jnp.float32)
     B, T, Fmax = valid_t.shape
     tp = tile * tile
 
     local = tile_pixel_coords((H, W), tile)  # (tp, 2)
-    flat = lambda a: a.reshape((B * T,) + a.shape[2:])
-    qf, abcf, a2f, invzf, vf = (
-        flat(q_t), flat(abc_t), flat(a2_t), flat(invz_t), flat(valid_t)
-    )
+    flat = lambda a: a.reshape(B * T, Fmax)
+    ch = {k: flat(v) for k, v in ch.items()}
+    vf = flat(valid_t)
+    fidx = bins.face_idx.reshape(B * T, Fmax)
     of = jnp.broadcast_to(bins.tile_origin[None], (B, T, 2)).reshape(B * T, 2)
 
     N = B * T
@@ -197,59 +307,90 @@ def _select_binned(fd_sel: FaceRasterData, settings: RasterizationSettings):
         a, [(0, padn)] + [(0, 0)] * (a.ndim - 1)
     ).reshape((n_chunks, tiles_per_chunk) + a.shape[1:])
 
+    iota_f = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Fmax), 2)
+
     def per_chunk(args):
-        q, invz, a2, abc, v, o = args
-        pix = local[None] + o[:, None, :]  # (c, tp, 2)
-        return jax.vmap(
-            lambda p, q_, i_, a_, ab_, v_: _select_chunk(
-                p, (q_, i_, a_, ab_, v_), K, settings.blur_radius, settings.znear
+        chc, v, fi, o = args
+        px = (local[None, :, 0] + o[:, 0:1])[..., None]  # (c, tp, 1)
+        py = (local[None, :, 1] + o[:, 1:2])[..., None]
+        idx_local = _select_tile_channels(
+            jax.lax.stop_gradient(px), jax.lax.stop_gradient(py),
+            {k: jax.lax.stop_gradient(c)[:, None, :] for k, c in chc.items()},
+            v[:, None, :], K, blur, settings.znear,
+        )  # (c, tp, K)
+
+        zbufs, pcs, dists_l, p2fs = [], [], [], []
+        for k in range(K):
+            mk = idx_local[:, :, k][..., None] == iota_f  # (c, tp, Fmax)
+            gsel = lambda chan: jnp.sum(
+                jnp.where(mk, chan[:, None, :], 0.0), axis=-1
+            )  # (c, tp)
+            qx = [gsel(chc[f"qx{j}"]) for j in range(3)]
+            qy = [gsel(chc[f"qy{j}"]) for j in range(3)]
+            zf = [gsel(chc[f"z{j}"]) for j in range(3)]
+            invzf = [gsel(chc[f"invz{j}"]) for j in range(3)]
+            zb, pck, dd = _fragment_math(
+                px[..., 0], py[..., 0], qx, qy, zf, invzf, settings.clip_bary
             )
-        )(pix, q, invz, a2, abc, v)
+            p2f = jnp.sum(mk * fi[:, None, :], axis=-1).astype(jnp.int32)
+            zbufs.append(zb)
+            pcs.append(jnp.stack(pck, axis=-1))
+            dists_l.append(dd)
+            p2fs.append(p2f)
 
-    idx_local = jax.lax.map(
-        per_chunk, (padc(qf), padc(invzf), padc(a2f), padc(abcf), padc(vf), padc(of))
-    ).reshape(n_chunks * tiles_per_chunk, tp, K)[:N]
+        live = idx_local >= 0  # (c, tp, K)
+        zbuf = jnp.where(live, jnp.stack(zbufs, axis=-1), -1.0)
+        bary = jnp.where(
+            live[..., None], jnp.stack(pcs, axis=-2), 0.0
+        )  # (c, tp, K, 3)
+        dists = jnp.where(live, jnp.stack(dists_l, axis=-1), EMPTY_DIST)
+        p2f = jnp.where(live, jnp.stack(p2fs, axis=-1), -1)
+        return p2f, zbuf, bary, dists
 
-    # bin-local candidate slot -> global face id
-    face_idx_flat = flat(bins.face_idx)  # (N, Fmax)
-    g = jax.vmap(lambda f, i: f[jnp.maximum(i, 0)])(face_idx_flat, idx_local)
-    g = jnp.where(idx_local >= 0, g, -1)  # (N, tp, K)
+    p2f, zbuf, bary, dists = jax.lax.map(
+        per_chunk,
+        ({k: padc(v) for k, v in ch.items()}, padc(vf), padc(fidx), padc(of)),
+    )
 
-    img = untile_image(
-        g.reshape(B, T, tp, K), (H, W), tile, bins.n_tiles_hw
-    )  # (B, H, W, K)
-    return img.reshape(B, H * W, K)
+    def finish(a):
+        a = a.reshape((n_chunks * tiles_per_chunk, tp) + a.shape[3:])[:N]
+        a = a.reshape((B, T, tp) + a.shape[2:])
+        return untile_image(a, (H, W), tile, bins.n_tiles_hw)
+
+    return Fragments(
+        pix_to_face=finish(p2f), zbuf=finish(zbuf),
+        bary=finish(bary), dists=finish(dists),
+    )
 
 
 def rasterize_face_data(
     fd: FaceRasterData, settings: RasterizationSettings
 ) -> Fragments:
     """Rasterize pre-projected faces into per-pixel top-K fragments."""
+    if settings.bin_size is not None:
+        return _rasterize_binned(fd, settings)
+
     H, W = settings.image_size
     K = settings.faces_per_pixel
     pix_all = pixel_coords_raster((H, W))  # (HW, 2)
     HW = pix_all.shape[0]
 
     fd_sel = jax.lax.stop_gradient(fd)
+    chunk = min(settings.pixel_chunk, HW)
+    n_chunks = -(-HW // chunk)
+    pad = n_chunks * chunk - HW
+    pix_pad = jnp.pad(pix_all, ((0, pad), (0, 0))).reshape(n_chunks, chunk, 2)
 
-    if settings.bin_size is not None:
-        pix_to_face = _select_binned(fd_sel, settings)  # (B, HW, K)
-    else:
-        chunk = min(settings.pixel_chunk, HW)
-        n_chunks = -(-HW // chunk)
-        pad = n_chunks * chunk - HW
-        pix_pad = jnp.pad(pix_all, ((0, pad), (0, 0))).reshape(n_chunks, chunk, 2)
+    def per_mesh(fd_b):
+        leaves = (fd_b.q, fd_b.invz, fd_b.area2, fd_b.abc, fd_b.valid)
+        return jax.lax.map(
+            lambda pc: _select_chunk(
+                pc, leaves, K, settings.blur_radius, settings.znear
+            ),
+            pix_pad,
+        ).reshape(n_chunks * chunk, K)[:HW]
 
-        def per_mesh(fd_b):
-            leaves = (fd_b.q, fd_b.invz, fd_b.area2, fd_b.abc, fd_b.valid)
-            return jax.lax.map(
-                lambda pc: _select_chunk(
-                    pc, leaves, K, settings.blur_radius, settings.znear
-                ),
-                pix_pad,
-            ).reshape(n_chunks * chunk, K)[:HW]
-
-        pix_to_face = jax.vmap(per_mesh)(fd_sel)  # (B, HW, K)
+    pix_to_face = jax.vmap(per_mesh)(fd_sel)  # (B, HW, K)
 
     frags = _interpolate(pix_all, fd, pix_to_face, settings.clip_bary)
     reshape = lambda a: a.reshape((a.shape[0], H, W) + a.shape[2:])
