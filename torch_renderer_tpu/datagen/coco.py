@@ -58,8 +58,8 @@ class DataGenConfig:
     edge_maps: bool = False
     focal_scale: float = 0.9
     view_chunk: int = 8                # views rendered per device call
-    bin_size: int = 16                 # coarse-to-fine rasterizer tile
-    max_faces_per_bin: int = 256
+    bin_size: int = 32                 # coarse-to-fine rasterizer tile
+    max_faces_per_bin: int = 128
 
 
 class ObjectLibrary:

@@ -143,7 +143,7 @@ def gather_bin_planes(fd: FaceRasterData, bins: TileBins,
 
     if F <= onehot_max_faces:
         # chunk tiles so the one-hot stays a bounded VMEM/HBM guest
-        t_chunk = max(1, min(T, 1 + 2_000_000 // (Fmax * F)))
+        t_chunk = max(1, min(T, 1 + 16_000_000 // (Fmax * F)))
         n_chunks = -(-T // t_chunk)
         padt = n_chunks * t_chunk - T
         idx = jnp.pad(bins.face_idx, ((0, 0), (0, padt), (0, 0)))
