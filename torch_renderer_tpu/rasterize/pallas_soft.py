@@ -238,6 +238,8 @@ def soft_silhouette_pallas_fd(
 
     Exact (same sum as the streaming oracle) provided no bin overflows —
     size faces_per_tile with suggest_faces_per_tile()."""
+    from .binning import gather_bin_planes
+
     B = fd.q.shape[0]
     pad = math.sqrt(SOFT_CUTOFF * sigma)
     bins = bin_faces(fd, image_size, tile, faces_per_tile, pad)
@@ -245,7 +247,9 @@ def soft_silhouette_pallas_fd(
     T = TH * TW
     Fmax = bins.face_idx.shape[-1]
 
-    q_t = jax.vmap(lambda a, i: a[i])(fd.q, bins.face_idx)  # (B, T, Fmax, 3, 2)
+    # per-tile corner channels via the one-hot MXU gather (TPU arbitrary-
+    # index gathers run nearly scalar; see binning.gather_bin_planes)
+    ch = gather_bin_planes(fd, bins)
     valid = bins.face_mask.astype(jnp.float32)              # (B, T, Fmax)
 
     origins = jnp.broadcast_to(bins.tile_origin[None], (B, T, 2))
@@ -255,9 +259,7 @@ def soft_silhouette_pallas_fd(
 
     planes = jnp.stack(
         [
-            q_t[..., 0, 0], q_t[..., 0, 1],
-            q_t[..., 1, 0], q_t[..., 1, 1],
-            q_t[..., 2, 0], q_t[..., 2, 1],
+            ch["qx0"], ch["qy0"], ch["qx1"], ch["qy1"], ch["qx2"], ch["qy2"],
             valid, origin_row,
         ],
         axis=2,
