@@ -104,3 +104,36 @@ def test_renderer_with_binning(scene):
     np.testing.assert_allclose(
         np.asarray(out_b.silhouette), np.asarray(out_d.silhouette), atol=2e-4
     )
+
+
+def test_chunked_binning_matches_unchunked(scene):
+    """Scan-chunked binning (large-mesh path) == single-top_k binning."""
+    from torch_renderer_tpu.rasterize.binning import bin_faces
+    from torch_renderer_tpu.rasterize.geometry import setup_faces
+
+    meshes, cam = scene
+    fd = setup_faces(meshes, cam)
+    a = bin_faces(fd, (IMG, IMG), 16, 24, 0.0)
+    b = bin_faces(fd, (IMG, IMG), 16, 24, 0.0, face_chunk=16)  # force chunked
+    np.testing.assert_array_equal(np.asarray(a.face_mask), np.asarray(b.face_mask))
+    # identical candidate sets (ordering is by the same score in both paths)
+    np.testing.assert_array_equal(
+        np.asarray(a.face_idx) * np.asarray(a.face_mask),
+        np.asarray(b.face_idx) * np.asarray(b.face_mask),
+    )
+
+
+def test_chunked_onehot_gather_matches(scene):
+    """F-chunked one-hot gather (large-mesh path) == small-mesh one-hot."""
+    from torch_renderer_tpu.rasterize.binning import bin_faces, gather_bin_planes
+    from torch_renderer_tpu.rasterize.geometry import setup_faces
+
+    meshes, cam = scene
+    fd = setup_faces(meshes, cam)
+    bins = bin_faces(fd, (IMG, IMG), 16, 24, 0.0)
+    small = gather_bin_planes(fd, bins)
+    big = gather_bin_planes(fd, bins, onehot_max_faces=16)  # force chunked
+    for k in small:
+        np.testing.assert_allclose(
+            np.asarray(small[k]), np.asarray(big[k]), atol=1e-6, err_msg=k
+        )

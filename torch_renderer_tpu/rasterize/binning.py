@@ -52,11 +52,14 @@ def bin_faces(
     tile: int,
     faces_per_tile: int,
     pad_radius: float,
+    face_chunk: int = 8192,
 ) -> TileBins:
     """Assign faces to pixel tiles by blur-expanded screen bbox overlap.
 
     pad_radius: extra margin in raster (NDC) units — sqrt(blur_radius) for
-    soft rasterization, 0 for hard.
+    soft rasterization, 0 for hard. Meshes larger than face_chunk are binned
+    by a scan that merges per-chunk top-k candidate lists (a single top_k
+    over a (B, T, 100k) score tensor crashes the TPU compiler).
     """
     H, W = image_size
     s = min(H, W) / 2.0
@@ -64,25 +67,56 @@ def bin_faces(
     T = TH * TW
     tile_extent = tile / s  # raster-units size of a tile
 
-    # Face bboxes (B, F, 2x2), expanded by pad_radius.
-    fmin = jnp.min(fd.q, axis=2) - pad_radius  # (B, F, 2)
-    fmax = jnp.max(fd.q, axis=2) + pad_radius
-
-    # Overlap: face interval vs tile interval per axis.
-    t_lo = origin[None, :, None, :]            # (1, T, 1, 2)
-    t_hi = t_lo + tile_extent
-    lo_ok = fmin[:, None, :, :] <= t_hi        # (B, T, F, 2)
-    hi_ok = fmax[:, None, :, :] >= t_lo
-    overlap = jnp.all(lo_ok & hi_ok, axis=-1) & fd.valid[:, None, :]  # (B, T, F)
-
     F = fd.num_faces
     Fmax = min(faces_per_tile, F)
-    # Prefer low face ids deterministically: score = F - id where overlapping.
+    t_lo = origin[None, :, None, :]            # (1, T, 1, 2)
+    t_hi = t_lo + tile_extent
+
+    def chunk_scores(q_c, valid_c, id_c):
+        """Candidate scores for one face chunk: higher = keep, 0 = no overlap."""
+        fmin = jnp.min(q_c, axis=2) - pad_radius  # (B, Fc, 2)
+        fmax = jnp.max(q_c, axis=2) + pad_radius
+        lo_ok = fmin[:, None, :, :] <= t_hi      # (B, T, Fc, 2)
+        hi_ok = fmax[:, None, :, :] >= t_lo
+        overlap = jnp.all(lo_ok & hi_ok, axis=-1) & valid_c[:, None, :]
+        # prefer low face ids deterministically
+        return jnp.where(overlap, (F - id_c)[None, None, :], 0)
+
     ids = jnp.arange(F, dtype=jnp.int32)
-    score = jnp.where(overlap, (F - ids)[None, None, :], 0)
-    vals, idx = jax.lax.top_k(score, Fmax)  # (B, T, Fmax)
+    if F <= face_chunk:
+        score = chunk_scores(fd.q, fd.valid, ids)
+        vals, idx = jax.lax.top_k(score, Fmax)  # (B, T, Fmax)
+    else:
+        n_chunks = -(-F // face_chunk)
+        padf = n_chunks * face_chunk - F
+        q_p = jnp.pad(fd.q, ((0, 0), (0, padf), (0, 0), (0, 0)))
+        v_p = jnp.pad(fd.valid, ((0, 0), (0, padf)))
+        id_p = jnp.pad(ids, (0, padf), constant_values=F)  # pad scores to <=0
+        B = fd.q.shape[0]
+        q_c = jnp.swapaxes(q_p.reshape(B, n_chunks, face_chunk, 3, 2), 0, 1)
+        v_c = jnp.swapaxes(v_p.reshape(B, n_chunks, face_chunk), 0, 1)
+        id_c = id_p.reshape(n_chunks, face_chunk)
+
+        def body(carry, chunk):
+            best_vals, best_idx = carry
+            qc, vc, ic = chunk
+            sc = chunk_scores(qc, vc, ic)
+            cv, ci = jax.lax.top_k(sc, min(Fmax, face_chunk))
+            cand_idx = ic[ci]  # global ids via chunk-local lookup
+            vals = jnp.concatenate([best_vals, cv], axis=-1)
+            idxs = jnp.concatenate([best_idx, cand_idx], axis=-1)
+            mv, mi = jax.lax.top_k(vals, Fmax)
+            merged_idx = jnp.take_along_axis(idxs, mi, axis=-1)
+            return (mv, merged_idx), None
+
+        init = (
+            jnp.zeros((fd.q.shape[0], T, Fmax), jnp.int32),
+            jnp.zeros((fd.q.shape[0], T, Fmax), jnp.int32),
+        )
+        (vals, idx), _ = jax.lax.scan(body, init, (q_c, v_c, id_c))
+
     return TileBins(
-        face_idx=idx.astype(jnp.int32),
+        face_idx=jnp.where(vals > 0, idx, 0).astype(jnp.int32),
         face_mask=vals > 0,
         tile_origin=origin,
         n_tiles_hw=(TH, TW),
@@ -150,6 +184,7 @@ def gather_bin_planes(fd: FaceRasterData, bins: TileBins,
         idx = idx.reshape(B, n_chunks, t_chunk, Fmax)
         iota = jax.lax.broadcasted_iota(jnp.int32, (1, t_chunk, Fmax, F), 3)
 
+        @jax.checkpoint  # recompute the one-hot in backward, never store it
         def chunk_gather(idx_c):  # (B, t_chunk, Fmax) -> (B, t_chunk, Fmax, 12)
             onehot = (idx_c[..., None] == iota).astype(planes.dtype)
             return jnp.einsum(
@@ -164,13 +199,35 @@ def gather_bin_planes(fd: FaceRasterData, bins: TileBins,
             B, n_chunks * t_chunk, Fmax, 12
         )[:, :T]
     else:
-        flat_idx = bins.face_idx.reshape(B, T * Fmax)
-        out = {}
-        for c, name in enumerate(_PLANE_ORDER):
-            out[name] = jnp.take_along_axis(
-                planes[:, :, c], flat_idx, axis=1
-            ).reshape(B, T, Fmax)
-        return out
+        # large meshes: accumulate one-hot matmuls over face chunks (each
+        # candidate id hits exactly one chunk's window)
+        n_f = -(-F // onehot_max_faces)
+        padf = n_f * onehot_max_faces - F
+        planes_p = jnp.pad(planes, ((0, 0), (0, padf), (0, 0)))
+        planes_c = jnp.swapaxes(
+            planes_p.reshape(B, n_f, onehot_max_faces, 12), 0, 1
+        )
+        lo_c = jnp.arange(n_f, dtype=jnp.int32) * onehot_max_faces
+        iota = jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, Fmax, onehot_max_faces), 3
+        )
+
+        @jax.checkpoint  # one-hot is recomputed in backward, never stored
+        def accumulate(acc, pl, lo):
+            local = bins.face_idx - lo  # (B, T, Fmax)
+            onehot = (local[..., None] == iota).astype(planes.dtype)
+            return acc + jnp.einsum(
+                "btkf,bfc->btkc", onehot, pl,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        def body(acc, chunk):
+            pl, lo = chunk
+            return accumulate(acc, pl, lo), None
+
+        gathered, _ = jax.lax.scan(
+            body, jnp.zeros((B, T, Fmax, 12), planes.dtype), (planes_c, lo_c)
+        )
 
     return {name: gathered[..., c] for c, name in enumerate(_PLANE_ORDER)}
 

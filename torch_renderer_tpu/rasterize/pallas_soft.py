@@ -93,7 +93,7 @@ _FC = 128
 
 
 def _row_inputs(planes_ref, i, f0, tile, inv_s):
-    sl = pl.ds(f0, _FC)
+    sl = pl.ds(pl.multiple_of(f0, _FC), _FC)
     q = tuple(planes_ref[i, c, sl][None, :] for c in range(6))
     valid = planes_ref[i, 6, sl][None, :]
     ox = planes_ref[i, 7, 0]
@@ -102,22 +102,64 @@ def _row_inputs(planes_ref, i, f0, tile, inv_s):
     return q, valid, px, py
 
 
+# Small iteration counts run fastest fully unrolled; large ones must use
+# real fori_loops so Mosaic reuses one iteration's VMEM stack instead of
+# keeping TN * n_fc live copies (scoped-vmem OOM at big faces_per_tile).
+_UNROLL_LIMIT = 24
+
+
 def _fwd_kernel(tile, inv_s, inv_sigma, n_fc, planes_ref, out_ref):
-    for i in range(_TN):
-        S = None
-        for c in range(n_fc):
+    tp = tile * tile
+
+    def row_body(i):
+        def face_chunk(c, S):
             q, valid, px, py = _row_inputs(planes_ref, i, c * _FC, tile, inv_s)
             signed, _, _, _ = _signed_d2(px, py, q, valid)
-            part = jnp.sum(jax.nn.softplus(-signed * inv_sigma), axis=-1)
-            S = part if S is None else S + part
+            return S + jnp.sum(jax.nn.softplus(-signed * inv_sigma), axis=-1)
+
+        if _TN * n_fc <= _UNROLL_LIMIT:
+            S = jnp.zeros((tp,), jnp.float32)
+            for c in range(n_fc):
+                S = face_chunk(c, S)
+        else:
+            S = jax.lax.fori_loop(
+                0, n_fc, face_chunk, jnp.zeros((tp,), jnp.float32)
+            )
         out_ref[i, :] = S
+
+    if _TN * n_fc <= _UNROLL_LIMIT:
+        for i in range(_TN):
+            row_body(i)
+    else:
+        def row(i, _):
+            row_body(i)
+            return 0
+
+        jax.lax.fori_loop(0, _TN, row, 0)
 
 
 def _bwd_kernel(tile, inv_s, inv_sigma, n_fc, planes_ref, g_ref, dq_ref):
-    for i in range(_TN):
-        for c in range(n_fc):
+    def row_body(i):
+        def face_chunk(c, _2):
             _bwd_row_chunk(tile, inv_s, inv_sigma, planes_ref, g_ref, dq_ref,
                            i, c * _FC)
+            return 0
+
+        if _TN * n_fc <= _UNROLL_LIMIT:
+            for c in range(n_fc):
+                face_chunk(c, 0)
+        else:
+            jax.lax.fori_loop(0, n_fc, face_chunk, 0)
+
+    if _TN * n_fc <= _UNROLL_LIMIT:
+        for i in range(_TN):
+            row_body(i)
+    else:
+        def row(i, _):
+            row_body(i)
+            return 0
+
+        jax.lax.fori_loop(0, _TN, row, 0)
 
 
 def _bwd_row_chunk(tile, inv_s, inv_sigma, planes_ref, g_ref, dq_ref, i, f0):
@@ -155,7 +197,7 @@ def _bwd_row_chunk(tile, inv_s, inv_sigma, planes_ref, g_ref, dq_ref, i, f0):
         a1x, a1y, b1x, b1y = edge_grads(edges[1], m1)  # edge (q1, q2)
         a2x, a2y, b2x, b2y = edge_grads(edges[2], m2)  # edge (q2, q0)
 
-        sl = pl.ds(f0, _FC)
+        sl = pl.ds(pl.multiple_of(f0, _FC), _FC)
         dq_ref[i, 0, sl] = a0x + b2x  # q0
         dq_ref[i, 1, sl] = a0y + b2y
         dq_ref[i, 2, sl] = b0x + a1x  # q1
