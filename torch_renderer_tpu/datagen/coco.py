@@ -271,11 +271,16 @@ class COCODataGenerator:
         """Render n_scenes scenes and write a COCO dataset under out_dir:
         images/*.png, optional depth/normals/seg .npy, annotations.json,
         poses.json (6-DoF labels). Returns the COCO dict."""
+        import concurrent.futures
+
         rng = rng or np.random.default_rng(0)
         cfg = self.config
         os.makedirs(os.path.join(out_dir, "images"), exist_ok=True)
         if write_aux:
             os.makedirs(os.path.join(out_dir, "aux"), exist_ok=True)
+        # image/aux writes overlap the next scene's device rendering
+        io_pool = concurrent.futures.ThreadPoolExecutor(max_workers=8)
+        io_futures = []
 
         cats = {}
         for e in self.library.entries:
@@ -296,20 +301,24 @@ class COCODataGenerator:
             seg = np.asarray(rendered["segmentation"])
             n_obj = len(poses)
 
+            depth_np = np.asarray(rendered["depth"])
             for v in range(cfg.views_per_scene):
                 fname = f"scene{s:04d}_view{v:03d}.png"
-                self._write_png(
-                    os.path.join(out_dir, "images", fname), rgb[v]
-                )
+                io_futures.append(io_pool.submit(
+                    self._write_png, os.path.join(out_dir, "images", fname),
+                    rgb[v],
+                ))
                 if write_aux:
-                    np.save(
+                    io_futures.append(io_pool.submit(
+                        np.save,
                         os.path.join(out_dir, "aux", fname.replace(".png", "_depth.npy")),
-                        np.asarray(rendered["depth"][v]),
-                    )
-                    np.save(
+                        depth_np[v],
+                    ))
+                    io_futures.append(io_pool.submit(
+                        np.save,
                         os.path.join(out_dir, "aux", fname.replace(".png", "_seg.npy")),
                         seg[v],
-                    )
+                    ))
                 coco["images"].append({
                     "id": img_id, "file_name": f"images/{fname}",
                     "height": H, "width": W,
@@ -338,6 +347,10 @@ class COCODataGenerator:
                     "objects": poses,
                 })
                 img_id += 1
+
+        for fut in io_futures:  # surface any IO error before declaring done
+            fut.result()
+        io_pool.shutdown()
 
         with open(os.path.join(out_dir, "annotations.json"), "w") as f:
             json.dump(coco, f)
