@@ -23,6 +23,9 @@ def main():
     p.add_argument("--elite", type=int, default=100)
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--refine", action="store_true", help="ICP-refine the result")
+    p.add_argument("--batch", type=int, default=0,
+                   help="also run a vmapped multi-target search over N targets "
+                        "(serving-scale demo)")
     args = p.parse_args()
     setup_platform(args)
 
@@ -84,6 +87,23 @@ def main():
         cham, _ = chamfer_distance(sol.Xt, target[None])
         print(f"after ICP refinement: surface chamfer {float(cham):.6f}, "
               f"rmse {float(sol.rmse[0]):.6f}")
+
+    if args.batch:
+        B = args.batch
+        kb, kp = jax.random.split(jax.random.PRNGKey(args.seed + 1))
+        rpys = jax.random.uniform(kp, (B, 3), minval=-0.8, maxval=0.8)
+        tb = jax.random.uniform(kb, (B, 3), minval=-0.2, maxval=0.2)
+        Rb = euler_angles_to_matrix(rpys, "XYZ")
+        targets = transform_points(
+            Rb, tb, jnp.broadcast_to(ref, (B,) + ref.shape)
+        )
+        t0 = time.perf_counter()
+        outs = searcher.search_batch(jax.random.PRNGKey(args.seed + 2), targets)
+        jax.block_until_ready(outs["score"])
+        dt = time.perf_counter() - t0
+        scores = np.asarray(outs["score"])
+        print(f"batched search over {B} targets: {dt:.2f}s (incl. compile), "
+              f"chamfer mean {scores.mean():.5f} max {scores.max():.5f}")
 
 
 if __name__ == "__main__":
