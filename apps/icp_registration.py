@@ -68,6 +68,10 @@ def main():
         print("\nobject-count sweep (device batched vs numpy CPU serial):")
         for n in (1, 5, 10, 25, 50, 100):
             sub = {k: v[:n] for k, v in data.items()}
+            # warm up (each n is a new compiled shape)
+            jax.block_until_ready(
+                register_batch(sub, max_iterations=args.icp_iters).rmse
+            )
             t0 = time.perf_counter()
             jax.block_until_ready(
                 register_batch(sub, max_iterations=args.icp_iters).rmse

@@ -58,6 +58,12 @@ class JointFitConfig:
     w_clamp: float = 1.0
     sigma: float = 1e-4
     faces_per_pixel: int = 8
+    # coarse-to-fine rasterization (the fused tile path). None = dense:
+    # at K=8 soft fragments the fused per-tile interpolation does K x Fmax
+    # masked reductions per channel, which compiles slowly and loses to the
+    # dense path at the reference's 128^2 scale; binning pays off for K<=2.
+    bin_size: Optional[int] = None
+    max_faces_per_bin: int = 256
 
 
 class JointShapeTextureFitter:
@@ -74,7 +80,9 @@ class JointShapeTextureFitter:
         blur = math.log(1.0 / 1e-4 - 1.0) * cfg.sigma
         self.renderer = MeshRenderer(
             K, image_size, blur_radius=blur, sigma=cfg.sigma,
-            faces_per_pixel=cfg.faces_per_pixel, **renderer_kw,
+            faces_per_pixel=cfg.faces_per_pixel,
+            bin_size=cfg.bin_size, max_faces_per_bin=cfg.max_faces_per_bin,
+            **renderer_kw,
         )
         self._fit_cache: dict = {}
 
