@@ -44,4 +44,6 @@ from .structures.meshes import Meshes
 from .structures.pointclouds import Pointclouds
 from .structures.textures import TexturesUV, TexturesVertex
 
+from . import io, models, ops, opt, parallel, utils  # noqa: E402,F401 namespaces
+
 __version__ = "0.1.0"
