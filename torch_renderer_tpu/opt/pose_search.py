@@ -22,7 +22,7 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.gmm import DiagGMM, gmm_fit, gmm_sample
+from ..ops.gmm import gmm_fit, gmm_sample
 from ..ops.knn_chamfer import chamfer_distance
 from ..transforms.so3 import (
     euler_angles_to_matrix,
