@@ -115,3 +115,17 @@ def test_sharded_pallas_matches_streaming(scene, device_mesh):
         impl="pallas", faces_per_tile=40,  # 80 faces / 2 shards
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+@pytest.mark.parametrize("shape", [(2, 4), (8, 1), (1, 8)])
+def test_sharded_silhouette_other_mesh_shapes(scene, eight_devices, shape):
+    """dp/tp ratios beyond the default (4,2): pure-tp, pure-dp, tall-tp."""
+    meshes, cam, _ = scene
+    dm = make_mesh(shape, ("data", "model"), eight_devices)
+    if B % shape[0] != 0:
+        pytest.skip("batch not divisible")
+    want = soft_silhouette_streaming(meshes, cam)
+    got = soft_silhouette_sharded(
+        shard_batch(meshes, dm), cam, dm, pixel_chunk=512, face_chunk=16,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
