@@ -20,7 +20,10 @@ Data layout (TPU tiling wants (8, 128)-aligned blocks): per flattened tile,
 faces live in 'planes' (N, 8, F) float32 slabs along the face/lane axis:
 rows 0-5 = qx0, qy0, qx1, qy1, qx2, qy2; row 6 = valid mask; row 7 packs the
 tile origin in its first two lanes. Programs process TN=8 tiles each so every
-block is (8, 8, F) / (8, TP).
+block is (8, 8, F) / (8, TP). Per-tile valid-face chunk counts ride along in
+SMEM and bound each tile's face loop dynamically, so empty / sparsely
+occupied tiles skip their face chunks entirely (exact: skipped chunks hold
+only valid=0 faces, whose contribution is identically 0 in both passes).
 """
 
 from __future__ import annotations
@@ -102,14 +105,22 @@ def _row_inputs(planes_ref, i, f0, tile, inv_s):
     return q, valid, px, py
 
 
-# Small iteration counts run fastest fully unrolled; large ones must use
-# real fori_loops so Mosaic reuses one iteration's VMEM stack instead of
-# keeping TN * n_fc live copies (scoped-vmem OOM at big faces_per_tile).
-_UNROLL_LIMIT = 24
+# Rows (tiles) are unrolled for small static chunk counts; the face-chunk
+# loop is a DYNAMIC fori_loop bounded by the tile's real candidate count
+# (SMEM-prefetched), so empty / sparsely occupied tiles skip their face
+# chunks entirely. The Pallas TPU grid executes sequentially per core, so
+# every skipped chunk is pure wall-clock saving, and it is exact: skipped
+# chunks hold only valid=0 faces whose contribution is identically 0
+# (softplus(-_BIG/sigma) underflows; backward masks on valid). Large static
+# counts also fall back to a fori over rows so Mosaic reuses one iteration's
+# VMEM stack instead of keeping TN * n_fc live copies (scoped-vmem OOM at
+# big faces_per_tile).
+_ROW_UNROLL_LIMIT = 3
 
 
-def _fwd_kernel(tile, inv_s, inv_sigma, n_fc, planes_ref, out_ref):
+def _fwd_kernel(tile, inv_s, inv_sigma, n_fc, counts_ref, planes_ref, out_ref):
     tp = tile * tile
+    base = pl.program_id(0) * _TN  # counts is unblocked (full array in SMEM)
 
     def row_body(i):
         def face_chunk(c, S):
@@ -117,17 +128,12 @@ def _fwd_kernel(tile, inv_s, inv_sigma, n_fc, planes_ref, out_ref):
             signed, _, _, _ = _signed_d2(px, py, q, valid)
             return S + jnp.sum(jax.nn.softplus(-signed * inv_sigma), axis=-1)
 
-        if _TN * n_fc <= _UNROLL_LIMIT:
-            S = jnp.zeros((tp,), jnp.float32)
-            for c in range(n_fc):
-                S = face_chunk(c, S)
-        else:
-            S = jax.lax.fori_loop(
-                0, n_fc, face_chunk, jnp.zeros((tp,), jnp.float32)
-            )
+        S = jax.lax.fori_loop(
+            0, counts_ref[base + i], face_chunk, jnp.zeros((tp,), jnp.float32)
+        )
         out_ref[i, :] = S
 
-    if _TN * n_fc <= _UNROLL_LIMIT:
+    if n_fc <= _ROW_UNROLL_LIMIT:
         for i in range(_TN):
             row_body(i)
     else:
@@ -138,20 +144,29 @@ def _fwd_kernel(tile, inv_s, inv_sigma, n_fc, planes_ref, out_ref):
         jax.lax.fori_loop(0, _TN, row, 0)
 
 
-def _bwd_kernel(tile, inv_s, inv_sigma, n_fc, planes_ref, g_ref, dq_ref):
+def _bwd_kernel(tile, inv_s, inv_sigma, n_fc, counts_ref, planes_ref, g_ref,
+                dq_ref):
+    base = pl.program_id(0) * _TN  # counts is unblocked (full array in SMEM)
+
     def row_body(i):
         def face_chunk(c, _2):
             _bwd_row_chunk(tile, inv_s, inv_sigma, planes_ref, g_ref, dq_ref,
                            i, c * _FC)
             return 0
 
-        if _TN * n_fc <= _UNROLL_LIMIT:
-            for c in range(n_fc):
-                face_chunk(c, 0)
-        else:
-            jax.lax.fori_loop(0, n_fc, face_chunk, 0)
+        def zero_chunk(c, _2):
+            sl = pl.ds(pl.multiple_of(c * _FC, _FC), _FC)
+            z = jnp.zeros((_FC,), jnp.float32)
+            for r in range(8):
+                dq_ref[i, r, sl] = z
+            return 0
 
-    if _TN * n_fc <= _UNROLL_LIMIT:
+        nc = counts_ref[base + i]
+        jax.lax.fori_loop(0, nc, face_chunk, 0)
+        # skipped chunks still need their output slots zero-filled
+        jax.lax.fori_loop(nc, n_fc, zero_chunk, 0)
+
+    if n_fc <= _ROW_UNROLL_LIMIT:
         for i in range(_TN):
             row_body(i)
     else:
@@ -218,6 +233,16 @@ def _tile_coverage(planes, tile, inv_s, sigma):
     return _tile_coverage_fwd(planes, tile, inv_s, sigma)[0]
 
 
+def _chunk_counts(planes):
+    """Per-tile face-chunk trip counts (N,) int32 from the valid row.
+
+    Valid slots are contiguous at the front of the lane axis (bin_faces'
+    top_k sorts scores descending), so ceil(count / _FC) chunks cover every
+    valid face and all skipped chunks are entirely invalid."""
+    cnt = jnp.sum(planes[:, 6, :], axis=-1).astype(jnp.int32)
+    return (cnt + (_FC - 1)) // _FC
+
+
 def _tile_coverage_fwd(planes, tile, inv_s, sigma):
     N, _, F = planes.shape
     tp = tile * tile
@@ -225,12 +250,13 @@ def _tile_coverage_fwd(planes, tile, inv_s, sigma):
         functools.partial(_fwd_kernel, tile, inv_s, 1.0 / sigma, F // _FC),
         grid=(N // _TN,),
         in_specs=[
+            pl.BlockSpec((N,), lambda i: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((_TN, 8, F), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((_TN, tp), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, tp), jnp.float32),
         interpret=_interpret(),
-    )(planes)
+    )(_chunk_counts(planes), planes)
     return S, (planes,)
 
 
@@ -242,13 +268,14 @@ def _tile_coverage_bwd(tile, inv_s, sigma, res, g):
         functools.partial(_bwd_kernel, tile, inv_s, 1.0 / sigma, F // _FC),
         grid=(N // _TN,),
         in_specs=[
+            pl.BlockSpec((N,), lambda i: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((_TN, 8, F), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((_TN, tp), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((_TN, 8, F), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, 8, F), jnp.float32),
         interpret=_interpret(),
-    )(planes, g)
+    )(_chunk_counts(planes), planes, g)
     return (dplanes,)
 
 
