@@ -125,3 +125,71 @@ def test_point_render_gradients_flow_to_positions():
     g_np = np.asarray(g)
     assert np.all(np.isfinite(g_np))
     assert np.abs(g_np).sum() > 0
+
+
+def _random_cloud(n=400, seed=0, batch=2):
+    rng = np.random.default_rng(seed)
+    pts = rng.normal(0, 0.4, size=(batch, n, 3)).astype(np.float32)
+    pts[..., 2] += 2.5
+    return Pointclouds.from_padded(jnp.asarray(pts))
+
+
+def test_binned_matches_dense_fragments():
+    pcl = _random_cloud()
+    dense = rasterize_points(
+        pcl, cam(),
+        PointsRasterizationSettings((H, W), radius=0.04, points_per_pixel=4),
+    )
+    binned = rasterize_points(
+        pcl, cam(),
+        PointsRasterizationSettings(
+            (H, W), radius=0.04, points_per_pixel=4,
+            bin_size=16, max_points_per_bin=128,
+        ),
+    )
+    np.testing.assert_array_equal(np.asarray(dense.idx), np.asarray(binned.idx))
+    np.testing.assert_allclose(
+        np.asarray(dense.zbuf), np.asarray(binned.zbuf), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(dense.dists2), np.asarray(binned.dists2), atol=1e-6
+    )
+
+
+def test_binned_matches_dense_gradients():
+    pcl = _random_cloud(n=200, batch=1)
+    camera = cam()
+    w = jnp.cos(jnp.arange(H * W, dtype=jnp.float32)).reshape(1, H, W)
+
+    def loss(points, bin_size):
+        frags = rasterize_points(
+            Pointclouds.from_padded(points), camera,
+            PointsRasterizationSettings(
+                (H, W), radius=0.05, points_per_pixel=4,
+                bin_size=bin_size, max_points_per_bin=128,
+            ),
+        )
+        m = frags.mask
+        contrib = jnp.where(m, frags.zbuf, 0.0) + jnp.where(m, frags.dists2, 0.0)
+        return jnp.sum(jnp.sum(contrib, axis=-1) * w)
+
+    g_dense = jax.grad(lambda p: loss(p, None))(pcl.points)
+    g_binned = jax.grad(lambda p: loss(p, 16))(pcl.points)
+    np.testing.assert_allclose(
+        np.asarray(g_dense), np.asarray(g_binned), atol=1e-4, rtol=1e-4
+    )
+
+
+def test_binned_small_cloud_fewer_points_than_k():
+    pcl = Pointclouds.from_padded(jnp.asarray([[[0.0, 0.0, 2.0]]]))
+    frags = rasterize_points(
+        pcl, cam(),
+        PointsRasterizationSettings(
+            (H, W), radius=0.05, points_per_pixel=8,
+            bin_size=16, max_points_per_bin=32,
+        ),
+    )
+    assert frags.idx.shape == (1, H, W, 8)
+    hit = np.asarray(frags.idx[0, :, :, 0]) >= 0
+    assert hit[H // 2, W // 2]
+    assert np.asarray(frags.idx[..., 1:]).max() == -1  # slots beyond the point

@@ -46,6 +46,84 @@ def tile_grid(image_size, tile: int):
     return TH, TW, origin
 
 
+def bin_bboxes(
+    bbox_min: jax.Array,
+    bbox_max: jax.Array,
+    valid: jax.Array,
+    image_size,
+    tile: int,
+    per_tile: int,
+    item_chunk: int = 8192,
+) -> TileBins:
+    """Assign screen-space bboxes to pixel tiles (the generic binning core).
+
+    bbox_min/bbox_max: (B, N, 2) raster-unit extents; valid: (B, N) bool.
+    Collections larger than item_chunk are binned by a scan that merges
+    per-chunk top-k candidate lists (a single top_k over a (B, T, 100k)
+    score tensor crashes the TPU compiler).
+    """
+    H, W = image_size
+    s = min(H, W) / 2.0
+    TH, TW, origin = tile_grid(image_size, tile)
+    T = TH * TW
+    tile_extent = tile / s  # raster-units size of a tile
+
+    N = valid.shape[-1]
+    Nmax = min(per_tile, N)
+    t_lo = origin[None, :, None, :]            # (1, T, 1, 2)
+    t_hi = t_lo + tile_extent
+
+    def chunk_scores(lo_c, hi_c, valid_c, id_c):
+        """Candidate scores for one chunk: higher = keep, 0 = no overlap."""
+        lo_ok = lo_c[:, None, :, :] <= t_hi    # (B, T, Nc, 2)
+        hi_ok = hi_c[:, None, :, :] >= t_lo
+        overlap = jnp.all(lo_ok & hi_ok, axis=-1) & valid_c[:, None, :]
+        # prefer low item ids deterministically
+        return jnp.where(overlap, (N - id_c)[None, None, :], 0)
+
+    ids = jnp.arange(N, dtype=jnp.int32)
+    if N <= item_chunk:
+        score = chunk_scores(bbox_min, bbox_max, valid, ids)
+        vals, idx = jax.lax.top_k(score, Nmax)  # (B, T, Nmax)
+    else:
+        n_chunks = -(-N // item_chunk)
+        padn = n_chunks * item_chunk - N
+        B = valid.shape[0]
+        lo_p = jnp.pad(bbox_min, ((0, 0), (0, padn), (0, 0)))
+        hi_p = jnp.pad(bbox_max, ((0, 0), (0, padn), (0, 0)))
+        v_p = jnp.pad(valid, ((0, 0), (0, padn)))
+        id_p = jnp.pad(ids, (0, padn), constant_values=N)  # pad scores to <=0
+        lo_c = jnp.swapaxes(lo_p.reshape(B, n_chunks, item_chunk, 2), 0, 1)
+        hi_c = jnp.swapaxes(hi_p.reshape(B, n_chunks, item_chunk, 2), 0, 1)
+        v_c = jnp.swapaxes(v_p.reshape(B, n_chunks, item_chunk), 0, 1)
+        id_c = id_p.reshape(n_chunks, item_chunk)
+
+        def body(carry, chunk):
+            best_vals, best_idx = carry
+            loc, hic, vc, ic = chunk
+            sc = chunk_scores(loc, hic, vc, ic)
+            cv, ci = jax.lax.top_k(sc, min(Nmax, item_chunk))
+            cand_idx = ic[ci]  # global ids via chunk-local lookup
+            vals = jnp.concatenate([best_vals, cv], axis=-1)
+            idxs = jnp.concatenate([best_idx, cand_idx], axis=-1)
+            mv, mi = jax.lax.top_k(vals, Nmax)
+            merged_idx = jnp.take_along_axis(idxs, mi, axis=-1)
+            return (mv, merged_idx), None
+
+        init = (
+            jnp.zeros((B, T, Nmax), jnp.int32),
+            jnp.zeros((B, T, Nmax), jnp.int32),
+        )
+        (vals, idx), _ = jax.lax.scan(body, init, (lo_c, hi_c, v_c, id_c))
+
+    return TileBins(
+        face_idx=jnp.where(vals > 0, idx, 0).astype(jnp.int32),
+        face_mask=vals > 0,
+        tile_origin=origin,
+        n_tiles_hw=(TH, TW),
+    )
+
+
 def bin_faces(
     fd: FaceRasterData,
     image_size,
@@ -57,69 +135,13 @@ def bin_faces(
     """Assign faces to pixel tiles by blur-expanded screen bbox overlap.
 
     pad_radius: extra margin in raster (NDC) units — sqrt(blur_radius) for
-    soft rasterization, 0 for hard. Meshes larger than face_chunk are binned
-    by a scan that merges per-chunk top-k candidate lists (a single top_k
-    over a (B, T, 100k) score tensor crashes the TPU compiler).
+    soft rasterization, 0 for hard.
     """
-    H, W = image_size
-    s = min(H, W) / 2.0
-    TH, TW, origin = tile_grid(image_size, tile)
-    T = TH * TW
-    tile_extent = tile / s  # raster-units size of a tile
-
-    F = fd.num_faces
-    Fmax = min(faces_per_tile, F)
-    t_lo = origin[None, :, None, :]            # (1, T, 1, 2)
-    t_hi = t_lo + tile_extent
-
-    def chunk_scores(q_c, valid_c, id_c):
-        """Candidate scores for one face chunk: higher = keep, 0 = no overlap."""
-        fmin = jnp.min(q_c, axis=2) - pad_radius  # (B, Fc, 2)
-        fmax = jnp.max(q_c, axis=2) + pad_radius
-        lo_ok = fmin[:, None, :, :] <= t_hi      # (B, T, Fc, 2)
-        hi_ok = fmax[:, None, :, :] >= t_lo
-        overlap = jnp.all(lo_ok & hi_ok, axis=-1) & valid_c[:, None, :]
-        # prefer low face ids deterministically
-        return jnp.where(overlap, (F - id_c)[None, None, :], 0)
-
-    ids = jnp.arange(F, dtype=jnp.int32)
-    if F <= face_chunk:
-        score = chunk_scores(fd.q, fd.valid, ids)
-        vals, idx = jax.lax.top_k(score, Fmax)  # (B, T, Fmax)
-    else:
-        n_chunks = -(-F // face_chunk)
-        padf = n_chunks * face_chunk - F
-        q_p = jnp.pad(fd.q, ((0, 0), (0, padf), (0, 0), (0, 0)))
-        v_p = jnp.pad(fd.valid, ((0, 0), (0, padf)))
-        id_p = jnp.pad(ids, (0, padf), constant_values=F)  # pad scores to <=0
-        B = fd.q.shape[0]
-        q_c = jnp.swapaxes(q_p.reshape(B, n_chunks, face_chunk, 3, 2), 0, 1)
-        v_c = jnp.swapaxes(v_p.reshape(B, n_chunks, face_chunk), 0, 1)
-        id_c = id_p.reshape(n_chunks, face_chunk)
-
-        def body(carry, chunk):
-            best_vals, best_idx = carry
-            qc, vc, ic = chunk
-            sc = chunk_scores(qc, vc, ic)
-            cv, ci = jax.lax.top_k(sc, min(Fmax, face_chunk))
-            cand_idx = ic[ci]  # global ids via chunk-local lookup
-            vals = jnp.concatenate([best_vals, cv], axis=-1)
-            idxs = jnp.concatenate([best_idx, cand_idx], axis=-1)
-            mv, mi = jax.lax.top_k(vals, Fmax)
-            merged_idx = jnp.take_along_axis(idxs, mi, axis=-1)
-            return (mv, merged_idx), None
-
-        init = (
-            jnp.zeros((fd.q.shape[0], T, Fmax), jnp.int32),
-            jnp.zeros((fd.q.shape[0], T, Fmax), jnp.int32),
-        )
-        (vals, idx), _ = jax.lax.scan(body, init, (q_c, v_c, id_c))
-
-    return TileBins(
-        face_idx=jnp.where(vals > 0, idx, 0).astype(jnp.int32),
-        face_mask=vals > 0,
-        tile_origin=origin,
-        n_tiles_hw=(TH, TW),
+    fmin = jnp.min(fd.q, axis=2) - pad_radius  # (B, F, 2)
+    fmax = jnp.max(fd.q, axis=2) + pad_radius
+    return bin_bboxes(
+        fmin, fmax, fd.valid, image_size, tile, faces_per_tile,
+        item_chunk=face_chunk,
     )
 
 
@@ -149,33 +171,24 @@ def gather_bins(fd: FaceRasterData, bins: TileBins):
     return g(fd.q), g(fd.abc), g(fd.area2), g(fd.z), g(fd.invz)
 
 
-def gather_bin_planes(fd: FaceRasterData, bins: TileBins,
-                      onehot_max_faces: int = 8192):
-    """Per-tile face data as scalar channel planes, each (B, T, Fmax).
+def gather_bin_channels(planes: jax.Array, bins: TileBins,
+                        onehot_max_items: int = 8192) -> jax.Array:
+    """Per-tile re-layout of per-item channels: (B, N, C) -> (B, T, Nmax, C).
 
     TPU layout notes:
-      * gathering arrays with tiny trailing dims (the (3, 2) corners /
-        (3, 3) edge coefficients) makes XLA tile-pad them up to ~40x their
-        logical size at big tile counts — hence scalar channels;
+      * gathering arrays with tiny trailing dims (e.g. (3, 2) corners)
+        makes XLA tile-pad them up to ~40x their logical size at big tile
+        counts — hence scalar channels;
       * TPU dynamic gathers run nearly scalar (~90 ns/element), so for
-        modest face counts the 12-channel gather is ONE one-hot matmul on
-        the MXU instead (chunked over tiles); arbitrary-index gather remains
-        the fallback for huge meshes where the one-hot would be wider than
-        onehot_max_faces lanes.
-    Returns dict with qx0..qy2, z0..2, invz0..2.
+        modest item counts the C-channel gather is ONE one-hot matmul on
+        the MXU instead (chunked over tiles); for huge collections the
+        one-hot is accumulated over item chunks of onehot_max_items lanes.
     """
     B, T, Fmax = bins.face_idx.shape
-    F = fd.num_faces
+    F = planes.shape[1]
+    C = planes.shape[2]
 
-    planes = jnp.stack(
-        [fd.q[:, :, k, 0] for k in range(3)]
-        + [fd.q[:, :, k, 1] for k in range(3)]
-        + [fd.z[:, :, k] for k in range(3)]
-        + [fd.invz[:, :, k] for k in range(3)],
-        axis=-1,
-    )  # (B, F, 12) — order: qx0..2, qy0..2, z0..2, invz0..2
-
-    if F <= onehot_max_faces:
+    if F <= onehot_max_items:
         # chunk tiles so the one-hot stays a bounded VMEM/HBM guest
         t_chunk = max(1, min(T, 1 + 16_000_000 // (Fmax * F)))
         n_chunks = -(-T // t_chunk)
@@ -185,7 +198,7 @@ def gather_bin_planes(fd: FaceRasterData, bins: TileBins,
         iota = jax.lax.broadcasted_iota(jnp.int32, (1, t_chunk, Fmax, F), 3)
 
         @jax.checkpoint  # recompute the one-hot in backward, never store it
-        def chunk_gather(idx_c):  # (B, t_chunk, Fmax) -> (B, t_chunk, Fmax, 12)
+        def chunk_gather(idx_c):  # (B, t_chunk, Fmax) -> (B, t_chunk, Fmax, C)
             onehot = (idx_c[..., None] == iota).astype(planes.dtype)
             return jnp.einsum(
                 "btkf,bfc->btkc", onehot, planes,
@@ -194,22 +207,22 @@ def gather_bin_planes(fd: FaceRasterData, bins: TileBins,
 
         gathered = jax.lax.map(
             chunk_gather, jnp.swapaxes(idx, 0, 1)
-        )  # (n_chunks, B, t_chunk, Fmax, 12)
+        )  # (n_chunks, B, t_chunk, Fmax, C)
         gathered = jnp.swapaxes(gathered, 0, 1).reshape(
-            B, n_chunks * t_chunk, Fmax, 12
+            B, n_chunks * t_chunk, Fmax, C
         )[:, :T]
     else:
-        # large meshes: accumulate one-hot matmuls over face chunks (each
-        # candidate id hits exactly one chunk's window)
-        n_f = -(-F // onehot_max_faces)
-        padf = n_f * onehot_max_faces - F
+        # large collections: accumulate one-hot matmuls over item chunks
+        # (each candidate id hits exactly one chunk's window)
+        n_f = -(-F // onehot_max_items)
+        padf = n_f * onehot_max_items - F
         planes_p = jnp.pad(planes, ((0, 0), (0, padf), (0, 0)))
         planes_c = jnp.swapaxes(
-            planes_p.reshape(B, n_f, onehot_max_faces, 12), 0, 1
+            planes_p.reshape(B, n_f, onehot_max_items, C), 0, 1
         )
-        lo_c = jnp.arange(n_f, dtype=jnp.int32) * onehot_max_faces
+        lo_c = jnp.arange(n_f, dtype=jnp.int32) * onehot_max_items
         iota = jax.lax.broadcasted_iota(
-            jnp.int32, (1, 1, Fmax, onehot_max_faces), 3
+            jnp.int32, (1, 1, Fmax, onehot_max_items), 3
         )
 
         @jax.checkpoint  # one-hot is recomputed in backward, never stored
@@ -226,9 +239,26 @@ def gather_bin_planes(fd: FaceRasterData, bins: TileBins,
             return accumulate(acc, pl, lo), None
 
         gathered, _ = jax.lax.scan(
-            body, jnp.zeros((B, T, Fmax, 12), planes.dtype), (planes_c, lo_c)
+            body, jnp.zeros((B, T, Fmax, C), planes.dtype), (planes_c, lo_c)
         )
 
+    return gathered
+
+
+def gather_bin_planes(fd: FaceRasterData, bins: TileBins,
+                      onehot_max_faces: int = 8192):
+    """Per-tile face data as scalar channel planes, each (B, T, Fmax).
+
+    Returns dict with qx0..qy2, z0..2, invz0..2 (see gather_bin_channels
+    for the TPU layout rationale)."""
+    planes = jnp.stack(
+        [fd.q[:, :, k, 0] for k in range(3)]
+        + [fd.q[:, :, k, 1] for k in range(3)]
+        + [fd.z[:, :, k] for k in range(3)]
+        + [fd.invz[:, :, k] for k in range(3)],
+        axis=-1,
+    )  # (B, F, 12) — order: qx0..2, qy0..2, z0..2, invz0..2
+    gathered = gather_bin_channels(planes, bins, onehot_max_faces)
     return {name: gathered[..., c] for c, name in enumerate(_PLANE_ORDER)}
 
 

@@ -49,13 +49,22 @@ class PointFragments:
 
 @dataclasses.dataclass(frozen=True)
 class PointsRasterizationSettings:
-    """pytorch3d PointsRasterizationSettings mirror (radius in NDC units)."""
+    """pytorch3d PointsRasterizationSettings mirror (radius in NDC units).
+
+    bin_size switches on coarse-to-fine binning (pytorch3d's bin_size /
+    max_points_per_bin): points are bucketed into bin_size-pixel tiles by
+    their radius-expanded bbox, and each tile evaluates only its own
+    candidates — the large-cloud path (dense is O(pixels x points)).
+    Overflowing tiles silently drop high-index points; size
+    max_points_per_bin with headroom."""
 
     image_size: Tuple[int, int]
     radius: float = 0.01
     points_per_pixel: int = 8
     znear: float = 1e-5
     pixel_chunk: int = 8192
+    bin_size: Union[None, int] = None
+    max_points_per_bin: int = 128
 
 
 def project_points_screen(
@@ -99,6 +108,116 @@ def _select_chunk(pix, q, z, valid, radius2, K: int):
     return out
 
 
+def _rasterize_points_binned(
+    q, z, valid, radius2, settings: PointsRasterizationSettings
+) -> PointFragments:
+    """Coarse-to-fine point rasterization: bin points into pixel tiles by
+    radius-expanded bbox, then per-tile top-K selection + differentiable
+    recomputation via masked one-hot reductions over the tile's candidate
+    lanes (mirrors raster._rasterize_binned; no arbitrary-index gathers)."""
+    from .binning import (
+        bin_bboxes,
+        gather_bin_channels,
+        tile_pixel_coords,
+        untile_image,
+    )
+
+    H, W = settings.image_size
+    K = settings.points_per_pixel
+    tile = settings.bin_size
+    B, N = z.shape
+
+    r = jnp.sqrt(radius2)
+    bins = bin_bboxes(
+        jax.lax.stop_gradient(q - r[..., None]),
+        jax.lax.stop_gradient(q + r[..., None]),
+        valid, (H, W), tile, settings.max_points_per_bin,
+    )
+    T = bins.face_idx.shape[1]
+    Pmax = bins.face_idx.shape[2]
+    tp = tile * tile
+
+    # per-tile candidate channels: x, y, z, r2 (differentiable gather)
+    planes = jnp.stack([q[..., 0], q[..., 1], z, radius2], axis=-1)
+    ch = gather_bin_channels(planes, bins)           # (B, T, Pmax, 4)
+    vmask = bins.face_mask                           # (B, T, Pmax)
+
+    local = tile_pixel_coords((H, W), tile)          # (tp, 2)
+    flat = lambda a: a.reshape((B * T,) + a.shape[2:])
+    chf = flat(ch)
+    vf = flat(vmask)
+    fidx = flat(bins.face_idx)
+    of = jnp.broadcast_to(bins.tile_origin[None], (B, T, 2)).reshape(B * T, 2)
+
+    NT = B * T
+    tiles_per_chunk = max(1, min(settings.pixel_chunk // tp, NT))
+    n_chunks = -(-NT // tiles_per_chunk)
+    padn = n_chunks * tiles_per_chunk - NT
+    padc = lambda a: jnp.pad(
+        a, [(0, padn)] + [(0, 0)] * (a.ndim - 1)
+    ).reshape((n_chunks, tiles_per_chunk) + a.shape[1:])
+
+    iota_p = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Pmax), 2)
+
+    def per_chunk(args):
+        chc, v, fi, o = args
+        px = local[None, :, 0] + o[:, 0:1]           # (c, tp)
+        py = local[None, :, 1] + o[:, 1:2]
+        x = chc[..., 0][:, None, :]                  # (c, 1, Pmax)
+        y = chc[..., 1][:, None, :]
+        zc = chc[..., 2][:, None, :]
+        r2 = chc[..., 3][:, None, :]
+        dx = px[..., None] - x                       # (c, tp, Pmax)
+        dy = py[..., None] - y
+        d2 = dx * dx + dy * dy
+
+        cover = (jax.lax.stop_gradient(d2) <= r2) & v[:, None, :] & (
+            jax.lax.stop_gradient(zc) > settings.znear
+        )
+        priority = jnp.where(
+            cover, jax.lax.stop_gradient(zc) * jnp.ones_like(d2), INF
+        )
+        k_eff = min(K, Pmax)
+        negz, idx_local = jax.lax.top_k(-priority, k_eff)  # (c, tp, K)
+        idx_local = jnp.where(negz > -INF, idx_local, -1)
+        if k_eff < K:
+            idx_local = jnp.pad(
+                idx_local, ((0, 0), (0, 0), (0, K - k_eff)),
+                constant_values=-1,
+            )
+
+        zbufs, d2s, idxs = [], [], []
+        for k in range(min(K, Pmax)):
+            mk = idx_local[:, :, k][..., None] == iota_p  # (c, tp, Pmax)
+            mf = mk.astype(d2.dtype)
+            zbufs.append(jnp.sum(jnp.where(mk, zc, 0.0), axis=-1))
+            d2s.append(jnp.sum(mf * d2, axis=-1))
+            idxs.append(jnp.sum(mk * fi[:, None, :], axis=-1).astype(jnp.int32))
+        for _ in range(Pmax, K):  # clouds smaller than K slots
+            zbufs.append(jnp.zeros_like(zbufs[0]))
+            d2s.append(jnp.zeros_like(d2s[0]))
+            idxs.append(jnp.zeros_like(idxs[0]))
+
+        live = idx_local >= 0
+        zbuf = jnp.where(live, jnp.stack(zbufs, axis=-1), -1.0)
+        dist2 = jnp.where(live, jnp.stack(d2s, axis=-1), -1.0)
+        pidx = jnp.where(live, jnp.stack(idxs, axis=-1), -1)
+        return pidx, zbuf, dist2
+
+    pidx, zbuf, dist2 = jax.lax.map(
+        per_chunk, (padc(chf), padc(vf), padc(fidx), padc(of))
+    )
+
+    def finish(a):
+        a = a.reshape((n_chunks * tiles_per_chunk, tp) + a.shape[3:])[:NT]
+        a = a.reshape((B, T, tp) + a.shape[2:])
+        return untile_image(a, (H, W), tile, bins.n_tiles_hw)
+
+    return PointFragments(
+        idx=finish(pidx), zbuf=finish(zbuf), dists2=finish(dist2)
+    )
+
+
 def rasterize_points(
     pcls: Pointclouds, camera: PerspectiveCamera,
     settings: PointsRasterizationSettings,
@@ -118,6 +237,9 @@ def rasterize_points(
     else:
         radius_arr = jnp.broadcast_to(jnp.asarray(radius, jnp.float32), (B, N))
     radius2 = radius_arr * radius_arr
+
+    if settings.bin_size is not None:
+        return _rasterize_points_binned(q, z, valid, radius2, settings)
 
     pix_all = pixel_coords_raster((H, W))
     HW = pix_all.shape[0]
