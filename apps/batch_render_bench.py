@@ -26,6 +26,8 @@ def main():
                    help="views per device call (bounds the per-pixel buffers "
                         "at large image sizes)")
     p.add_argument("--bin-size", type=int, default=32)
+    p.add_argument("--raster-impl", choices=["auto", "xla", "pallas"],
+                   default="auto")
     p.add_argument("--max-faces-per-bin", type=int, default=0,
                    help="0 = auto-size from the scene's measured max tile "
                         "occupancy (pallas_soft.suggest_faces_per_tile)")
@@ -65,6 +67,7 @@ def main():
     renderer = DepthRender(
         K, (H, W), pixel_chunk=1048576,
         bin_size=args.bin_size, max_faces_per_bin=mfb,
+        impl=args.raster_impl,
     )
     vc = min(args.view_chunk, N)
     batched = meshes.extend(vc)

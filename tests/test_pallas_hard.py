@@ -1,0 +1,132 @@
+"""Fused Pallas K=1 hard rasterizer: parity vs the XLA binned/dense paths.
+
+Runs in interpret mode on CPU (conftest forces cpu); the same kernel is
+exercised compiled on TPU by bench/app runs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import torch_renderer_tpu as trt
+from torch_renderer_tpu.ops.icosphere import icosphere
+from torch_renderer_tpu.rasterize.geometry import setup_faces
+from torch_renderer_tpu.rasterize.pallas_hard import rasterize_binned_pallas
+from torch_renderer_tpu.rasterize.raster import (
+    RasterizationSettings,
+    rasterize_face_data,
+)
+
+H, W = 96, 96
+F = 0.8 * 96
+K_MAT = np.array([[F, 0, W / 2], [0, F, H / 2], [0, 0, 1]], np.float32)
+
+
+def scene(batch=2, level=2):
+    verts, faces = icosphere(level)
+    meshes = trt.Meshes.from_single(verts, faces).extend(batch)
+    ts = np.stack(
+        [[0.1 * i, -0.05 * i, 2.5 + 0.5 * i] for i in range(batch)]
+    ).astype(np.float32)
+    cam = trt.PerspectiveCamera.from_K(
+        K_MAT, (H, W),
+        R=np.broadcast_to(np.eye(3, dtype=np.float32), (batch, 3, 3)), t=ts,
+    )
+    return meshes, cam
+
+
+@pytest.mark.parametrize("blur", [0.0, 1e-4])
+def test_pallas_hard_matches_xla_binned(blur):
+    meshes, cam = scene()
+    fd = setup_faces(meshes, cam)
+    st = RasterizationSettings(
+        (H, W), blur_radius=blur, faces_per_pixel=1, bin_size=16,
+        max_faces_per_bin=128,
+    )
+    ours = rasterize_binned_pallas(fd, st)
+    import dataclasses
+    ref = rasterize_face_data(fd, dataclasses.replace(st, impl="xla"))
+    po = np.asarray(ours.pix_to_face)
+    pr = np.asarray(ref.pix_to_face)
+    zo = np.asarray(ours.zbuf)
+    zr = np.asarray(ref.zbuf)
+    # In the blur band two faces can tie on selection depth to the last f32
+    # bit; the winner is then an arbitrary fp-ordering artifact. Require any
+    # face-id disagreement to be such a depth tie, and rare.
+    diff = po != pr
+    assert diff.mean() < 1e-3, diff.mean()
+    np.testing.assert_allclose(zo[diff], zr[diff], atol=1e-5)
+    assert (po[diff] >= 0).all() and (pr[diff] >= 0).all()
+    same = ~diff
+    np.testing.assert_allclose(zo[same], zr[same], atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(ours.bary)[same], np.asarray(ref.bary)[same], atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours.dists)[same], np.asarray(ref.dists)[same],
+        atol=1e-5, rtol=1e-4,
+    )
+
+
+def test_pallas_hard_matches_dense():
+    meshes, cam = scene(batch=1)
+    fd = setup_faces(meshes, cam)
+    pallas = rasterize_binned_pallas(
+        fd, RasterizationSettings(
+            (H, W), faces_per_pixel=1, bin_size=16, max_faces_per_bin=128
+        )
+    )
+    dense = rasterize_face_data(
+        fd, RasterizationSettings((H, W), faces_per_pixel=1)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(pallas.pix_to_face), np.asarray(dense.pix_to_face)
+    )
+    np.testing.assert_allclose(
+        np.asarray(pallas.zbuf), np.asarray(dense.zbuf), atol=1e-5
+    )
+
+
+def test_pallas_hard_gradients_match_xla():
+    meshes, cam = scene(batch=1, level=1)
+    w = jnp.cos(jnp.arange(H * W, dtype=jnp.float32)).reshape(1, H, W, 1)
+    st = RasterizationSettings(
+        (H, W), blur_radius=1e-4, faces_per_pixel=1, bin_size=16,
+        max_faces_per_bin=128,
+    )
+
+    def loss(v, impl):
+        import dataclasses
+        fd = setup_faces(meshes.update_padded(v), cam)
+        fr = rasterize_face_data(fd, dataclasses.replace(st, impl=impl))
+        m = fr.mask
+        val = (
+            jnp.where(m, fr.zbuf, 0.0)
+            + jnp.where(m, fr.dists, 0.0)
+            + jnp.sum(jnp.where(m[..., None], fr.bary, 0.0), axis=-1)
+        )
+        return jnp.sum(val * w)
+
+    g_p = jax.grad(lambda v: loss(v, "pallas"))(meshes.verts)
+    g_x = jax.grad(lambda v: loss(v, "xla"))(meshes.verts)
+    np.testing.assert_allclose(
+        np.asarray(g_p), np.asarray(g_x), atol=1e-3, rtol=1e-3
+    )
+    assert float(jnp.linalg.norm(g_p)) > 0
+
+
+def test_pallas_hard_empty_view():
+    meshes, cam_far = scene(batch=1)
+    # translate the mesh fully out of view
+    cam = trt.PerspectiveCamera.from_K(
+        K_MAT, (H, W), R=np.eye(3, dtype=np.float32)[None],
+        t=np.array([[50.0, 50.0, 3.0]], np.float32),
+    )
+    fd = setup_faces(meshes, cam)
+    fr = rasterize_binned_pallas(
+        fd, RasterizationSettings(
+            (H, W), faces_per_pixel=1, bin_size=16, max_faces_per_bin=128
+        )
+    )
+    assert int(jnp.max(fr.pix_to_face)) == -1
+    np.testing.assert_allclose(np.asarray(fr.zbuf), -1.0)

@@ -1,0 +1,379 @@
+"""Fused Pallas TPU kernel for tile-binned K=1 hard rasterization.
+
+The hard-rasterization hot loop (batch depth renders at 720p, reference
+batch_rendering_test.py:341-358; the depth/RGB renders inside the pose
+optimizer, camera_pose_optimizer.py:237-254). The XLA binned path
+(raster._rasterize_binned) evaluates every tile's full faces_per_tile lane
+budget in HBM-staged chunks; this kernel keeps one tile's pixel-x-face
+working set in VMEM, selects the nearest covering face AND interpolates its
+fragment outputs in one pass, and — like pallas_soft — skips face chunks
+beyond each tile's real candidate count (SMEM-prefetched dynamic loop
+bounds; the grid runs sequentially per core so every skipped chunk is pure
+wall-clock saving, and empty tiles cost ~nothing).
+
+Gradient convention matches raster.py: SELECTION (which face wins each
+pixel) is non-differentiable; gradients flow through the re-interpolation of
+the selected face's corner channels only. The backward pass is therefore a
+custom_vjp that re-runs the differentiable fragment math in XLA on one-hot
+gathered winners (reusing raster._fragment_math) and lets the einsum
+transpose scatter cotangents back to the candidate lanes.
+
+Data layout (TPU tiling wants (8, 128)-aligned blocks): per flattened tile,
+faces live in 'planes' (N, 16, F) float32 slabs along the face/lane axis:
+  rows 0-5   qx0, qy0, qx1, qy1, qx2, qy2  (corner raster coords)
+  rows 6-8   z0, z1, z2                    (corner camera z)
+  rows 9-11  invz0, invz1, invz2
+  row  12    global face id (exact in f32 below 2^24 faces)
+  row  13    valid mask
+  row  14    tile origin in lanes 0, 1
+  row  15    zero pad (16-sublane alignment)
+Output is (N, 8, tile^2): rows = zbuf, pc0, pc1, pc2, dists, p2f(global,
+f32), live, local winner lane (f32, for the backward one-hot).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .binning import bin_faces, gather_bin_planes, untile_image
+from .fragments import EMPTY_DIST, Fragments
+from .geometry import FaceRasterData
+
+_INF = 3.0e38
+_TN = 8    # tiles per program (sublane alignment)
+_FC = 128  # face-chunk lanes (bounds the VMEM working set)
+
+
+def _hard_pixel_offsets(tile: int, inv_s: float):
+    """Within-tile pixel-center offsets (TP, 1); computed once per program
+    (int div/mod expansions are expensive on the VPU)."""
+    tp = tile * tile
+    idx = jax.lax.broadcasted_iota(jnp.int32, (tp, 1), 0)
+    xoff = (idx % tile).astype(jnp.float32) * inv_s
+    yoff = (idx // tile).astype(jnp.float32) * inv_s
+    return xoff, yoff
+
+
+def _face_chunk_width(F: int) -> int:
+    """Chunk lane width: always _FC (Mosaic rejects dynamic-slice vector
+    loads whose lane extent is not a 128-multiple on real TPUs; the face
+    axis is padded to _FC multiples instead)."""
+    del F
+    return _FC
+
+
+def _chunk_fragment_math(px, py, q, zf, invzf, blur, znear, clip_bary, valid):
+    """All fragment quantities for one (TP, FC) pixel-x-face chunk.
+
+    Mirrors raster._fragment_math / _select_tile_channels exactly (same
+    formulas and clamps) so the kernel's outputs match the XLA binned path.
+    Returns (priority, zbuf, pc0, pc1, pc2, dists)."""
+    qx = q[0::2]
+    qy = q[1::2]
+
+    def cross_e(ax, ay, bx, by):
+        return (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+
+    # edge k opposite corner k (geometry.setup_faces' abc convention)
+    e0 = cross_e(qx[1], qy[1], qx[2], qy[2])
+    e1 = cross_e(qx[2], qy[2], qx[0], qy[0])
+    e2 = cross_e(qx[0], qy[0], qx[1], qy[1])
+    area2 = (qx[1] - qx[0]) * (qy[2] - qy[0]) - (qy[1] - qy[0]) * (qx[2] - qx[0])
+    inv_area = 1.0 / jnp.where(jnp.abs(area2) > 1e-12, area2, 1.0)
+    b0, b1, b2 = e0 * inv_area, e1 * inv_area, e2 * inv_area
+    inside = (b0 >= 0.0) & (b1 >= 0.0) & (b2 >= 0.0)
+
+    # selection z (relu-clipped form, as _select_tile_channels)
+    rb0, rb1, rb2 = jax.nn.relu(b0), jax.nn.relu(b1), jax.nn.relu(b2)
+    den_sel = jnp.clip(
+        rb0 * invzf[0] + rb1 * invzf[1] + rb2 * invzf[2], 1e-12, None
+    )
+    zsel = (rb0 + rb1 + rb2) / den_sel
+
+    # signed squared boundary distance (always computed: dists output)
+    d2 = None
+    for a_i, b_i in ((0, 1), (1, 2), (2, 0)):
+        gx = qx[b_i] - qx[a_i]
+        gy = qy[b_i] - qy[a_i]
+        len2 = jnp.clip(gx * gx + gy * gy, 1e-12, None)
+        wx = px - qx[a_i]
+        wy = py - qy[a_i]
+        wg = wx * gx + wy * gy
+        t = jnp.clip(wg / len2, 0.0, 1.0)
+        dd = wx * wx + wy * wy - 2.0 * t * wg + t * t * len2
+        d2 = dd if d2 is None else jnp.minimum(d2, dd)
+    d2 = jnp.maximum(d2, 0.0)
+    dists = jnp.where(inside, -d2, d2)
+
+    if blur > 0.0:
+        cover = inside | (d2 < blur)
+    else:
+        cover = inside
+    cover = cover & (valid > 0.0) & (zsel > znear)
+    priority = jnp.where(cover, zsel, _INF)
+
+    # interpolation outputs (raw-bary perspective correction, _fragment_math)
+    npc = [b0 * invzf[0], b1 * invzf[1], b2 * invzf[2]]
+    denom = jnp.clip(npc[0] + npc[1] + npc[2], 1e-12, None)
+    pc = [n / denom for n in npc]
+    if clip_bary:
+        rp = [jax.nn.relu(p) for p in pc]
+        rden = jnp.clip(rp[0] + rp[1] + rp[2], 1e-12, None)
+        pc = [p / rden for p in rp]
+    zbuf = pc[0] * zf[0] + pc[1] * zf[1] + pc[2] * zf[2]
+    return priority, zbuf, pc[0], pc[1], pc[2], dists
+
+
+def _hard_kernel(tile, inv_s, blur, znear, clip_bary, fc, n_fc,
+                 counts_ref, planes_ref, out_ref):
+    tp = tile * tile
+    base = pl.program_id(0) * _TN  # counts is unblocked (full array in SMEM)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (tp, fc), 1)
+    xoff, yoff = _hard_pixel_offsets(tile, inv_s)
+
+    def row_body(i):
+        px = planes_ref[i, 14, 0] + xoff
+        py = planes_ref[i, 14, 1] + yoff
+
+        def face_chunk(c, carry):
+            bz, bzbuf, bpc0, bpc1, bpc2, bdist, bfid, blane = carry
+            f0 = pl.multiple_of(c * fc, fc)
+            sl = pl.ds(f0, fc)
+            q = tuple(planes_ref[i, r, sl][None, :] for r in range(6))
+            zf = tuple(planes_ref[i, 6 + r, sl][None, :] for r in range(3))
+            invzf = tuple(planes_ref[i, 9 + r, sl][None, :] for r in range(3))
+            fid = planes_ref[i, 12, sl][None, :]
+            valid = planes_ref[i, 13, sl][None, :]
+
+            prio, zbuf, pc0, pc1, pc2, dists = _chunk_fragment_math(
+                px, py, q, zf, invzf, blur, znear, clip_bary, valid
+            )
+
+            # per-pixel winner within this chunk: min-reduce, then the first
+            # lane attaining it (= lowest global face id, matching
+            # jnp.argmin's tie-break) via a second min over masked iota
+            zmin = jnp.min(prio, axis=-1)                      # (TP,)
+            amin = jnp.min(
+                jnp.where(prio == zmin[:, None], lane_iota, fc), axis=-1
+            )
+            onehot = (lane_iota == amin[:, None]).astype(jnp.float32)
+            pick = lambda v: jnp.sum(onehot * v, axis=-1)      # (TP,)
+
+            upd = zmin < bz
+            sel = lambda new, old: jnp.where(upd, new, old)
+            lane_g = (c * fc + amin).astype(jnp.float32)
+            return (
+                sel(zmin, bz), sel(pick(zbuf), bzbuf),
+                sel(pick(pc0), bpc0), sel(pick(pc1), bpc1),
+                sel(pick(pc2), bpc2), sel(pick(dists), bdist),
+                sel(pick(fid), bfid), sel(lane_g, blane),
+            )
+
+        zero = jnp.zeros((tp,), jnp.float32)
+        init = (jnp.full((tp,), _INF, jnp.float32), zero, zero, zero, zero,
+                zero, zero, zero)
+        bz, bzbuf, bpc0, bpc1, bpc2, bdist, bfid, blane = jax.lax.fori_loop(
+            0, counts_ref[base + i], face_chunk, init
+        )
+
+        live = bz < _INF
+        livef = live.astype(jnp.float32)
+        out_ref[i, 0, :] = jnp.where(live, bzbuf, -1.0)
+        out_ref[i, 1, :] = jnp.where(live, bpc0, 0.0)
+        out_ref[i, 2, :] = jnp.where(live, bpc1, 0.0)
+        out_ref[i, 3, :] = jnp.where(live, bpc2, 0.0)
+        out_ref[i, 4, :] = jnp.where(live, bdist, EMPTY_DIST)
+        out_ref[i, 5, :] = jnp.where(live, bfid, -1.0)
+        out_ref[i, 6, :] = livef
+        out_ref[i, 7, :] = jnp.where(live, blane, 0.0)
+
+    # Unrolling rows keeps _TN copies of the (tp, _FC) intermediates live on
+    # the VMEM stack — only safe for small tiles (tile=32 blows the 16M
+    # scoped-vmem limit); a fori over rows reuses one iteration's stack.
+    if n_fc <= 3 and tp <= 256:
+        for i in range(_TN):
+            row_body(i)
+    else:
+        def row(i, _):
+            row_body(i)
+            return 0
+
+        jax.lax.fori_loop(0, _TN, row, 0)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _hard_chunk_counts(planes, fc):
+    cnt = jnp.sum(planes[:, 13, :], axis=-1).astype(jnp.int32)
+    return (cnt + (fc - 1)) // fc
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
+def _tile_hard(planes, tile, inv_s, blur, znear, clip_bary):
+    """planes (N, 16, F) -> out (N, 8, tile^2) [zbuf, pc0..2, dists, p2f,
+    live, lane]."""
+    return _tile_hard_fwd(planes, tile, inv_s, blur, znear, clip_bary)[0]
+
+
+def _tile_hard_fwd(planes, tile, inv_s, blur, znear, clip_bary):
+    N, _, F = planes.shape
+    tp = tile * tile
+    fc = _face_chunk_width(F)
+    out = pl.pallas_call(
+        functools.partial(
+            _hard_kernel, tile, inv_s, blur, znear, clip_bary, fc,
+            -(-F // fc)
+        ),
+        grid=(N // _TN,),
+        in_specs=[
+            pl.BlockSpec((N,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((_TN, 16, F), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_TN, 8, tp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, 8, tp), jnp.float32),
+        interpret=_interpret(),
+    )(_hard_chunk_counts(planes, fc), planes)
+    return out, (planes, out[:, 6, :], out[:, 7, :])
+
+
+def _xla_reinterpolate(planes, lane, live, tile, inv_s, blur, znear,
+                       clip_bary, tile_chunk: int = 512):
+    """Differentiable XLA recomputation of the kernel's rows 0-4 from the
+    saved winner lanes: one-hot gather of the 12 corner channels (MXU
+    einsum; its transpose is the scatter back to candidate lanes), then the
+    same fragment math. Used only inside the backward pass."""
+    from .raster import _fragment_math
+
+    N, _, F = planes.shape
+    tp = tile * tile
+
+    n_chunks = -(-N // tile_chunk)
+    padn = n_chunks * tile_chunk - N
+    padc = lambda a: jnp.pad(
+        a, [(0, padn)] + [(0, 0)] * (a.ndim - 1)
+    ).reshape((n_chunks, tile_chunk) + a.shape[1:])
+
+    iota_f = jax.lax.broadcasted_iota(jnp.int32, (1, 1, F), 2)
+    d = jnp.arange(tile, dtype=jnp.float32) * inv_s
+    lx = jnp.tile(d, tile)[None, :]                 # (1, tp) x offsets
+    ly = jnp.repeat(d, tile)[None, :]               # (1, tp) y offsets
+
+    def per_chunk(args):
+        pl_c, lane_c, live_c = args                 # (c,16,F), (c,tp), (c,tp)
+        idx = lane_c.astype(jnp.int32)[..., None]   # (c, tp, 1)
+        onehot = ((idx == iota_f) & (live_c[..., None] > 0.0)).astype(
+            planes.dtype
+        )                                           # (c, tp, F)
+        sel = jnp.einsum(
+            "ntf,ncf->ntc", onehot, pl_c[:, :12],
+            precision=jax.lax.Precision.HIGHEST,
+        )                                           # (c, tp, 12)
+        px = pl_c[:, 14, 0][:, None] + lx
+        py = pl_c[:, 14, 1][:, None] + ly
+        qx = [sel[..., 0], sel[..., 2], sel[..., 4]]
+        qy = [sel[..., 1], sel[..., 3], sel[..., 5]]
+        zf = [sel[..., 6 + k] for k in range(3)]
+        invzf = [sel[..., 9 + k] for k in range(3)]
+        zbuf, pc, dists = _fragment_math(px, py, qx, qy, zf, invzf, clip_bary)
+        return jnp.stack([zbuf, pc[0], pc[1], pc[2], dists], axis=1)
+
+    rows = jax.lax.map(
+        per_chunk,
+        (padc(planes), padc(jax.lax.stop_gradient(lane)),
+         padc(jax.lax.stop_gradient(live))),
+    )
+    return rows.reshape(n_chunks * tile_chunk, 5, tp)[:N]
+
+
+def _tile_hard_bwd(tile, inv_s, blur, znear, clip_bary, res, g):
+    planes, live, lane = res[0], res[1], res[2]
+    # only rows 0-4 (zbuf, pc, dists) carry gradients; mask empty slots
+    g05 = g[:, :5, :] * live[:, None, :]
+
+    def rec(p):
+        return _xla_reinterpolate(
+            p, lane, live, tile, inv_s, blur, znear, clip_bary
+        )
+
+    _, vjp = jax.vjp(rec, planes)
+    return (vjp(g05)[0],)
+
+
+_tile_hard.defvjp(_tile_hard_fwd, _tile_hard_bwd)
+
+
+def rasterize_binned_pallas(
+    fd: FaceRasterData, settings
+) -> Fragments:
+    """K=1 coarse-to-fine rasterization through the fused Pallas kernel.
+
+    Drop-in for raster._rasterize_binned when faces_per_pixel == 1 (the
+    hard-depth / silhouette / single-hit Phong path). Same bins, same
+    fragment semantics; selection runs in VMEM with per-tile occupancy
+    skipping."""
+    H, W = settings.image_size
+    tile = settings.bin_size
+    blur = settings.blur_radius
+    pad_radius = math.sqrt(blur) if blur > 0 else 0.0
+
+    fd_sel = jax.lax.stop_gradient(fd)
+    bins = bin_faces(fd_sel, (H, W), tile, settings.max_faces_per_bin,
+                     pad_radius)
+    ch = gather_bin_planes(fd, bins)                 # (B, T, Fmax) channels
+    B, T, Fmax = bins.face_idx.shape
+
+    valid = bins.face_mask.astype(jnp.float32)
+    fidf = bins.face_idx.astype(jnp.float32)
+    origins = jnp.broadcast_to(bins.tile_origin[None], (B, T, 2))
+    origin_row = jnp.zeros((B, T, Fmax), jnp.float32)
+    origin_row = origin_row.at[..., 0].set(origins[..., 0])
+    origin_row = origin_row.at[..., 1].set(origins[..., 1])
+    zrow = jnp.zeros((B, T, Fmax), jnp.float32)
+
+    planes = jnp.stack(
+        [
+            ch["qx0"], ch["qy0"], ch["qx1"], ch["qy1"], ch["qx2"], ch["qy2"],
+            ch["z0"], ch["z1"], ch["z2"],
+            ch["invz0"], ch["invz1"], ch["invz2"],
+            fidf, valid, origin_row, zrow,
+        ],
+        axis=2,
+    ).reshape(B * T, 16, Fmax)
+
+    # pad the face/lane axis to full _FC chunks (padding faces carry valid=0)
+    f_pad = (-Fmax) % _FC
+    if f_pad:
+        planes = jnp.pad(planes, ((0, 0), (0, 0), (0, f_pad)))
+    N = B * T
+    n_pad = (-N) % _TN
+    if n_pad:
+        planes = jnp.pad(planes, ((0, n_pad), (0, 0), (0, 0)))
+
+    inv_s = 1.0 / (min(H, W) / 2.0)
+    out = _tile_hard(
+        planes, tile, inv_s, blur, settings.znear, settings.clip_bary
+    )[:N]                                            # (N, 8, tp)
+
+    per_tile = out.reshape(B, T, 8, tile * tile)
+
+    def img(row):
+        return untile_image(
+            per_tile[:, :, row, :].reshape(B, T, tile * tile),
+            (H, W), tile, bins.n_tiles_hw,
+        )
+
+    zbuf = img(0)[..., None]                         # (B, H, W, 1)
+    bary = jnp.stack([img(1), img(2), img(3)], axis=-1)[..., None, :]
+    dists = img(4)[..., None]
+    p2f = jnp.round(img(5)).astype(jnp.int32)[..., None]
+    return Fragments(pix_to_face=p2f, zbuf=zbuf, bary=bary, dists=dists)

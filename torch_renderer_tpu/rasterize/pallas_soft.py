@@ -81,27 +81,30 @@ def _signed_d2(px, py, q, valid):
     return signed, d2, inside, (e0, e1, e2)
 
 
-def _pixel_coords(tile: int, inv_s: float, ox, oy):
-    """Tile pixel centers (TP, 1) given the tile origin scalar coords."""
+def _pixel_offsets(tile: int, inv_s: float):
+    """Within-tile pixel-center offsets (TP, 1); computed ONCE per program —
+    the int div/mod expansions are expensive enough to dominate sparsely
+    occupied tiles if recomputed per face chunk."""
     tp = tile * tile
     idx = jax.lax.broadcasted_iota(jnp.int32, (tp, 1), 0)
-    px = ox + (idx % tile).astype(jnp.float32) * inv_s
-    py = oy + (idx // tile).astype(jnp.float32) * inv_s
-    return px, py
+    xoff = (idx % tile).astype(jnp.float32) * inv_s
+    yoff = (idx // tile).astype(jnp.float32) * inv_s
+    return xoff, yoff
 
 
-# Face axis is processed in chunks of _FC lanes: bounds the VMEM working set
-# (a (tile^2, _FC) slab per intermediate) independently of faces_per_tile.
+# Face axis is processed in chunks of _FC lanes: bounds the VMEM working
+# set (a (tile^2, _FC) slab per intermediate) independently of
+# faces_per_tile. _FC must stay a 128-multiple: Mosaic rejects dynamic-
+# slice vector loads with narrower lane extents on real TPUs.
 _FC = 128
 
 
-def _row_inputs(planes_ref, i, f0, tile, inv_s):
-    sl = pl.ds(pl.multiple_of(f0, _FC), _FC)
+def _row_inputs(planes_ref, i, f0, fc, xoff, yoff):
+    sl = pl.ds(pl.multiple_of(f0, fc), fc)
     q = tuple(planes_ref[i, c, sl][None, :] for c in range(6))
     valid = planes_ref[i, 6, sl][None, :]
-    ox = planes_ref[i, 7, 0]
-    oy = planes_ref[i, 7, 1]
-    px, py = _pixel_coords(tile, inv_s, ox, oy)
+    px = planes_ref[i, 7, 0] + xoff
+    py = planes_ref[i, 7, 1] + yoff
     return q, valid, px, py
 
 
@@ -118,13 +121,16 @@ def _row_inputs(planes_ref, i, f0, tile, inv_s):
 _ROW_UNROLL_LIMIT = 3
 
 
-def _fwd_kernel(tile, inv_s, inv_sigma, n_fc, counts_ref, planes_ref, out_ref):
+def _fwd_kernel(tile, inv_s, inv_sigma, fc, n_fc, counts_ref, planes_ref,
+                out_ref):
     tp = tile * tile
     base = pl.program_id(0) * _TN  # counts is unblocked (full array in SMEM)
+    xoff, yoff = _pixel_offsets(tile, inv_s)
 
     def row_body(i):
         def face_chunk(c, S):
-            q, valid, px, py = _row_inputs(planes_ref, i, c * _FC, tile, inv_s)
+            q, valid, px, py = _row_inputs(planes_ref, i, c * fc, fc,
+                                           xoff, yoff)
             signed, _, _, _ = _signed_d2(px, py, q, valid)
             return S + jnp.sum(jax.nn.softplus(-signed * inv_sigma), axis=-1)
 
@@ -144,19 +150,20 @@ def _fwd_kernel(tile, inv_s, inv_sigma, n_fc, counts_ref, planes_ref, out_ref):
         jax.lax.fori_loop(0, _TN, row, 0)
 
 
-def _bwd_kernel(tile, inv_s, inv_sigma, n_fc, counts_ref, planes_ref, g_ref,
-                dq_ref):
+def _bwd_kernel(tile, inv_s, inv_sigma, fc, n_fc, counts_ref, planes_ref,
+                g_ref, dq_ref):
     base = pl.program_id(0) * _TN  # counts is unblocked (full array in SMEM)
+    xoff, yoff = _pixel_offsets(tile, inv_s)
 
     def row_body(i):
         def face_chunk(c, _2):
-            _bwd_row_chunk(tile, inv_s, inv_sigma, planes_ref, g_ref, dq_ref,
-                           i, c * _FC)
+            _bwd_row_chunk(inv_sigma, fc, xoff, yoff, planes_ref, g_ref,
+                           dq_ref, i, c * fc)
             return 0
 
         def zero_chunk(c, _2):
-            sl = pl.ds(pl.multiple_of(c * _FC, _FC), _FC)
-            z = jnp.zeros((_FC,), jnp.float32)
+            sl = pl.ds(pl.multiple_of(c * fc, fc), fc)
+            z = jnp.zeros((fc,), jnp.float32)
             for r in range(8):
                 dq_ref[i, r, sl] = z
             return 0
@@ -177,8 +184,9 @@ def _bwd_kernel(tile, inv_s, inv_sigma, n_fc, counts_ref, planes_ref, g_ref,
         jax.lax.fori_loop(0, _TN, row, 0)
 
 
-def _bwd_row_chunk(tile, inv_s, inv_sigma, planes_ref, g_ref, dq_ref, i, f0):
-        q, valid, px, py = _row_inputs(planes_ref, i, f0, tile, inv_s)
+def _bwd_row_chunk(inv_sigma, fc, xoff, yoff, planes_ref, g_ref, dq_ref, i,
+                   f0):
+        q, valid, px, py = _row_inputs(planes_ref, i, f0, fc, xoff, yoff)
         signed, d2, inside, edges = _signed_d2(px, py, q, valid)
 
         g = g_ref[i, :][:, None]  # (TP, 1)
@@ -212,7 +220,7 @@ def _bwd_row_chunk(tile, inv_s, inv_sigma, planes_ref, g_ref, dq_ref, i, f0):
         a1x, a1y, b1x, b1y = edge_grads(edges[1], m1)  # edge (q1, q2)
         a2x, a2y, b2x, b2y = edge_grads(edges[2], m2)  # edge (q2, q0)
 
-        sl = pl.ds(pl.multiple_of(f0, _FC), _FC)
+        sl = pl.ds(pl.multiple_of(f0, fc), fc)
         dq_ref[i, 0, sl] = a0x + b2x  # q0
         dq_ref[i, 1, sl] = a0y + b2y
         dq_ref[i, 2, sl] = b0x + a1x  # q1
@@ -233,21 +241,33 @@ def _tile_coverage(planes, tile, inv_s, sigma):
     return _tile_coverage_fwd(planes, tile, inv_s, sigma)[0]
 
 
-def _chunk_counts(planes):
+def _chunk_counts(planes, fc):
     """Per-tile face-chunk trip counts (N,) int32 from the valid row.
 
     Valid slots are contiguous at the front of the lane axis (bin_faces'
-    top_k sorts scores descending), so ceil(count / _FC) chunks cover every
+    top_k sorts scores descending), so ceil(count / fc) chunks cover every
     valid face and all skipped chunks are entirely invalid."""
     cnt = jnp.sum(planes[:, 6, :], axis=-1).astype(jnp.int32)
-    return (cnt + (_FC - 1)) // _FC
+    return (cnt + (fc - 1)) // fc
+
+
+def _face_chunk_width(F: int) -> int:
+    """Chunk lane width for a padded face axis of F lanes. Always _FC:
+    Mosaic rejects dynamic-slice vector loads whose lane extent is not a
+    128-multiple (measured: vector<1x1x80xf32> loads fail TPU compile even
+    though they pass in interpret mode), so narrower slabs are not an
+    option — the face axis is padded to _FC multiples instead."""
+    del F
+    return _FC
 
 
 def _tile_coverage_fwd(planes, tile, inv_s, sigma):
     N, _, F = planes.shape
     tp = tile * tile
+    fc = _face_chunk_width(F)
     S = pl.pallas_call(
-        functools.partial(_fwd_kernel, tile, inv_s, 1.0 / sigma, F // _FC),
+        functools.partial(_fwd_kernel, tile, inv_s, 1.0 / sigma, fc,
+                          -(-F // fc)),
         grid=(N // _TN,),
         in_specs=[
             pl.BlockSpec((N,), lambda i: (0,), memory_space=pltpu.SMEM),
@@ -256,7 +276,7 @@ def _tile_coverage_fwd(planes, tile, inv_s, sigma):
         out_specs=pl.BlockSpec((_TN, tp), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, tp), jnp.float32),
         interpret=_interpret(),
-    )(_chunk_counts(planes), planes)
+    )(_chunk_counts(planes, fc), planes)
     return S, (planes,)
 
 
@@ -264,8 +284,10 @@ def _tile_coverage_bwd(tile, inv_s, sigma, res, g):
     (planes,) = res
     N, _, F = planes.shape
     tp = tile * tile
+    fc = _face_chunk_width(F)
     dplanes = pl.pallas_call(
-        functools.partial(_bwd_kernel, tile, inv_s, 1.0 / sigma, F // _FC),
+        functools.partial(_bwd_kernel, tile, inv_s, 1.0 / sigma, fc,
+                          -(-F // fc)),
         grid=(N // _TN,),
         in_specs=[
             pl.BlockSpec((N,), lambda i: (0,), memory_space=pltpu.SMEM),
@@ -275,7 +297,7 @@ def _tile_coverage_bwd(tile, inv_s, sigma, res, g):
         out_specs=pl.BlockSpec((_TN, 8, F), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, 8, F), jnp.float32),
         interpret=_interpret(),
-    )(_chunk_counts(planes), planes, g)
+    )(_chunk_counts(planes, fc), planes, g)
     return (dplanes,)
 
 
@@ -287,8 +309,10 @@ def suggest_faces_per_tile(
     margin: float = 1.3, multiple: int = 128,
 ) -> int:
     """Smallest safe (no-overflow) faces_per_tile for this scene, rounded up
-    to a lane multiple. Call OUTSIDE jit with concrete data (e.g. once at fit
-    setup); the result is a static kernel parameter."""
+    to a lane multiple (128: the kernels' chunk width — Mosaic requires
+    128-multiple lane extents on dynamic-slice loads). Call OUTSIDE jit
+    with concrete data (e.g. once at fit setup); the result is a static
+    kernel parameter."""
     pad = math.sqrt(SOFT_CUTOFF * sigma)
     max_count, _ = count_overflow(fd, image_size, tile, 0, pad)
     want = int(math.ceil(float(max_count) * margin / multiple)) * multiple
@@ -333,7 +357,7 @@ def soft_silhouette_pallas_fd(
         ],
         axis=2,
     ).reshape(B * T, 8, Fmax)
-    # pad the face/lane axis to the kernel's chunk size (padding faces carry
+    # pad the face/lane axis to full _FC chunks (padding faces carry
     # valid=0; jnp.pad's VJP slices the gradient back)
     f_pad = (-Fmax) % _FC
     if f_pad:

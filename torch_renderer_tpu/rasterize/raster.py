@@ -64,6 +64,11 @@ class RasterizationSettings:
     # pallas_soft.suggest_faces_per_tile measures the true maximum.
     bin_size: Optional[int] = None
     max_faces_per_bin: int = 128
+    # Binned-path implementation: 'auto' picks the fused Pallas kernel
+    # (pallas_hard) for K=1 on TPU (per-tile occupancy skipping; empty
+    # tiles cost ~nothing) and the XLA tile path otherwise; 'xla'/'pallas'
+    # force a path (pallas falls back to interpret mode off-TPU).
+    impl: str = "auto"
 
     @property
     def clip_bary(self) -> bool:
@@ -368,6 +373,14 @@ def rasterize_face_data(
 ) -> Fragments:
     """Rasterize pre-projected faces into per-pixel top-K fragments."""
     if settings.bin_size is not None:
+        use_pallas = settings.faces_per_pixel == 1 and (
+            settings.impl == "pallas"
+            or (settings.impl == "auto" and jax.default_backend() == "tpu")
+        )
+        if use_pallas:
+            from .pallas_hard import rasterize_binned_pallas
+
+            return rasterize_binned_pallas(fd, settings)
         return _rasterize_binned(fd, settings)
 
     H, W = settings.image_size

@@ -89,6 +89,7 @@ class MeshRenderer(DifferentiableRenderer):
         pixel_chunk: int = 8192,
         bin_size: Optional[int] = None,
         max_faces_per_bin: int = 128,
+        impl: str = "auto",
     ):
         super().__init__(K, image_size)
         self.settings = RasterizationSettings(
@@ -98,6 +99,7 @@ class MeshRenderer(DifferentiableRenderer):
             pixel_chunk=pixel_chunk,
             bin_size=bin_size,
             max_faces_per_bin=max_faces_per_bin,
+            impl=impl,
         )
         self.blend = BlendParams(sigma=sigma, gamma=gamma, background_color=background_color)
         self.lights = lights if lights is not None else PointLights.make()
