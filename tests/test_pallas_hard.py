@@ -115,6 +115,71 @@ def test_pallas_hard_gradients_match_xla():
     assert float(jnp.linalg.norm(g_p)) > 0
 
 
+@pytest.mark.parametrize("K", [2, 4])
+def test_pallas_topk_matches_xla_binned(K):
+    meshes, cam = scene()
+    fd = setup_faces(meshes, cam)
+    st = RasterizationSettings(
+        (H, W), blur_radius=1e-4, faces_per_pixel=K, bin_size=16,
+        max_faces_per_bin=128,
+    )
+    ours = rasterize_binned_pallas(fd, st)
+    import dataclasses
+    ref = rasterize_face_data(fd, dataclasses.replace(st, impl="xla"))
+    po = np.asarray(ours.pix_to_face)
+    pr = np.asarray(ref.pix_to_face)
+    zo = np.asarray(ours.zbuf)
+    zr = np.asarray(ref.zbuf)
+    assert po.shape == pr.shape == (2, H, W, K)
+    # depth ties in the blur band can permute/teeter the hit list; require
+    # any slot disagreement to be a depth tie, and rare
+    diff = po != pr
+    assert diff.mean() < 2e-3, diff.mean()
+    np.testing.assert_allclose(zo[diff], zr[diff], atol=1e-5)
+    same = ~diff
+    np.testing.assert_allclose(zo[same], zr[same], atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(ours.bary)[same], np.asarray(ref.bary)[same], atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours.dists)[same], np.asarray(ref.dists)[same],
+        atol=5e-5, rtol=1e-4,
+    )
+    # hit lists are near-to-far with empties (-1) trailing
+    live = po >= 0
+    assert not (live[..., 1:] & ~live[..., :-1]).any()
+    z_adj = zo[..., :-1] <= zo[..., 1:] + 1e-6
+    assert (z_adj | ~live[..., 1:]).all()
+
+
+def test_pallas_topk_gradients_match_xla():
+    meshes, cam = scene(batch=1, level=1)
+    w = jnp.cos(jnp.arange(H * W, dtype=jnp.float32)).reshape(1, H, W, 1)
+    st = RasterizationSettings(
+        (H, W), blur_radius=1e-4, faces_per_pixel=4, bin_size=16,
+        max_faces_per_bin=128,
+    )
+
+    def loss(v, impl):
+        import dataclasses
+        fd = setup_faces(meshes.update_padded(v), cam)
+        fr = rasterize_face_data(fd, dataclasses.replace(st, impl=impl))
+        m = fr.mask
+        val = (
+            jnp.where(m, fr.zbuf, 0.0)
+            + jnp.where(m, fr.dists, 0.0)
+            + jnp.sum(jnp.where(m[..., None], fr.bary, 0.0), axis=-1)
+        )
+        return jnp.sum(jnp.sum(val, axis=-1, keepdims=True) * w)
+
+    g_p = jax.grad(lambda v: loss(v, "pallas"))(meshes.verts)
+    g_x = jax.grad(lambda v: loss(v, "xla"))(meshes.verts)
+    np.testing.assert_allclose(
+        np.asarray(g_p), np.asarray(g_x), atol=1e-3, rtol=1e-3
+    )
+    assert float(jnp.linalg.norm(g_p)) > 0
+
+
 def test_pallas_hard_empty_view():
     meshes, cam_far = scene(batch=1)
     # translate the mesh fully out of view

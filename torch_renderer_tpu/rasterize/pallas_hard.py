@@ -211,6 +211,95 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _topk_kernel(tile, inv_s, blur, znear, clip_bary, K, F,
+                 counts_ref, planes_ref, out_ref):
+    """K>1 generalization of _hard_kernel: per pixel keep the K nearest
+    covering faces (nearest-first, top_k-compatible tie-break by lane
+    order). The whole face axis is evaluated as ONE (tp, F) slab (lane
+    widths only need to be 128-multiples) and the K winners come from K
+    min-extraction passes that mask each winner out of the priority slab.
+    The k loop is a lax.fori_loop whose body stores one (8, tp) channel
+    band at a dynamic sublane offset, so compiled code size is CONSTANT in
+    K — both a Python-unrolled extraction loop and a chunked sorted-carry
+    merge (quadratic in K) blow Mosaic compile times past minutes at K>=4.
+    Occupancy skipping degrades to an all-or-nothing guard: fully empty
+    tiles write empty fragments without touching the slab.
+
+    Output rows are k-major: row k*8 + c = channel c (as in _hard_kernel)
+    of hit k."""
+    tp = tile * tile
+    base = pl.program_id(0) * _TN
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (tp, F), 1)
+    xoff, yoff = _hard_pixel_offsets(tile, inv_s)
+    zero = jnp.zeros((tp,), jnp.float32)
+    neg1 = -1.0 * jnp.ones((tp,), jnp.float32)
+    empty_band = jnp.stack(
+        [neg1, zero, zero, zero, jnp.full((tp,), EMPTY_DIST, jnp.float32),
+         neg1, zero, zero],
+        axis=0,
+    )  # (8, tp)
+
+    def row_body(i):
+        count = counts_ref[base + i]
+
+        @pl.when(count == 0)
+        def _empty():
+            def k_body(k, _):
+                out_ref[i, pl.ds(pl.multiple_of(k * 8, 8), 8), :] = empty_band
+                return 0
+
+            jax.lax.fori_loop(0, K, k_body, 0)
+
+        @pl.when(count > 0)
+        def _full():
+            px = planes_ref[i, 14, 0] + xoff
+            py = planes_ref[i, 14, 1] + yoff
+            q = tuple(planes_ref[i, r, :][None, :] for r in range(6))
+            zf = tuple(planes_ref[i, 6 + r, :][None, :] for r in range(3))
+            invzf = tuple(
+                planes_ref[i, 9 + r, :][None, :] for r in range(3)
+            )
+            fid = planes_ref[i, 12, :][None, :]
+            valid = planes_ref[i, 13, :][None, :]
+
+            prio, zbuf, pc0, pc1, pc2, dists = _chunk_fragment_math(
+                px, py, q, zf, invzf, blur, znear, clip_bary, valid
+            )
+
+            def k_body(k, prio):
+                zmin = jnp.min(prio, axis=-1)                  # (TP,)
+                amin = jnp.min(
+                    jnp.where(prio == zmin[:, None], lane_iota, F), axis=-1
+                )
+                onehot = (lane_iota == amin[:, None]).astype(jnp.float32)
+                pick = lambda v: jnp.sum(onehot * v, axis=-1)  # (TP,)
+
+                live = zmin < _INF
+                band = jnp.stack(
+                    [
+                        jnp.where(live, pick(zbuf), -1.0),
+                        jnp.where(live, pick(pc0), 0.0),
+                        jnp.where(live, pick(pc1), 0.0),
+                        jnp.where(live, pick(pc2), 0.0),
+                        jnp.where(live, pick(dists), EMPTY_DIST),
+                        jnp.where(live, pick(fid), -1.0),
+                        live.astype(jnp.float32),
+                        jnp.where(live, amin.astype(jnp.float32), 0.0),
+                    ],
+                    axis=0,
+                )  # (8, tp)
+                out_ref[i, pl.ds(pl.multiple_of(k * 8, 8), 8), :] = band
+                return jnp.where(onehot > 0.0, _INF, prio)
+
+            jax.lax.fori_loop(0, K, k_body, prio)
+
+    def row(i, _):
+        row_body(i)
+        return 0
+
+    jax.lax.fori_loop(0, _TN, row, 0)
+
+
 def _hard_chunk_counts(planes, fc):
     cnt = jnp.sum(planes[:, 13, :], axis=-1).astype(jnp.int32)
     return (cnt + (fc - 1)) // fc
@@ -247,15 +336,19 @@ def _tile_hard_fwd(planes, tile, inv_s, blur, znear, clip_bary):
 
 
 def _xla_reinterpolate(planes, lane, live, tile, inv_s, blur, znear,
-                       clip_bary, tile_chunk: int = 512):
-    """Differentiable XLA recomputation of the kernel's rows 0-4 from the
-    saved winner lanes: one-hot gather of the 12 corner channels (MXU
-    einsum; its transpose is the scatter back to candidate lanes), then the
-    same fragment math. Used only inside the backward pass."""
+                       clip_bary, K: int = 1, tile_chunk: int = 512):
+    """Differentiable XLA recomputation of the kernel's zbuf/pc/dists rows
+    from the saved winner lanes: one-hot gather of the 12 corner channels
+    (MXU einsum; its transpose is the scatter back to candidate lanes),
+    then the same fragment math. Used only inside the backward pass.
+
+    lane, live: (N, K, tp). Returns (N, 5, K, tp)."""
     from .raster import _fragment_math
 
     N, _, F = planes.shape
     tp = tile * tile
+    ktp = K * tp
+    tile_chunk = max(1, tile_chunk // K)
 
     n_chunks = -(-N // tile_chunk)
     padn = n_chunks * tile_chunk - N
@@ -265,19 +358,19 @@ def _xla_reinterpolate(planes, lane, live, tile, inv_s, blur, znear,
 
     iota_f = jax.lax.broadcasted_iota(jnp.int32, (1, 1, F), 2)
     d = jnp.arange(tile, dtype=jnp.float32) * inv_s
-    lx = jnp.tile(d, tile)[None, :]                 # (1, tp) x offsets
-    ly = jnp.repeat(d, tile)[None, :]               # (1, tp) y offsets
+    lx = jnp.tile(jnp.tile(d, tile), K)[None, :]    # (1, K*tp) x offsets
+    ly = jnp.tile(jnp.repeat(d, tile), K)[None, :]  # (1, K*tp) y offsets
 
     def per_chunk(args):
-        pl_c, lane_c, live_c = args                 # (c,16,F), (c,tp), (c,tp)
-        idx = lane_c.astype(jnp.int32)[..., None]   # (c, tp, 1)
+        pl_c, lane_c, live_c = args             # (c,16,F), (c,ktp), (c,ktp)
+        idx = lane_c.astype(jnp.int32)[..., None]   # (c, ktp, 1)
         onehot = ((idx == iota_f) & (live_c[..., None] > 0.0)).astype(
             planes.dtype
-        )                                           # (c, tp, F)
+        )                                           # (c, ktp, F)
         sel = jnp.einsum(
             "ntf,ncf->ntc", onehot, pl_c[:, :12],
             precision=jax.lax.Precision.HIGHEST,
-        )                                           # (c, tp, 12)
+        )                                           # (c, ktp, 12)
         px = pl_c[:, 14, 0][:, None] + lx
         py = pl_c[:, 14, 1][:, None] + ly
         qx = [sel[..., 0], sel[..., 2], sel[..., 4]]
@@ -287,22 +380,24 @@ def _xla_reinterpolate(planes, lane, live, tile, inv_s, blur, znear,
         zbuf, pc, dists = _fragment_math(px, py, qx, qy, zf, invzf, clip_bary)
         return jnp.stack([zbuf, pc[0], pc[1], pc[2], dists], axis=1)
 
+    flat = lambda a: a.reshape(a.shape[0], ktp)
     rows = jax.lax.map(
         per_chunk,
-        (padc(planes), padc(jax.lax.stop_gradient(lane)),
-         padc(jax.lax.stop_gradient(live))),
+        (padc(planes), padc(flat(jax.lax.stop_gradient(lane))),
+         padc(flat(jax.lax.stop_gradient(live)))),
     )
-    return rows.reshape(n_chunks * tile_chunk, 5, tp)[:N]
+    return rows.reshape(n_chunks * tile_chunk, 5, K, tp)[:N]
 
 
 def _tile_hard_bwd(tile, inv_s, blur, znear, clip_bary, res, g):
     planes, live, lane = res[0], res[1], res[2]
     # only rows 0-4 (zbuf, pc, dists) carry gradients; mask empty slots
-    g05 = g[:, :5, :] * live[:, None, :]
+    g05 = (g[:, :5, :] * live[:, None, :])[:, :, None, :]  # (N, 5, 1, tp)
 
     def rec(p):
         return _xla_reinterpolate(
-            p, lane, live, tile, inv_s, blur, znear, clip_bary
+            p, lane[:, None, :], live[:, None, :], tile, inv_s, blur, znear,
+            clip_bary, K=1,
         )
 
     _, vjp = jax.vjp(rec, planes)
@@ -312,16 +407,71 @@ def _tile_hard_bwd(tile, inv_s, blur, znear, clip_bary, res, g):
 _tile_hard.defvjp(_tile_hard_fwd, _tile_hard_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6))
+def _tile_topk(planes, tile, inv_s, blur, znear, clip_bary, K):
+    """planes (N, 16, F) -> out (N, 8*K, tile^2), rows k-major
+    (row k*8 + c): zbuf, pc0..2, dists, p2f, live, lane per hit k."""
+    return _tile_topk_fwd(planes, tile, inv_s, blur, znear, clip_bary, K)[0]
+
+
+def _tile_topk_fwd(planes, tile, inv_s, blur, znear, clip_bary, K):
+    N, _, F = planes.shape
+    tp = tile * tile
+    out = pl.pallas_call(
+        functools.partial(
+            _topk_kernel, tile, inv_s, blur, znear, clip_bary, K, F
+        ),
+        grid=(N // _TN,),
+        in_specs=[
+            pl.BlockSpec((N,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((_TN, 16, F), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_TN, 8 * K, tp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, 8 * K, tp), jnp.float32),
+        interpret=_interpret(),
+    )(_hard_chunk_counts(planes, _FC), planes)
+    N = planes.shape[0]
+    tp = tile * tile
+    per_k = out.reshape(N, K, 8, tp)
+    return out, (planes, per_k[:, :, 6, :], per_k[:, :, 7, :])
+
+
+def _tile_topk_bwd(tile, inv_s, blur, znear, clip_bary, K, res, g):
+    planes, live, lane = res[0], res[1], res[2]     # live/lane (N, K, tp)
+    # channels 0-4 (zbuf, pc, dists) of each hit carry gradients; mask
+    # empty slots
+    N, _, tp = live.shape
+    g05 = (
+        g.reshape(N, K, 8, tp)[:, :, :5, :].transpose(0, 2, 1, 3)
+        * live[:, None, :, :]
+    )  # (N, 5, K, tp)
+
+    def rec(p):
+        return _xla_reinterpolate(
+            p, lane, live, tile, inv_s, blur, znear, clip_bary, K=K
+        )
+
+    _, vjp = jax.vjp(rec, planes)
+    return (vjp(g05)[0],)
+
+
+_tile_topk.defvjp(_tile_topk_fwd, _tile_topk_bwd)
+
+
 def rasterize_binned_pallas(
     fd: FaceRasterData, settings
 ) -> Fragments:
-    """K=1 coarse-to-fine rasterization through the fused Pallas kernel.
+    """Coarse-to-fine top-K rasterization through the fused Pallas kernels.
 
-    Drop-in for raster._rasterize_binned when faces_per_pixel == 1 (the
-    hard-depth / silhouette / single-hit Phong path). Same bins, same
-    fragment semantics; selection runs in VMEM with per-tile occupancy
-    skipping."""
+    Drop-in for raster._rasterize_binned: K=1 uses _tile_hard (the
+    hard-depth / silhouette / single-hit Phong path), K>1 uses _tile_topk
+    (soft Phong / texture fitting, reference deform_mesh_with_color.py:
+    149-159's faces_per_pixel=50 settings). Same bins, same fragment
+    semantics; selection runs in VMEM with per-tile occupancy skipping."""
     H, W = settings.image_size
+    K = settings.faces_per_pixel
     tile = settings.bin_size
     blur = settings.blur_radius
     pad_radius = math.sqrt(blur) if blur > 0 else 0.0
@@ -360,20 +510,24 @@ def rasterize_binned_pallas(
         planes = jnp.pad(planes, ((0, n_pad), (0, 0), (0, 0)))
 
     inv_s = 1.0 / (min(H, W) / 2.0)
-    out = _tile_hard(
-        planes, tile, inv_s, blur, settings.znear, settings.clip_bary
-    )[:N]                                            # (N, 8, tp)
+    tp = tile * tile
+    if K == 1:
+        out = _tile_hard(
+            planes, tile, inv_s, blur, settings.znear, settings.clip_bary
+        )[:N]                                        # (N, 8, tp)
+        per_tile = out.reshape(B, T, 1, 8, tp)
+    else:
+        out = _tile_topk(
+            planes, tile, inv_s, blur, settings.znear, settings.clip_bary, K
+        )[:N]                                        # (N, K*8, tp)
+        per_tile = out.reshape(B, T, K, 8, tp)
 
-    per_tile = out.reshape(B, T, 8, tile * tile)
+    def img(row):  # (B, H, W, K)
+        chan = per_tile[:, :, :, row, :].transpose(0, 1, 3, 2)  # (B,T,tp,K)
+        return untile_image(chan, (H, W), tile, bins.n_tiles_hw)
 
-    def img(row):
-        return untile_image(
-            per_tile[:, :, row, :].reshape(B, T, tile * tile),
-            (H, W), tile, bins.n_tiles_hw,
-        )
-
-    zbuf = img(0)[..., None]                         # (B, H, W, 1)
-    bary = jnp.stack([img(1), img(2), img(3)], axis=-1)[..., None, :]
-    dists = img(4)[..., None]
-    p2f = jnp.round(img(5)).astype(jnp.int32)[..., None]
+    zbuf = img(0)                                    # (B, H, W, K)
+    bary = jnp.stack([img(1), img(2), img(3)], axis=-1)  # (B, H, W, K, 3)
+    dists = img(4)
+    p2f = jnp.round(img(5)).astype(jnp.int32)
     return Fragments(pix_to_face=p2f, zbuf=zbuf, bary=bary, dists=dists)

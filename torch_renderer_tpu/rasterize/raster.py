@@ -373,9 +373,11 @@ def rasterize_face_data(
 ) -> Fragments:
     """Rasterize pre-projected faces into per-pixel top-K fragments."""
     if settings.bin_size is not None:
-        use_pallas = settings.faces_per_pixel == 1 and (
-            settings.impl == "pallas"
-            or (settings.impl == "auto" and jax.default_backend() == "tpu")
+        # auto: fused Pallas kernels on TPU (K=1 hard select; K>1 in-VMEM
+        # top-K insertion) — both beat the XLA tile path, whose K>1
+        # interpolation does K x Fmax masked reductions per channel.
+        use_pallas = settings.impl == "pallas" or (
+            settings.impl == "auto" and jax.default_backend() == "tpu"
         )
         if use_pallas:
             from .pallas_hard import rasterize_binned_pallas
