@@ -58,12 +58,16 @@ class JointFitConfig:
     w_clamp: float = 1.0
     sigma: float = 1e-4
     faces_per_pixel: int = 8
-    # coarse-to-fine rasterization (the fused tile path). None = dense:
-    # at K=8 soft fragments the fused per-tile interpolation does K x Fmax
-    # masked reductions per channel, which compiles slowly and loses to the
-    # dense path at the reference's 128^2 scale; binning pays off for K<=2.
-    bin_size: Optional[int] = None
-    max_faces_per_bin: int = 256
+    # Coarse-to-fine rasterization. The fused Pallas top-K kernel
+    # (rasterize/pallas_hard._topk_kernel) makes binning the clear winner
+    # at K=8: 5.9 ms vs 163 ms dense-XLA render+backward at the
+    # reference's 128^2 scale (27x). bin_size=None = dense XLA.
+    # max_faces_per_bin=None = auto-size: measure the true max tile
+    # occupancy of the concrete scene at make_dataset/fit setup and give
+    # it 1.5x headroom (overflowing bins silently drop faces — a level-4
+    # icosphere at 128^2 already peaks at ~490 faces/tile).
+    bin_size: Optional[int] = 16
+    max_faces_per_bin: Optional[int] = None
 
 
 class JointShapeTextureFitter:
@@ -78,13 +82,43 @@ class JointShapeTextureFitter:
         cfg = config
         self.config = cfg
         blur = math.log(1.0 / 1e-4 - 1.0) * cfg.sigma
+        mfb = cfg.max_faces_per_bin if cfg.max_faces_per_bin else 128
         self.renderer = MeshRenderer(
             K, image_size, blur_radius=blur, sigma=cfg.sigma,
             faces_per_pixel=cfg.faces_per_pixel,
-            bin_size=cfg.bin_size, max_faces_per_bin=cfg.max_faces_per_bin,
+            bin_size=cfg.bin_size, max_faces_per_bin=mfb,
             **renderer_kw,
         )
+        self._auto_mfb = mfb
         self._fit_cache: dict = {}
+
+    def _ensure_bin_capacity(self, meshes: Meshes, Rs, ts) -> None:
+        """Auto-size max_faces_per_bin from the CONCRETE scene (call
+        outside jit). Overflowing bins silently drop the highest-index
+        faces, so the capacity must cover the true max tile occupancy;
+        1.5x headroom absorbs occupancy drift as the mesh deforms."""
+        import math
+
+        cfg = self.config
+        if cfg.bin_size is None or cfg.max_faces_per_bin is not None:
+            return
+        from ..rasterize.binning import count_overflow
+        from ..rasterize.geometry import setup_faces
+
+        st = self.renderer.settings
+        cam = self.renderer.camera_with_pose(Rs, ts)
+        fd = setup_faces(meshes, cam)
+        pad = math.sqrt(st.blur_radius) if st.blur_radius > 0 else 0.0
+        mx, _ = count_overflow(
+            fd, self.renderer.image_size, cfg.bin_size, 0, pad
+        )
+        need = max(128, int(math.ceil(float(mx) * 1.5 / 128.0)) * 128)
+        if need > self._auto_mfb:
+            self._auto_mfb = need
+            self.renderer.settings = dataclasses.replace(
+                st, max_faces_per_bin=need
+            )
+            self._fit_cache.clear()  # cached jits traced the old capacity
 
     # -- dataset generation (reference :114-209) -----------------------------
     def make_dataset(
@@ -95,6 +129,7 @@ class JointShapeTextureFitter:
         azims = jnp.linspace(-180.0, 180.0, n, endpoint=False)
         Rs, ts = look_at_view_transform(dist, elev, azims)
         batched = target_mesh.extend(n) if target_mesh.batch_size == 1 else target_mesh
+        self._ensure_bin_capacity(batched, Rs, ts)
         out = self.renderer.render(
             batched, Rs, ts, with_silhouette=True, with_rgb=True
         )
@@ -177,6 +212,11 @@ class JointShapeTextureFitter:
         """Run the joint optimization; returns (params, history)."""
         cfg = self.config
         n = int(n_steps if n_steps is not None else cfg.n_steps)
+        src_batched = (
+            src_mesh.extend(cfg.n_views) if src_mesh.batch_size == 1
+            else src_mesh
+        )
+        self._ensure_bin_capacity(src_batched, dataset["R"], dataset["t"])
         topo = build_topology(src_mesh)
         tx = self._make_optimizer()
         params = params0 if params0 is not None else self.init_params(src_mesh, verts_uvs)

@@ -211,19 +211,24 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _topk_kernel(tile, inv_s, blur, znear, clip_bary, K, F,
-                 counts_ref, planes_ref, out_ref):
+def _topk_kernel(tile, inv_s, blur, znear, clip_bary, K, F, fc,
+                 counts_ref, planes_ref, out_ref, prio_ref):
     """K>1 generalization of _hard_kernel: per pixel keep the K nearest
     covering faces (nearest-first, top_k-compatible tie-break by lane
-    order). The whole face axis is evaluated as ONE (tp, F) slab (lane
-    widths only need to be 128-multiples) and the K winners come from K
-    min-extraction passes that mask each winner out of the priority slab.
-    The k loop is a lax.fori_loop whose body stores one (8, tp) channel
-    band at a dynamic sublane offset, so compiled code size is CONSTANT in
-    K — both a Python-unrolled extraction loop and a chunked sorted-carry
-    merge (quadratic in K) blow Mosaic compile times past minutes at K>=4.
-    Occupancy skipping degrades to an all-or-nothing guard: fully empty
-    tiles write empty fragments without touching the slab.
+    order).
+
+    Memory/compile-time design (each rule below was violated once and
+    measured to break Mosaic):
+    - The ONLY per-tile (tp, F) slab kept live is the selection priority,
+      built into a VMEM scratch in fc-lane chunks with occupancy skipping.
+      Keeping the 5 interpolated channel slabs live through the K loop
+      crashes the compile helper at F>=768; instead each extraction pass
+      re-derives the winner's fragment values from its 12 picked corner
+      channels on (tp,) vectors (cheap VPU work, exact same formulas).
+    - The k loop is a lax.fori_loop whose body stores one (8, tp) channel
+      band at a dynamic sublane offset, so compiled code size is CONSTANT
+      in K — an unrolled extraction loop or a sorted-carry merge
+      (quadratic in K) blows compile time past minutes at K>=4.
 
     Output rows are k-major: row k*8 + c = channel c (as in _hard_kernel)
     of hit k."""
@@ -254,17 +259,33 @@ def _topk_kernel(tile, inv_s, blur, znear, clip_bary, K, F,
         def _full():
             px = planes_ref[i, 14, 0] + xoff
             py = planes_ref[i, 14, 1] + yoff
-            q = tuple(planes_ref[i, r, :][None, :] for r in range(6))
-            zf = tuple(planes_ref[i, 6 + r, :][None, :] for r in range(3))
-            invzf = tuple(
-                planes_ref[i, 9 + r, :][None, :] for r in range(3)
-            )
-            fid = planes_ref[i, 12, :][None, :]
-            valid = planes_ref[i, 13, :][None, :]
 
-            prio, zbuf, pc0, pc1, pc2, dists = _chunk_fragment_math(
-                px, py, q, zf, invzf, blur, znear, clip_bary, valid
-            )
+            # phase 1: priority slab, chunk by chunk (chunks past the
+            # tile's candidate count stay at the INF prefill)
+            prio_ref[...] = jnp.full((tp, F), _INF, jnp.float32)
+
+            def chunk_body(c, _):
+                sl = pl.ds(pl.multiple_of(c * fc, fc), fc)
+                q = tuple(planes_ref[i, r, sl][None, :] for r in range(6))
+                zf = tuple(
+                    planes_ref[i, 6 + r, sl][None, :] for r in range(3)
+                )
+                invzf = tuple(
+                    planes_ref[i, 9 + r, sl][None, :] for r in range(3)
+                )
+                valid = planes_ref[i, 13, sl][None, :]
+                prio_c, _, _, _, _, _ = _chunk_fragment_math(
+                    px, py, q, zf, invzf, blur, znear, clip_bary, valid
+                )
+                prio_ref[:, sl] = prio_c
+                return 0
+
+            jax.lax.fori_loop(0, count, chunk_body, 0)
+
+            # phase 2: K extraction passes over the slab; winner channels
+            # are re-derived from the picked corners on (tp,) vectors
+            px1 = px[:, 0]
+            py1 = py[:, 0]
 
             def k_body(k, prio):
                 zmin = jnp.min(prio, axis=-1)                  # (TP,)
@@ -272,17 +293,27 @@ def _topk_kernel(tile, inv_s, blur, znear, clip_bary, K, F,
                     jnp.where(prio == zmin[:, None], lane_iota, F), axis=-1
                 )
                 onehot = (lane_iota == amin[:, None]).astype(jnp.float32)
-                pick = lambda v: jnp.sum(onehot * v, axis=-1)  # (TP,)
+                pick = lambda r: jnp.sum(
+                    onehot * planes_ref[i, r, :][None, :], axis=-1
+                )  # (TP,)
+
+                q = tuple(pick(r) for r in range(6))
+                zf = tuple(pick(6 + r) for r in range(3))
+                invzf = tuple(pick(9 + r) for r in range(3))
+                _, zbuf, pc0, pc1, pc2, dists = _chunk_fragment_math(
+                    px1, py1, q, zf, invzf, blur, znear, clip_bary,
+                    jnp.ones((tp,), jnp.float32),
+                )
 
                 live = zmin < _INF
                 band = jnp.stack(
                     [
-                        jnp.where(live, pick(zbuf), -1.0),
-                        jnp.where(live, pick(pc0), 0.0),
-                        jnp.where(live, pick(pc1), 0.0),
-                        jnp.where(live, pick(pc2), 0.0),
-                        jnp.where(live, pick(dists), EMPTY_DIST),
-                        jnp.where(live, pick(fid), -1.0),
+                        jnp.where(live, zbuf, -1.0),
+                        jnp.where(live, pc0, 0.0),
+                        jnp.where(live, pc1, 0.0),
+                        jnp.where(live, pc2, 0.0),
+                        jnp.where(live, dists, EMPTY_DIST),
+                        jnp.where(live, pick(12), -1.0),
                         live.astype(jnp.float32),
                         jnp.where(live, amin.astype(jnp.float32), 0.0),
                     ],
@@ -291,7 +322,7 @@ def _topk_kernel(tile, inv_s, blur, znear, clip_bary, K, F,
                 out_ref[i, pl.ds(pl.multiple_of(k * 8, 8), 8), :] = band
                 return jnp.where(onehot > 0.0, _INF, prio)
 
-            jax.lax.fori_loop(0, K, k_body, prio)
+            jax.lax.fori_loop(0, K, k_body, prio_ref[...])
 
     def row(i, _):
         row_body(i)
@@ -417,9 +448,10 @@ def _tile_topk(planes, tile, inv_s, blur, znear, clip_bary, K):
 def _tile_topk_fwd(planes, tile, inv_s, blur, znear, clip_bary, K):
     N, _, F = planes.shape
     tp = tile * tile
+    fc = _face_chunk_width(F)
     out = pl.pallas_call(
         functools.partial(
-            _topk_kernel, tile, inv_s, blur, znear, clip_bary, K, F
+            _topk_kernel, tile, inv_s, blur, znear, clip_bary, K, F, fc
         ),
         grid=(N // _TN,),
         in_specs=[
@@ -430,8 +462,9 @@ def _tile_topk_fwd(planes, tile, inv_s, blur, znear, clip_bary, K):
         out_specs=pl.BlockSpec((_TN, 8 * K, tp), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, 8 * K, tp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tp, F), jnp.float32)],
         interpret=_interpret(),
-    )(_hard_chunk_counts(planes, _FC), planes)
+    )(_hard_chunk_counts(planes, fc), planes)
     N = planes.shape[0]
     tp = tile * tile
     per_k = out.reshape(N, K, 8, tp)
