@@ -21,10 +21,20 @@ def base_parser(description: str) -> argparse.ArgumentParser:
 
 
 def setup_platform(args) -> None:
+    import os
+
     import jax
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    # Persistent compilation cache: repeat app runs with unchanged shapes
+    # skip the (multi-minute on the tunneled TPU) XLA/Mosaic compiles.
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_app_cache",
+    )
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def load_scene_mesh(args, level: int = 3, normalize: bool = True):

@@ -58,6 +58,9 @@ class JointFitConfig:
     w_clamp: float = 1.0
     sigma: float = 1e-4
     faces_per_pixel: int = 8
+    # Steps per device call; fit() host-loops over segments carrying the
+    # optax state on device (bounded device-call time; see fit()).
+    scan_segment: int = 250
     # Coarse-to-fine rasterization. The fused Pallas top-K kernel
     # (rasterize/pallas_hard._topk_kernel) makes binning the clear winner
     # at K=8: 5.9 ms vs 163 ms dense-XLA render+backward at the
@@ -221,12 +224,19 @@ class JointShapeTextureFitter:
         tx = self._make_optimizer()
         params = params0 if params0 is not None else self.init_params(src_mesh, verts_uvs)
 
-        if n not in self._fit_cache:
+        # The scan runs in SEGMENTS of bounded device time, with the optax
+        # state carried across calls on device: one monolithic n-step scan
+        # is a single multi-ten-second device call, which the tunneled TPU
+        # runtime intermittently kills (UNAVAILABLE) past ~30 s. Segmenting
+        # costs one dispatch per cfg.scan_segment steps (microseconds) and
+        # preserves the exact schedule/optimizer trajectory.
+        seg = max(1, min(cfg.scan_segment, n))
+        n_seg = -(-n // seg)
+        if seg not in self._fit_cache:
 
             @jax.jit
-            def run(params, src_mesh, topo, verts_uvs, dataset, key):
-                opt_state = tx.init(params)
-
+            def run(params, opt_state, src_mesh, topo, verts_uvs, dataset,
+                    key):
                 def body(carry, k):
                     params, opt_state = carry
                     idx = jax.random.choice(
@@ -239,12 +249,27 @@ class JointShapeTextureFitter:
                     params = optax.apply_updates(params, updates)
                     return (params, opt_state), metrics
 
-                keys = jax.random.split(key, n)
-                (params, _), history = jax.lax.scan(body, (params, opt_state), keys)
-                return params, history
+                keys = jax.random.split(key, seg)
+                (params, opt_state), history = jax.lax.scan(
+                    body, (params, opt_state), keys
+                )
+                return params, opt_state, history
 
-            self._fit_cache[n] = run
-        return self._fit_cache[n](params, src_mesh, topo, verts_uvs, dataset, key)
+            self._fit_cache[seg] = run
+        run = self._fit_cache[seg]
+
+        opt_state = jax.jit(tx.init)(params)
+        histories = []
+        for s in range(n_seg):
+            params, opt_state, hist = run(
+                params, opt_state, src_mesh, topo, verts_uvs, dataset,
+                jax.random.fold_in(key, s),
+            )
+            histories.append(hist)
+        history = jax.tree_util.tree_map(
+            lambda *hs: jnp.concatenate(hs, axis=0)[:n], *histories
+        )
+        return params, history
 
     def textured_mesh(self, src_mesh: Meshes, verts_uvs, params: Dict) -> Meshes:
         """Final mesh with the optimized texture attached (for save_obj —
