@@ -1,15 +1,22 @@
-"""Fused Pallas TPU kernel for tile-binned K=1 hard rasterization.
+"""Fused Pallas TPU kernels for tile-binned top-K rasterization.
 
-The hard-rasterization hot loop (batch depth renders at 720p, reference
-batch_rendering_test.py:341-358; the depth/RGB renders inside the pose
-optimizer, camera_pose_optimizer.py:237-254). The XLA binned path
-(raster._rasterize_binned) evaluates every tile's full faces_per_tile lane
-budget in HBM-staged chunks; this kernel keeps one tile's pixel-x-face
-working set in VMEM, selects the nearest covering face AND interpolates its
-fragment outputs in one pass, and — like pallas_soft — skips face chunks
-beyond each tile's real candidate count (SMEM-prefetched dynamic loop
-bounds; the grid runs sequentially per core so every skipped chunk is pure
-wall-clock saving, and empty tiles cost ~nothing).
+Two kernels share one planes layout and backward:
+- _topk_kernel (K>1) — THE production winner: 19-27x faster than the XLA
+  tile path on the soft-Phong/texture-fit settings (K=8 at 128^2,
+  reference deform_mesh_with_color.py:149-159), because the XLA path's
+  per-K one-hot interpolation does K x Fmax masked reductions per channel.
+  raster.py auto-routes K>1 here on TPU.
+- _hard_kernel (K=1) — kept selectable via impl='pallas' but NOT the
+  default: the XLA K=1 path measured faster at every scale tried (2.2 vs
+  2.7 ms at 128^2; 4x at 720p, where mostly-empty tiles waste the
+  kernel's 128-lane chunk padding while XLA sizes lanes to the true bin
+  occupancy).
+
+Both keep one tile's pixel-x-face working set in VMEM, select covering
+faces by z AND interpolate fragment outputs in one pass, and bound each
+tile's face loop by its real candidate count (scalar-prefetched from the
+planes array; the grid runs sequentially per core, so skipped chunks are
+pure wall-clock saving).
 
 Gradient convention matches raster.py: SELECTION (which face wins each
 pixel) is non-differentiable; gradients flow through the re-interpolation of
@@ -131,9 +138,8 @@ def _chunk_fragment_math(px, py, q, zf, invzf, blur, znear, clip_bary, valid):
 
 
 def _hard_kernel(tile, inv_s, blur, znear, clip_bary, fc, n_fc,
-                 counts_ref, planes_ref, out_ref):
+                 planes_ref, out_ref):
     tp = tile * tile
-    base = pl.program_id(0) * _TN  # counts is unblocked (full array in SMEM)
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (tp, fc), 1)
     xoff, yoff = _hard_pixel_offsets(tile, inv_s)
 
@@ -179,7 +185,7 @@ def _hard_kernel(tile, inv_s, blur, znear, clip_bary, fc, n_fc,
         init = (jnp.full((tp,), _INF, jnp.float32), zero, zero, zero, zero,
                 zero, zero, zero)
         bz, bzbuf, bpc0, bpc1, bpc2, bdist, bfid, blane = jax.lax.fori_loop(
-            0, counts_ref[base + i], face_chunk, init
+            0, planes_ref[i, 15, 0].astype(jnp.int32), face_chunk, init
         )
 
         live = bz < _INF
@@ -212,7 +218,7 @@ def _interpret() -> bool:
 
 
 def _topk_kernel(tile, inv_s, blur, znear, clip_bary, K, F, fc,
-                 counts_ref, planes_ref, out_ref, prio_ref):
+                 planes_ref, out_ref, prio_ref):
     """K>1 generalization of _hard_kernel: per pixel keep the K nearest
     covering faces (nearest-first, top_k-compatible tie-break by lane
     order).
@@ -233,7 +239,6 @@ def _topk_kernel(tile, inv_s, blur, znear, clip_bary, K, F, fc,
     Output rows are k-major: row k*8 + c = channel c (as in _hard_kernel)
     of hit k."""
     tp = tile * tile
-    base = pl.program_id(0) * _TN
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (tp, F), 1)
     xoff, yoff = _hard_pixel_offsets(tile, inv_s)
     zero = jnp.zeros((tp,), jnp.float32)
@@ -245,7 +250,7 @@ def _topk_kernel(tile, inv_s, blur, znear, clip_bary, K, F, fc,
     )  # (8, tp)
 
     def row_body(i):
-        count = counts_ref[base + i]
+        count = planes_ref[i, 15, 0].astype(jnp.int32)
 
         @pl.when(count == 0)
         def _empty():
@@ -331,11 +336,6 @@ def _topk_kernel(tile, inv_s, blur, znear, clip_bary, K, F, fc,
     jax.lax.fori_loop(0, _TN, row, 0)
 
 
-def _hard_chunk_counts(planes, fc):
-    cnt = jnp.sum(planes[:, 13, :], axis=-1).astype(jnp.int32)
-    return (cnt + (fc - 1)) // fc
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
 def _tile_hard(planes, tile, inv_s, blur, znear, clip_bary):
     """planes (N, 16, F) -> out (N, 8, tile^2) [zbuf, pc0..2, dists, p2f,
@@ -354,7 +354,6 @@ def _tile_hard_fwd(planes, tile, inv_s, blur, znear, clip_bary):
         ),
         grid=(N // _TN,),
         in_specs=[
-            pl.BlockSpec((N,), lambda i: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((_TN, 16, F), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -362,7 +361,7 @@ def _tile_hard_fwd(planes, tile, inv_s, blur, znear, clip_bary):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, 8, tp), jnp.float32),
         interpret=_interpret(),
-    )(_hard_chunk_counts(planes, fc), planes)
+    )(planes)
     return out, (planes, out[:, 6, :], out[:, 7, :])
 
 
@@ -455,7 +454,6 @@ def _tile_topk_fwd(planes, tile, inv_s, blur, znear, clip_bary, K):
         ),
         grid=(N // _TN,),
         in_specs=[
-            pl.BlockSpec((N,), lambda i: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((_TN, 16, F), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -464,7 +462,7 @@ def _tile_topk_fwd(planes, tile, inv_s, blur, znear, clip_bary, K):
         out_shape=jax.ShapeDtypeStruct((N, 8 * K, tp), jnp.float32),
         scratch_shapes=[pltpu.VMEM((tp, F), jnp.float32)],
         interpret=_interpret(),
-    )(_hard_chunk_counts(planes, fc), planes)
+    )(planes)
     N = planes.shape[0]
     tp = tile * tile
     per_k = out.reshape(N, K, 8, tp)
@@ -521,7 +519,14 @@ def rasterize_binned_pallas(
     origin_row = jnp.zeros((B, T, Fmax), jnp.float32)
     origin_row = origin_row.at[..., 0].set(origins[..., 0])
     origin_row = origin_row.at[..., 1].set(origins[..., 1])
+    # per-tile face-chunk trip count rides in planes row 15 lane 0: a
+    # separate SMEM input would need a whole-array (overflows SMEM at 720p
+    # tile counts) or (8,128)-tiled block, and the kernels already do
+    # scalar VMEM reads for the tile origins
+    fc = _face_chunk_width(Fmax + ((-Fmax) % _FC))
+    n_chunks = -(-jnp.sum(bins.face_mask, axis=-1) // fc)   # (B, T) int
     zrow = jnp.zeros((B, T, Fmax), jnp.float32)
+    zrow = zrow.at[..., 0].set(n_chunks.astype(jnp.float32))
 
     planes = jnp.stack(
         [

@@ -121,10 +121,9 @@ def _row_inputs(planes_ref, i, f0, fc, xoff, yoff):
 _ROW_UNROLL_LIMIT = 3
 
 
-def _fwd_kernel(tile, inv_s, inv_sigma, fc, n_fc, counts_ref, planes_ref,
+def _fwd_kernel(tile, inv_s, inv_sigma, fc, n_fc, planes_ref,
                 out_ref):
     tp = tile * tile
-    base = pl.program_id(0) * _TN  # counts is unblocked (full array in SMEM)
     xoff, yoff = _pixel_offsets(tile, inv_s)
 
     def row_body(i):
@@ -135,7 +134,8 @@ def _fwd_kernel(tile, inv_s, inv_sigma, fc, n_fc, counts_ref, planes_ref,
             return S + jnp.sum(jax.nn.softplus(-signed * inv_sigma), axis=-1)
 
         S = jax.lax.fori_loop(
-            0, counts_ref[base + i], face_chunk, jnp.zeros((tp,), jnp.float32)
+            0, planes_ref[i, 7, 2].astype(jnp.int32), face_chunk,
+            jnp.zeros((tp,), jnp.float32)
         )
         out_ref[i, :] = S
 
@@ -150,9 +150,8 @@ def _fwd_kernel(tile, inv_s, inv_sigma, fc, n_fc, counts_ref, planes_ref,
         jax.lax.fori_loop(0, _TN, row, 0)
 
 
-def _bwd_kernel(tile, inv_s, inv_sigma, fc, n_fc, counts_ref, planes_ref,
+def _bwd_kernel(tile, inv_s, inv_sigma, fc, n_fc, planes_ref,
                 g_ref, dq_ref):
-    base = pl.program_id(0) * _TN  # counts is unblocked (full array in SMEM)
     xoff, yoff = _pixel_offsets(tile, inv_s)
 
     def row_body(i):
@@ -168,7 +167,7 @@ def _bwd_kernel(tile, inv_s, inv_sigma, fc, n_fc, counts_ref, planes_ref,
                 dq_ref[i, r, sl] = z
             return 0
 
-        nc = counts_ref[base + i]
+        nc = planes_ref[i, 7, 2].astype(jnp.int32)
         jax.lax.fori_loop(0, nc, face_chunk, 0)
         # skipped chunks still need their output slots zero-filled
         jax.lax.fori_loop(nc, n_fc, zero_chunk, 0)
@@ -241,16 +240,6 @@ def _tile_coverage(planes, tile, inv_s, sigma):
     return _tile_coverage_fwd(planes, tile, inv_s, sigma)[0]
 
 
-def _chunk_counts(planes, fc):
-    """Per-tile face-chunk trip counts (N,) int32 from the valid row.
-
-    Valid slots are contiguous at the front of the lane axis (bin_faces'
-    top_k sorts scores descending), so ceil(count / fc) chunks cover every
-    valid face and all skipped chunks are entirely invalid."""
-    cnt = jnp.sum(planes[:, 6, :], axis=-1).astype(jnp.int32)
-    return (cnt + (fc - 1)) // fc
-
-
 def _face_chunk_width(F: int) -> int:
     """Chunk lane width for a padded face axis of F lanes. Always _FC:
     Mosaic rejects dynamic-slice vector loads whose lane extent is not a
@@ -270,13 +259,12 @@ def _tile_coverage_fwd(planes, tile, inv_s, sigma):
                           -(-F // fc)),
         grid=(N // _TN,),
         in_specs=[
-            pl.BlockSpec((N,), lambda i: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((_TN, 8, F), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((_TN, tp), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, tp), jnp.float32),
         interpret=_interpret(),
-    )(_chunk_counts(planes, fc), planes)
+    )(planes)
     return S, (planes,)
 
 
@@ -290,14 +278,13 @@ def _tile_coverage_bwd(tile, inv_s, sigma, res, g):
                           -(-F // fc)),
         grid=(N // _TN,),
         in_specs=[
-            pl.BlockSpec((N,), lambda i: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((_TN, 8, F), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((_TN, tp), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((_TN, 8, F), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, 8, F), jnp.float32),
         interpret=_interpret(),
-    )(_chunk_counts(planes, fc), planes, g)
+    )(planes, g)
     return (dplanes,)
 
 
@@ -346,9 +333,18 @@ def soft_silhouette_pallas_fd(
     valid = bins.face_mask.astype(jnp.float32)              # (B, T, Fmax)
 
     origins = jnp.broadcast_to(bins.tile_origin[None], (B, T, 2))
+    # the per-tile face-chunk trip count rides in row 7 lane 2 next to
+    # the tile origin: a separate SMEM input would need a whole-array
+    # (overflows SMEM at 720p tile counts) or (8,128)-tiled block, and the
+    # kernels already do scalar VMEM reads for the origins. Valid slots
+    # are contiguous at the front of the lane axis (bin_faces' top_k sorts
+    # scores descending), so ceil(count/fc) chunks cover every valid face.
+    fc = _face_chunk_width(Fmax + ((-Fmax) % _FC))
+    n_chunks = -(-jnp.sum(bins.face_mask, axis=-1) // fc)   # (B, T) int
     origin_row = jnp.zeros((B, T, Fmax), jnp.float32)
     origin_row = origin_row.at[..., 0].set(origins[..., 0])
     origin_row = origin_row.at[..., 1].set(origins[..., 1])
+    origin_row = origin_row.at[..., 2].set(n_chunks.astype(jnp.float32))
 
     planes = jnp.stack(
         [

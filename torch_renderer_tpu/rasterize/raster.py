@@ -373,11 +373,21 @@ def rasterize_face_data(
 ) -> Fragments:
     """Rasterize pre-projected faces into per-pixel top-K fragments."""
     if settings.bin_size is not None:
-        # auto: fused Pallas kernels on TPU (K=1 hard select; K>1 in-VMEM
-        # top-K insertion) — both beat the XLA tile path, whose K>1
-        # interpolation does K x Fmax masked reductions per channel.
-        use_pallas = settings.impl == "pallas" or (
-            settings.impl == "auto" and jax.default_backend() == "tpu"
+        # auto: the fused Pallas top-K kernel on TPU for K>1 — it beats the
+        # XLA tile path 19-27x there (the XLA K>1 interpolation does
+        # K x Fmax masked reductions per channel). K=1 stays on the XLA
+        # path, which measured FASTER than the Pallas hard kernel at every
+        # scale tried (2.2 vs 2.7 ms at 128^2; 4x at 720p where sparse
+        # tiles waste the kernel's 128-lane chunk padding). Gated to
+        # bin_size <= 16: tile=32 (tp=1024) kernels deterministically
+        # crash the Mosaic compile helper (measured at any N/F).
+        use_pallas = settings.bin_size <= 16 and (
+            settings.impl == "pallas"
+            or (
+                settings.impl == "auto"
+                and settings.faces_per_pixel > 1
+                and jax.default_backend() == "tpu"
+            )
         )
         if use_pallas:
             from .pallas_hard import rasterize_binned_pallas
