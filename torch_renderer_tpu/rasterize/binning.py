@@ -188,6 +188,11 @@ def gather_bin_channels(planes: jax.Array, bins: TileBins,
     F = planes.shape[1]
     C = planes.shape[2]
 
+    # NB: a fused Pallas gather (pallas_gather.gather_tiles) was built and
+    # measured SLOWER than this XLA path at the north-star scale (3.3 vs
+    # 2.0 ms fwd): the cost is the one-hot CONSTRUCTION on the VPU, not
+    # the HBM staging, and Mosaic's f32 dot pipeline loses to the fused
+    # einsum. Kept (tested) for shapes where it might win; not dispatched.
     if F <= onehot_max_items:
         # chunk tiles so the one-hot stays a bounded VMEM/HBM guest
         t_chunk = max(1, min(T, 1 + 16_000_000 // (Fmax * F)))
