@@ -160,7 +160,21 @@ def cpu_reference_fps(use_cache: bool = True) -> float:
 
 def main():
     quick = "--quick" in sys.argv
-    fps = tpu_fps()
+    # The tunneled TPU runtime intermittently fails transiently (HTTP 500
+    # from the compile helper, UNAVAILABLE device errors, hangs that clear
+    # on retry — see CLAUDE.md). Retry so one flake doesn't record a bogus
+    # benchmark for the round.
+    last_err = None
+    for attempt in range(3):
+        try:
+            fps = tpu_fps()
+            break
+        except Exception as e:  # noqa: BLE001 - infra flakiness, retried
+            last_err = e
+            print(f"bench attempt {attempt + 1} failed: {e}", file=sys.stderr)
+            time.sleep(10)
+    else:
+        raise last_err
     try:
         cpu = cpu_reference_fps(use_cache=not quick)
         vs = fps / cpu if cpu > 0 else float("nan")
