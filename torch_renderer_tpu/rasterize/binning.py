@@ -251,20 +251,29 @@ def gather_bin_channels(planes: jax.Array, bins: TileBins,
 
 
 def gather_bin_planes(fd: FaceRasterData, bins: TileBins,
-                      onehot_max_faces: int = 8192):
+                      onehot_max_faces: int = 8192,
+                      channels=None):
     """Per-tile face data as scalar channel planes, each (B, T, Fmax).
 
     Returns dict with qx0..qy2, z0..2, invz0..2 (see gather_bin_channels
-    for the TPU layout rationale)."""
-    planes = jnp.stack(
-        [fd.q[:, :, k, 0] for k in range(3)]
-        + [fd.q[:, :, k, 1] for k in range(3)]
-        + [fd.z[:, :, k] for k in range(3)]
-        + [fd.invz[:, :, k] for k in range(3)],
-        axis=-1,
-    )  # (B, F, 12) — order: qx0..2, qy0..2, z0..2, invz0..2
+    for the TPU layout rationale). `channels` restricts the gathered set
+    (names from _PLANE_ORDER) — the einsum's MXU passes and HBM output
+    both scale with the channel count, so consumers that only need the
+    corner coordinates (the soft-silhouette path) should not pay for the
+    depth channels."""
+    sources = {
+        "qx0": fd.q[:, :, 0, 0], "qx1": fd.q[:, :, 1, 0],
+        "qx2": fd.q[:, :, 2, 0],
+        "qy0": fd.q[:, :, 0, 1], "qy1": fd.q[:, :, 1, 1],
+        "qy2": fd.q[:, :, 2, 1],
+        "z0": fd.z[:, :, 0], "z1": fd.z[:, :, 1], "z2": fd.z[:, :, 2],
+        "invz0": fd.invz[:, :, 0], "invz1": fd.invz[:, :, 1],
+        "invz2": fd.invz[:, :, 2],
+    }
+    names = _PLANE_ORDER if channels is None else tuple(channels)
+    planes = jnp.stack([sources[n] for n in names], axis=-1)  # (B, F, C)
     gathered = gather_bin_channels(planes, bins, onehot_max_faces)
-    return {name: gathered[..., c] for c, name in enumerate(_PLANE_ORDER)}
+    return {name: gathered[..., c] for c, name in enumerate(names)}
 
 
 _PLANE_ORDER = ("qx0", "qx1", "qx2", "qy0", "qy1", "qy2",

@@ -33,9 +33,13 @@ faces live in 'planes' (N, 16, F) float32 slabs along the face/lane axis:
   row  12    global face id (exact in f32 below 2^24 faces)
   row  13    valid mask
   row  14    tile origin in lanes 0, 1
-  row  15    zero pad (16-sublane alignment)
-Output is (N, 8, tile^2): rows = zbuf, pc0, pc1, pc2, dists, p2f(global,
-f32), live, local winner lane (f32, for the backward one-hot).
+  row  15    face-chunk trip count in lane 0 (rides in the planes array
+             because a separate SMEM operand overflows SMEM at 720p tile
+             counts and SMEM BlockSpecs must be (8,128)-tiled)
+The 8 output channels per hit are: zbuf, pc0, pc1, pc2, dists, p2f
+(global id, f32), live, local winner lane (f32, for the backward
+one-hot). _hard_kernel emits (N, 8, tile^2); _topk_kernel emits
+(N, K*8, tile^2) with k-major rows (row k*8 + c).
 """
 
 from __future__ import annotations

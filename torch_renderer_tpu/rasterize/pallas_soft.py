@@ -19,11 +19,14 @@ Per (pixel p, face f): signed d2 = +min_e dist2(p, edge_e) outside,
 Data layout (TPU tiling wants (8, 128)-aligned blocks): per flattened tile,
 faces live in 'planes' (N, 8, F) float32 slabs along the face/lane axis:
 rows 0-5 = qx0, qy0, qx1, qy1, qx2, qy2; row 6 = valid mask; row 7 packs the
-tile origin in its first two lanes. Programs process TN=8 tiles each so every
-block is (8, 8, F) / (8, TP). Per-tile valid-face chunk counts ride along in
-SMEM and bound each tile's face loop dynamically, so empty / sparsely
+tile origin in lanes 0-1 and the face-chunk trip count in lane 2. Programs
+process TN=8 tiles each so every block is (8, 8, F) / (8, TP). The per-tile
+count bounds each tile's face loop dynamically, so empty / sparsely
 occupied tiles skip their face chunks entirely (exact: skipped chunks hold
 only valid=0 faces, whose contribution is identically 0 in both passes).
+The count rides in the planes array rather than a separate SMEM operand:
+whole-array SMEM overflows at 720p tile counts, and SMEM BlockSpecs must
+be (8,128)-tiled.
 """
 
 from __future__ import annotations
@@ -110,7 +113,7 @@ def _row_inputs(planes_ref, i, f0, fc, xoff, yoff):
 
 # Rows (tiles) are unrolled for small static chunk counts; the face-chunk
 # loop is a DYNAMIC fori_loop bounded by the tile's real candidate count
-# (SMEM-prefetched), so empty / sparsely occupied tiles skip their face
+# (scalar-read from the planes array), so empty / sparse tiles skip their face
 # chunks entirely. The Pallas TPU grid executes sequentially per core, so
 # every skipped chunk is pure wall-clock saving, and it is exact: skipped
 # chunks hold only valid=0 faces whose contribution is identically 0
@@ -329,7 +332,10 @@ def soft_silhouette_pallas_fd(
 
     # per-tile corner channels via the one-hot MXU gather (TPU arbitrary-
     # index gathers run nearly scalar; see binning.gather_bin_planes)
-    ch = gather_bin_planes(fd, bins)
+    ch = gather_bin_planes(
+        fd, bins,
+        channels=("qx0", "qy0", "qx1", "qy1", "qx2", "qy2"),
+    )  # coverage needs only the corner coords — half the gather einsum
     valid = bins.face_mask.astype(jnp.float32)              # (B, T, Fmax)
 
     origins = jnp.broadcast_to(bins.tile_origin[None], (B, T, 2))
