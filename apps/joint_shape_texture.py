@@ -71,6 +71,17 @@ def main():
     fitter = JointShapeTextureFitter(pinhole_K((H, W)), (H, W), cfg)
     dataset = fitter.make_dataset(tgt)
 
+    # warm the segment jit with one throwaway segment so the timed run
+    # reports steady-state throughput (compile is multi-minute on the
+    # tunneled TPU and would otherwise dominate the iters/sec figure)
+    t0 = time.perf_counter()
+    warm, _ = fitter.fit(
+        src, verts_uvs, dataset, jax.random.PRNGKey(args.seed + 1),
+        n_steps=min(args.iters, fitter.config.scan_segment),
+    )
+    jax.block_until_ready(warm["deform"])
+    compile_s = time.perf_counter() - t0
+
     t0 = time.perf_counter()
     params, hist = fitter.fit(src, verts_uvs, dataset, jax.random.PRNGKey(args.seed))
     jax.block_until_ready(params["deform"])
@@ -79,7 +90,9 @@ def main():
     sil = np.asarray(hist["sil_mse"]); rgb = np.asarray(hist["rgb_mse"])
     print(f"sil MSE {sil[:20].mean():.5f} -> {sil[-20:].mean():.5f}; "
           f"rgb MSE {rgb[:20].mean():.5f} -> {rgb[-20:].mean():.5f}")
-    print(f"{args.iters} iters in {elapsed:.1f}s = {args.iters / elapsed:.1f} iters/sec")
+    print(f"{args.iters} iters in {elapsed:.1f}s = "
+          f"{args.iters / elapsed:.1f} iters/sec steady "
+          f"(one-time compile+warmup {compile_s:.1f}s)")
 
     os.makedirs(args.out_dir, exist_ok=True)
     final = fitter.textured_mesh(src, verts_uvs, params)

@@ -18,6 +18,7 @@ python -m pytest \
   tests/test_pose_fit.py tests/test_parallel.py tests/test_graft_entry.py \
   tests/test_deform.py tests/test_datagen.py tests/test_deform_color.py \
   tests/test_pose_search.py tests/test_pallas_soft.py \
+  tests/test_pallas_hard.py tests/test_pallas_gather.py \
   tests/test_torch_parity.py -q
 
 echo "=== driver contract ==="
