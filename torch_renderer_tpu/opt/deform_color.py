@@ -228,8 +228,11 @@ class JointShapeTextureFitter:
         # state carried across calls on device: one monolithic n-step scan
         # is a single multi-ten-second device call, which the tunneled TPU
         # runtime intermittently kills (UNAVAILABLE) past ~30 s. Segmenting
-        # costs one dispatch per cfg.scan_segment steps (microseconds) and
-        # preserves the exact schedule/optimizer trajectory.
+        # costs one dispatch per cfg.scan_segment steps (microseconds); lr
+        # schedules and optimizer state continue exactly (they live in the
+        # optax state). NB the random view sequence depends on the segment
+        # size (keys fold per segment), so changing scan_segment changes
+        # the sampled views — not the distribution or convergence.
         seg = max(1, min(cfg.scan_segment, n))
         n_seg = -(-n // seg)
         if seg not in self._fit_cache:
