@@ -180,6 +180,42 @@ def test_pallas_topk_gradients_match_xla():
     assert float(jnp.linalg.norm(g_p)) > 0
 
 
+def test_pallas_nonsquare_image_matches_xla():
+    # H != W exercises the tile-grid origins, right/bottom tile padding
+    # (W not a multiple of bin_size) and the N % _TN row padding
+    Hn, Wn = 72, 104
+    f = 0.8 * 72
+    Km = np.array([[f, 0, Wn / 2], [0, f, Hn / 2], [0, 0, 1]], np.float32)
+    verts, faces = icosphere(2)
+    meshes = trt.Meshes.from_single(verts, faces)
+    cam = trt.PerspectiveCamera.from_K(
+        Km, (Hn, Wn), R=np.eye(3, dtype=np.float32)[None],
+        t=np.array([[0.15, -0.1, 2.8]], np.float32),
+    )
+    fd = setup_faces(meshes, cam)
+    import dataclasses
+    for K in (1, 2):
+        st = RasterizationSettings(
+            (Hn, Wn), blur_radius=1e-4, faces_per_pixel=K, bin_size=16,
+            max_faces_per_bin=128,
+        )
+        ours = rasterize_binned_pallas(fd, st)
+        ref = rasterize_face_data(fd, dataclasses.replace(st, impl="xla"))
+        po = np.asarray(ours.pix_to_face)
+        pr = np.asarray(ref.pix_to_face)
+        diff = po != pr
+        assert diff.mean() < 2e-3, (K, diff.mean())
+        np.testing.assert_allclose(
+            np.asarray(ours.zbuf)[diff], np.asarray(ref.zbuf)[diff],
+            atol=1e-5,
+        )
+        same = ~diff
+        np.testing.assert_allclose(
+            np.asarray(ours.zbuf)[same], np.asarray(ref.zbuf)[same],
+            atol=1e-5,
+        )
+
+
 def test_pallas_hard_empty_view():
     meshes, cam_far = scene(batch=1)
     # translate the mesh fully out of view
