@@ -63,3 +63,38 @@ def test_textured_render_shows_both_checker_colors(textured_obj):
     red = (rgb[..., 0] > rgb[..., 2] + 0.1) & covered
     blue = (rgb[..., 2] > rgb[..., 0] + 0.1) & covered
     assert red.sum() > 20 and blue.sum() > 20
+
+
+def test_uv_sample_matmul_matches_gather():
+    """The TPU matmul sampling formulation (scatter-free backward) computes
+    identical values and gradients to the gather path."""
+    import jax
+    import jax.numpy as jnp
+
+    from torch_renderer_tpu.structures.textures import TexturesUV
+
+    rng = np.random.RandomState(0)
+    B, Hm, Wm, C = 2, 19, 23, 3
+    maps = jnp.asarray(rng.rand(B, Hm, Wm, C).astype(np.float32))
+    fuv = jnp.zeros((B, 1, 3), jnp.int32)
+    vuv = jnp.zeros((B, 1, 2), jnp.float32)
+    tex = TexturesUV(maps=maps, faces_uvs=fuv, verts_uvs=vuv)
+    uv = jnp.asarray(rng.rand(B, 7, 11, 4, 2).astype(np.float32))
+
+    a = tex.sample(uv, method="gather")
+    b = tex.sample(uv, method="matmul")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    w = jnp.asarray(rng.rand(*a.shape).astype(np.float32))
+    gm_g = jax.grad(
+        lambda m: jnp.sum(TexturesUV(m, fuv, vuv).sample(uv, "gather") * w)
+    )(maps)
+    gm_m = jax.grad(
+        lambda m: jnp.sum(TexturesUV(m, fuv, vuv).sample(uv, "matmul") * w)
+    )(maps)
+    np.testing.assert_allclose(np.asarray(gm_g), np.asarray(gm_m), atol=1e-5)
+
+    gu_g = jax.grad(lambda u: jnp.sum(tex.sample(u, "gather") * w))(uv)
+    gu_m = jax.grad(lambda u: jnp.sum(tex.sample(u, "matmul") * w))(uv)
+    np.testing.assert_allclose(np.asarray(gu_g), np.asarray(gu_m), atol=1e-4)
+    assert float(jnp.linalg.norm(gm_m)) > 0
