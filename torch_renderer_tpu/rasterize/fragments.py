@@ -53,7 +53,8 @@ class Fragments:
 
 
 def interpolate_face_attributes(
-    pix_to_face: jax.Array, bary: jax.Array, face_attrs: jax.Array
+    pix_to_face: jax.Array, bary: jax.Array, face_attrs: jax.Array,
+    method: str = "auto", pixel_chunk: int = 8192,
 ) -> jax.Array:
     """Barycentric interpolation of per-face-corner attributes.
 
@@ -61,9 +62,23 @@ def interpolate_face_attributes(
       pix_to_face: (B, ..., K) indices (-1 empty).
       bary: (B, ..., K, 3).
       face_attrs: (B, F, 3, C) per-corner attributes.
+      method: 'auto' | 'gather' | 'onehot'. On TPU, auto uses the chunked
+        one-hot MXU formulation: arbitrary-index gathers of tiny-trailing-
+        dim (F, 3, C) arrays run nearly scalar on TPU, and — worse — their
+        BACKWARD is a scatter-add into the attributes, which serializes
+        (measured: the shading gathers cost ~74 of an 87 ms joint-fit
+        step, vs 13 ms for rasterization). The one-hot path picks corners
+        with an exact 0/1 matmul whose autodiff is a transposed matmul —
+        identical values, no scatter. Off-TPU the cheap gather is used.
     Returns:
       (B, ..., K, C), zeros at empty slots.
     """
+    use_onehot = method == "onehot" or (
+        method == "auto" and jax.default_backend() == "tpu"
+    )
+    if use_onehot:
+        return _interpolate_onehot(pix_to_face, bary, face_attrs, pixel_chunk)
+
     safe_idx = jnp.maximum(pix_to_face, 0)
 
     def gather_b(attrs_b, idx_b):
@@ -71,4 +86,40 @@ def interpolate_face_attributes(
 
     corners = jax.vmap(gather_b)(face_attrs, safe_idx)
     out = jnp.einsum("...kv,...kvc->...kc", bary, corners)
+    return jnp.where((pix_to_face >= 0)[..., None], out, 0.0)
+
+
+def _interpolate_onehot(pix_to_face, bary, face_attrs, pixel_chunk):
+    """Chunked one-hot MXU corner pick + barycentric combine (TPU path)."""
+    B, F, _, C = face_attrs.shape
+    shape = pix_to_face.shape  # (B, ...)
+    P = 1
+    for d in shape[1:]:
+        P *= d
+
+    idx = jnp.maximum(pix_to_face, 0).reshape(B, P)
+    bar = bary.reshape(B, P, 3)
+    attrs_flat = face_attrs.reshape(B, F, 3 * C)
+    iota_f = jax.lax.broadcasted_iota(jnp.int32, (1, 1, F), 2)
+
+    pc = max(1, min(pixel_chunk, P))
+    n_chunks = -(-P // pc)
+    padp = n_chunks * pc - P
+    padc = lambda a: jnp.pad(
+        a, [(0, 0), (0, padp)] + [(0, 0)] * (a.ndim - 2)
+    ).reshape((B, n_chunks, pc) + a.shape[2:]).swapaxes(0, 1)
+
+    @jax.checkpoint  # one-hots are rebuilt in backward, never stored
+    def chunk(args):
+        idx_c, bar_c = args                      # (B, pc), (B, pc, 3)
+        onehot = (idx_c[..., None] == iota_f).astype(face_attrs.dtype)
+        corners = jnp.einsum(
+            "bpf,bfz->bpz", onehot, attrs_flat,
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(idx_c.shape[0], idx_c.shape[1], 3, C)
+        return jnp.einsum("bpv,bpvc->bpc", bar_c, corners)
+
+    out = jax.lax.map(chunk, (padc(idx), padc(bar)))  # (n_chunks, B, pc, C)
+    out = out.swapaxes(0, 1).reshape(B, n_chunks * pc, C)[:, :P]
+    out = out.reshape(shape + (C,))
     return jnp.where((pix_to_face >= 0)[..., None], out, 0.0)
