@@ -165,3 +165,40 @@ def test_batch_independence():
     np.testing.assert_allclose(depth[0][depth[0] > 0], 2.0, atol=1e-5)
     np.testing.assert_allclose(depth[1][depth[1] > 0], 4.0, atol=1e-5)
     assert (depth[1] > 0).sum() == 16 * 16  # twice as far -> half the size
+
+
+def test_interpolate_onehot_matches_gather():
+    """The TPU one-hot interpolation path (scatter-free backward) computes
+    identical values and gradients to the gather path."""
+    import jax
+    import jax.numpy as jnp
+
+    from torch_renderer_tpu.rasterize.fragments import (
+        interpolate_face_attributes,
+    )
+
+    rng = np.random.RandomState(0)
+    B, H, W, K, F, C = 2, 9, 13, 4, 57, 3
+    p2f = jnp.asarray(rng.randint(-1, F, size=(B, H, W, K)).astype(np.int32))
+    bary = jnp.asarray(rng.rand(B, H, W, K, 3).astype(np.float32))
+    attrs = jnp.asarray(rng.randn(B, F, 3, C).astype(np.float32))
+
+    a = interpolate_face_attributes(p2f, bary, attrs, method="gather")
+    b = interpolate_face_attributes(
+        p2f, bary, attrs, method="onehot", pixel_chunk=64
+    )
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    w = jnp.asarray(rng.rand(*a.shape).astype(np.float32))
+    g_g = jax.grad(lambda at: jnp.sum(
+        interpolate_face_attributes(p2f, bary, at, "gather") * w))(attrs)
+    g_o = jax.grad(lambda at: jnp.sum(
+        interpolate_face_attributes(p2f, bary, at, "onehot", 64) * w))(attrs)
+    np.testing.assert_allclose(np.asarray(g_g), np.asarray(g_o), atol=1e-5)
+
+    gb_g = jax.grad(lambda b2: jnp.sum(
+        interpolate_face_attributes(p2f, b2, attrs, "gather") * w))(bary)
+    gb_o = jax.grad(lambda b2: jnp.sum(
+        interpolate_face_attributes(p2f, b2, attrs, "onehot", 64) * w))(bary)
+    np.testing.assert_allclose(np.asarray(gb_g), np.asarray(gb_o), atol=1e-5)
+    assert float(jnp.linalg.norm(g_o)) > 0
