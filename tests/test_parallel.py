@@ -119,13 +119,51 @@ def test_sharded_pallas_matches_streaming(scene, device_mesh):
 
 @pytest.mark.parametrize("shape", [(2, 4), (8, 1), (1, 8)])
 def test_sharded_silhouette_other_mesh_shapes(scene, eight_devices, shape):
-    """dp/tp ratios beyond the default (4,2): pure-tp, pure-dp, tall-tp."""
+    """dp/tp ratios beyond the default (4,2): pure-tp, pure-dp, tall-tp.
+
+    B=4 over an 8-way data axis exercises the internal batch padding (the
+    meshes are passed unsharded; soft_silhouette_sharded pads to a multiple
+    of dsize and slices the result back)."""
     meshes, cam, _ = scene
     dm = make_mesh(shape, ("data", "model"), eight_devices)
-    if B % shape[0] != 0:
-        pytest.skip("batch not divisible")
+    meshes_in = shard_batch(meshes, dm) if B % shape[0] == 0 else meshes
     want = soft_silhouette_streaming(meshes, cam)
     got = soft_silhouette_sharded(
-        shard_batch(meshes, dm), cam, dm, pixel_chunk=512, face_chunk=16,
+        meshes_in, cam, dm, pixel_chunk=512, face_chunk=16,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_sharded_silhouette_uneven_batch(scene, eight_devices):
+    """B=3 over a 4-way data axis: zero-padded internally, sliced back, and
+    gradients flow only to the real batch rows."""
+    meshes4, cam4, K = scene
+    meshes = meshes4[:3]
+    f = 0.8 * IMAGE[0]
+    R = np.broadcast_to(np.eye(3, dtype=np.float32), (3, 3, 3))
+    t = np.tile(np.array([0.0, 0.0, 3.0], np.float32), (3, 1))
+    cam = PerspectiveCamera.from_K(K, IMAGE, R=R, t=t)
+    dm = make_mesh((4, 2), ("data", "model"), eight_devices)
+    want = soft_silhouette_streaming(meshes, cam)
+    got = soft_silhouette_sharded(
+        meshes, cam, dm, pixel_chunk=512, face_chunk=16,
+    )
+    assert got.shape == (3, *IMAGE)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    def loss(v):
+        return jnp.sum(
+            soft_silhouette_sharded(
+                meshes.update_padded(v), cam, dm,
+                pixel_chunk=512, face_chunk=16,
+            )
+        )
+
+    def loss_ref(v):
+        return jnp.sum(soft_silhouette_streaming(meshes.update_padded(v), cam))
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(loss)(meshes.verts)),
+        np.asarray(jax.grad(loss_ref)(meshes.verts)),
+        atol=1e-3, rtol=1e-3,
+    )

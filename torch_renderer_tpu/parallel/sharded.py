@@ -55,20 +55,22 @@ def soft_silhouette_sharded(
     batch over `data_axis`. Exact (same sum as the dense streaming oracle);
     differentiable end-to-end (psum backward = identity broadcast).
 
-    B must be divisible by the data-axis size; the face axis is zero-padded
-    (padding faces carry valid=False and contribute softplus of +inf = 0).
+    Both axes are zero-padded to shard evenly: the face axis over the model
+    axis (padding faces carry valid=False and contribute softplus of +inf =
+    0) and the batch axis over the data axis (padded batch rows are all-
+    invalid and are sliced off the returned silhouette).
     impl='pallas' runs each shard's coverage sum through the fused TPU kernel
     (rasterize/pallas_soft) — size faces_per_tile for the LOCAL face count.
     """
     msize = device_mesh.shape[model_axis]
     dsize = device_mesh.shape[data_axis]
     fd = setup_faces(meshes, camera)
-    if fd.q.shape[0] % dsize != 0:
-        raise ValueError(
-            f"batch {fd.q.shape[0]} not divisible by data axis {dsize}"
-        )
+    batch = fd.q.shape[0]
     fd = jax.tree_util.tree_map(
-        lambda x: pad_axis_to_multiple(x, 1, msize), fd
+        lambda x: pad_axis_to_multiple(
+            pad_axis_to_multiple(x, 1, msize), 0, dsize
+        ),
+        fd,
     )
     image_size = camera.image_size
 
@@ -98,7 +100,7 @@ def soft_silhouette_sharded(
         check_vma=False,
     )
     S = alpha_fn(fd)
-    return 1.0 - jnp.exp(-S)
+    return (1.0 - jnp.exp(-S))[:batch]
 
 
 def data_parallel_fit(fitter, meshes: Meshes, refs, params0, device_mesh: Mesh,

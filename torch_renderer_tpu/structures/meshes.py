@@ -90,6 +90,15 @@ class Meshes:
         )
 
     # -- batch ops (pytorch3d Meshes API parity) -----------------------------
+    def __getitem__(self, idx) -> "Meshes":
+        """Batch indexing (pytorch3d Meshes[i]); int keeps a batch dim of 1.
+
+        Slices every pytree leaf (verts/faces/counts and any attached
+        textures) along the leading batch axis."""
+        if isinstance(idx, (int, np.integer)):
+            idx = slice(idx, idx + 1)
+        return jax.tree_util.tree_map(lambda x: x[idx], self)
+
     def extend(self, n: int) -> "Meshes":
         """Repeat each mesh n times along the batch dim
         (pytorch3d Meshes.extend, reference batch_rendering_test.py:325)."""
