@@ -1,0 +1,139 @@
+"""Fidelity gates on the reference's REAL assets (skip-gated on the mount).
+
+The reference's de-facto fidelity contract is that its workloads run on
+concrete data: cow.obj + MTL/UV texture (camera_pose_optimizer.py:86,
+deform_mesh_with_color.py:221), dolphin.obj/sphere.obj
+(deform_mesh_from_pcd.py:49-66) and the recorded sensor pickle
+filtered_datas.pkl (pose_optimizer.py:41-61). These tests load the actual
+files through our IO and drive the corresponding workloads end-to-end.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "data")),
+    reason="reference asset mount not present",
+)
+
+
+@pytest.fixture(scope="module")
+def cow():
+    from torch_renderer_tpu.io.obj import load_objs_as_meshes
+
+    return load_objs_as_meshes([os.path.join(REF, "data/cow_mesh/cow.obj")])
+
+
+def test_cow_obj_loads_with_uv_texture(cow):
+    """The real cow.obj: 2930 verts, 5856 faces, UV texture attached."""
+    from torch_renderer_tpu.structures.textures import TexturesUV
+
+    assert int(cow.num_verts[0]) == 2930
+    assert int(cow.num_faces[0]) == 5856
+    assert isinstance(cow.textures, TexturesUV)
+    assert cow.textures.maps.shape[1] >= 512  # the 1024^2 cow_texture.png
+
+
+def test_cow_textured_phong_render(cow):
+    """Textured soft-Phong render of the real cow: golden coverage/color
+    stats (committed from a CPU f32 render; the texture's brown/white
+    patches must survive UV sampling — a flat-shaded or untextured render
+    fails the variance bound)."""
+    from torch_renderer_tpu.cameras.look_at import look_at_view_transform
+    from torch_renderer_tpu.renderer import ColorRender
+
+    H = W = 160
+    f = 0.9 * H
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
+    R, t = look_at_view_transform(0.3, 10.0, 130.0)
+    rgb = np.asarray(ColorRender(K, (H, W)).render(cow, R, t))[0]
+
+    cover = rgb.sum(-1) > 0.02
+    assert 0.08 < cover.mean() < 0.20, cover.mean()  # golden 0.126
+    fg = rgb[cover]
+    mean = fg.mean(0)  # golden (0.565, 0.510, 0.482)
+    np.testing.assert_allclose(mean, [0.565, 0.510, 0.482], atol=0.06)
+    assert mean[0] > mean[1] > mean[2]  # brownish cow, not grey Phong
+    assert (fg.std(0) > 0.08).all()  # per-channel texture variance
+
+
+def test_recorded_depth_pose_fit_real_frames():
+    """DepthPoseFitter on the actual filtered_datas.pkl frame the reference
+    optimizes (datas[1], pose_optimizer.py:52): perturbed pose, recorded
+    depth references, Adam fit must decrease the loss and raise IoU. The
+    reference's YCB mustard-bottle mesh is not shipped, so a bottle-scale
+    proxy sphere stands in at the recorded pose chain."""
+    import jax
+
+    from torch_renderer_tpu.io.fixtures import load_recorded_frames
+    from torch_renderer_tpu.ops.icosphere import icosphere
+    from torch_renderer_tpu.opt.pose_fit import (
+        DepthPoseFitter, PoseFitConfig, pose_params_from_Rt,
+    )
+    from torch_renderer_tpu.structures.meshes import Meshes
+
+    rec = load_recorded_frames(os.path.join(REF, "filtered_datas.pkl"))
+    assert rec["depth"].shape == (3, 180, 320)
+    assert list(rec["object_id"]) == [6, 6, 19]
+
+    i = 1
+    K = rec["K"][i] / 4.0  # recorded K is 1280x720; depth is /4 (reference K//4)
+    K[2, 2] = 1.0
+    H, W = rec["depth"].shape[1:]
+    verts, faces = icosphere(2)
+    mesh = Meshes.from_single(0.05 * np.asarray(verts), faces)
+
+    fitter = DepthPoseFitter(K, (H, W), PoseFitConfig(lr=5e-3, use_rgb=False))
+    refs = fitter.references_from_recorded(rec["depth"][i])
+    params0 = pose_params_from_Rt(
+        rec["R"][i][None],
+        rec["t"][i][None] + np.array([0.04, -0.03, 0.05], np.float32),
+    )
+    params, hist = fitter.fit(mesh, refs, params0, n_steps=60)
+    jax.block_until_ready(params)
+
+    losses = np.asarray(hist["loss"])
+    ious = np.asarray(hist["iou"])
+    assert np.isfinite(losses).all()
+    assert losses[-1] < 0.8 * losses[0], (losses[0], losses[-1])
+    assert ious[-1] > ious[0] + 0.05, (ious[0], ious[-1])
+
+
+def test_sphere_to_dolphin_deformation():
+    """Sphere -> the real dolphin.obj (deform_mesh_from_pcd.py:49-66):
+    chamfer must fall below 0.01 within 150 steps."""
+    import jax
+
+    from torch_renderer_tpu.io.obj import load_obj
+    from torch_renderer_tpu.ops.icosphere import icosphere
+    from torch_renderer_tpu.opt.deform import DeformConfig, MeshDeformer
+    from torch_renderer_tpu.structures.meshes import Meshes
+
+    d = load_obj(os.path.join(REF, "data/dolphin.obj"), load_textures=False)
+    assert d.verts.shape[0] == 2562
+    trg = Meshes.from_single(d.verts, d.faces)
+    trg, _, _ = trg.center_and_scale_to_unit_sphere()
+    src = Meshes.from_single(*icosphere(3))
+
+    dfm = MeshDeformer(
+        src, target_meshes=trg,
+        config=DeformConfig(n_steps=150, n_samples=600),
+    )
+    _, deform, hist, _ = dfm.fit(jax.random.PRNGKey(0))
+    jax.block_until_ready(deform)
+    cham = np.asarray(hist["chamfer"])
+    assert cham[-1] < 0.01, cham[-1]
+    assert cham[-1] < cham[0] / 20.0
+
+
+def test_teapot_and_sphere_objs_load():
+    """The remaining reference meshes parse through our loader."""
+    from torch_renderer_tpu.io.obj import load_obj
+
+    tp = load_obj(os.path.join(REF, "data/teapot.obj"), load_textures=False)
+    assert tp.verts.shape[0] > 1000 and tp.faces.shape[0] > 1000
+    sp = load_obj(os.path.join(REF, "data/sphere.obj"), load_textures=False)
+    assert sp.verts.shape[0] == 2562
