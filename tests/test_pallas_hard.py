@@ -231,3 +231,77 @@ def test_pallas_hard_empty_view():
     )
     assert int(jnp.max(fr.pix_to_face)) == -1
     np.testing.assert_allclose(np.asarray(fr.zbuf), -1.0)
+
+
+def test_binned_interpolation_matches_global():
+    """Bin-local attribute interpolation (winner lanes + pre-gathered
+    slabs, fragments.interpolate_binned) == the global one-hot path:
+    values AND gradients of a textured soft-Phong render, both w.r.t.
+    vertices and the texture map."""
+    import dataclasses
+    import math
+
+    from torch_renderer_tpu.renderer import MeshRenderer
+    from torch_renderer_tpu.structures.textures import (
+        TexturesUV,
+        sphere_uv_mapping,
+    )
+
+    verts, faces = icosphere(3)
+    B = 2
+    mesh = trt.Meshes.from_single(verts, faces).extend(B)
+    uvs = jnp.asarray(sphere_uv_mapping(verts))
+    tmap = jax.random.uniform(jax.random.PRNGKey(0), (B, 32, 32, 3))
+    tex = TexturesUV(
+        maps=tmap, faces_uvs=jnp.repeat(mesh.faces[:1], B, 0),
+        verts_uvs=jnp.broadcast_to(uvs[None], (B,) + uvs.shape),
+    )
+    mesh = dataclasses.replace(mesh, textures=tex)
+    R = np.broadcast_to(np.eye(3, dtype=np.float32), (B, 3, 3))
+    t = np.stack([[0.0, 0.0, 2.7], [0.1, 0.0, 2.9]]).astype(np.float32)
+    blur = math.log(1 / 1e-4 - 1) * 1e-4
+
+    def renderer(impl):
+        return MeshRenderer(
+            K_MAT, (H, W), blur_radius=blur, sigma=1e-4, faces_per_pixel=8,
+            bin_size=16, max_faces_per_bin=256, impl=impl,
+        )
+
+    def rgb(impl, v, tm):
+        m = dataclasses.replace(
+            mesh.update_padded(v),
+            textures=dataclasses.replace(tex, maps=tm),
+        )
+        out = renderer(impl).render(
+            m, R, t, with_silhouette=True, with_rgb=True
+        )
+        return out.rgb
+
+    a = rgb("pallas", mesh.verts, tmap)  # binned interpolation
+    b = rgb("xla", mesh.verts, tmap)     # global one-hot interpolation
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+    loss = lambda impl, v, tm: jnp.sum(rgb(impl, v, tm) ** 2)
+    gv_a = jax.grad(lambda v: loss("pallas", v, tmap))(mesh.verts)
+    gv_b = jax.grad(lambda v: loss("xla", v, tmap))(mesh.verts)
+    scale = float(jnp.max(jnp.abs(gv_b))) + 1e-12
+    np.testing.assert_allclose(
+        np.asarray(gv_a) / scale, np.asarray(gv_b) / scale, atol=2e-5
+    )
+    gt_a = jax.grad(lambda tm: loss("pallas", mesh.verts, tm))(tmap)
+    gt_b = jax.grad(lambda tm: loss("xla", mesh.verts, tm))(tmap)
+    np.testing.assert_allclose(
+        np.asarray(gt_a), np.asarray(gt_b), atol=1e-3, rtol=1e-4
+    )
+
+
+def test_pallas_forced_with_big_bin_raises():
+    """impl='pallas' with bin_size > 16 must raise, not silently fall back
+    (tile=32 kernels crash the Mosaic compiler)."""
+    meshes, cam = scene()
+    fd = setup_faces(meshes, cam)
+    st = RasterizationSettings(
+        image_size=(H, W), faces_per_pixel=1, bin_size=32, impl="pallas",
+    )
+    with pytest.raises(ValueError, match="bin_size"):
+        rasterize_face_data(fd, st)

@@ -58,6 +58,11 @@ class JointFitConfig:
     w_clamp: float = 1.0
     sigma: float = 1e-4
     faces_per_pixel: int = 8
+    # Shade RGB on only the nearest shade_k slots (the z-softmax blend at
+    # gamma=1e-4 is decided by slot 0-1; slots beyond carry ~exp(-dz/1e-4)
+    # weight). Silhouette gradients keep all faces_per_pixel slots.
+    # Interpolation + texture sampling + lighting cost scales with this.
+    shade_k: int = 2
     # Steps per device call; fit() host-loops over segments carrying the
     # optax state on device (bounded device-call time; see fit()).
     scan_segment: int = 250
@@ -90,6 +95,7 @@ class JointShapeTextureFitter:
             K, image_size, blur_radius=blur, sigma=cfg.sigma,
             faces_per_pixel=cfg.faces_per_pixel,
             bin_size=cfg.bin_size, max_faces_per_bin=mfb,
+            shade_k=cfg.shade_k,
             **renderer_kw,
         )
         self._auto_mfb = mfb
@@ -234,9 +240,8 @@ class JointShapeTextureFitter:
         # size (keys fold per segment), so changing scan_segment changes
         # the sampled views — not the distribution or convergence.
         seg = max(1, min(cfg.scan_segment, n))
-        n_seg = -(-n // seg)
-        if seg not in self._fit_cache:
 
+        def make_run(length):
             @jax.jit
             def run(params, opt_state, src_mesh, topo, verts_uvs, dataset,
                     key):
@@ -252,25 +257,34 @@ class JointShapeTextureFitter:
                     params = optax.apply_updates(params, updates)
                     return (params, opt_state), metrics
 
-                keys = jax.random.split(key, seg)
+                keys = jax.random.split(key, length)
                 (params, opt_state), history = jax.lax.scan(
                     body, (params, opt_state), keys
                 )
                 return params, opt_state, history
 
-            self._fit_cache[seg] = run
-        run = self._fit_cache[seg]
+            return run
 
         opt_state = jax.jit(tx.init)(params)
         histories = []
-        for s in range(n_seg):
-            params, opt_state, hist = run(
+        done = 0
+        s = 0
+        # The final segment is sized to the remainder so exactly n optimizer
+        # steps run (a fixed-size last segment would overshoot and leave the
+        # returned params ahead of the reported history).
+        while done < n:
+            step_n = min(seg, n - done)
+            if step_n not in self._fit_cache:
+                self._fit_cache[step_n] = make_run(step_n)
+            params, opt_state, hist = self._fit_cache[step_n](
                 params, opt_state, src_mesh, topo, verts_uvs, dataset,
                 jax.random.fold_in(key, s),
             )
             histories.append(hist)
+            done += step_n
+            s += 1
         history = jax.tree_util.tree_map(
-            lambda *hs: jnp.concatenate(hs, axis=0)[:n], *histories
+            lambda *hs: jnp.concatenate(hs, axis=0), *histories
         )
         return params, history
 

@@ -252,7 +252,7 @@ def gather_bin_channels(planes: jax.Array, bins: TileBins,
 
 def gather_bin_planes(fd: FaceRasterData, bins: TileBins,
                       onehot_max_faces: int = 8192,
-                      channels=None):
+                      channels=None, extra=None):
     """Per-tile face data as scalar channel planes, each (B, T, Fmax).
 
     Returns dict with qx0..qy2, z0..2, invz0..2 (see gather_bin_channels
@@ -260,7 +260,12 @@ def gather_bin_planes(fd: FaceRasterData, bins: TileBins,
     (names from _PLANE_ORDER) — the einsum's MXU passes and HBM output
     both scale with the channel count, so consumers that only need the
     corner coordinates (the soft-silhouette path) should not pay for the
-    depth channels."""
+    depth channels.
+
+    `extra` ((B, F, CE) float32, e.g. flattened per-face-corner shading
+    attributes) rides the SAME one-hot einsum — the dominant cost is the
+    one-hot construction, so extra channels are nearly free MXU work.
+    With extra, returns (dict, extra_gathered (B, T, Fmax, CE))."""
     sources = {
         "qx0": fd.q[:, :, 0, 0], "qx1": fd.q[:, :, 1, 0],
         "qx2": fd.q[:, :, 2, 0],
@@ -272,8 +277,13 @@ def gather_bin_planes(fd: FaceRasterData, bins: TileBins,
     }
     names = _PLANE_ORDER if channels is None else tuple(channels)
     planes = jnp.stack([sources[n] for n in names], axis=-1)  # (B, F, C)
+    if extra is not None:
+        planes = jnp.concatenate([planes, extra], axis=-1)
     gathered = gather_bin_channels(planes, bins, onehot_max_faces)
-    return {name: gathered[..., c] for c, name in enumerate(names)}
+    out = {name: gathered[..., c] for c, name in enumerate(names)}
+    if extra is not None:
+        return out, gathered[..., len(names):]
+    return out
 
 
 _PLANE_ORDER = ("qx0", "qx1", "qx2", "qy0", "qy1", "qy2",

@@ -9,11 +9,44 @@ direct equivalent here — but produced by a TPU-shaped tiled rasterizer.
 from __future__ import annotations
 
 import dataclasses
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 EMPTY_DIST = 1e10  # sentinel squared-distance for empty fragment slots
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BinnedAttributes:
+    """Bin-local winner bookkeeping + pre-gathered per-face attributes.
+
+    Produced by the binned Pallas rasterizer when per-face attribute
+    channels are threaded through its tile gather (raster.rasterize_meshes'
+    extra_face_attrs): attribute interpolation can then run per tile with a
+    one-hot over the bin's <=Fmax candidate lanes instead of all F faces —
+    ~F/Fmax (~6x at the joint-fit scale) less one-hot construction, and the
+    bin gather of the attributes rides the SAME einsum as the rasterizer's
+    corner channels, so it costs no extra one-hot work at all.
+
+    lane:      (B, H, W, K) int32 bin-local candidate lane of each hit
+               (garbage where pix_to_face < 0 — always mask).
+    channels:  (B, T, Fmax, CE) bin-gathered attribute channels,
+               corner-major per attribute (corner0 c0..cn, corner1 ...).
+    layout:    static ((name, start, c_per_corner), ...) slices into CE/3.
+    """
+
+    lane: jax.Array
+    channels: jax.Array
+    tile: int = dataclasses.field(metadata=dict(static=True))
+    n_tiles_hw: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+    layout: Tuple[Tuple[str, int, int], ...] = dataclasses.field(
+        metadata=dict(static=True)
+    )
+
+    def names(self):
+        return tuple(n for n, _, _ in self.layout)
 
 
 @jax.tree_util.register_dataclass
@@ -36,6 +69,9 @@ class Fragments:
     zbuf: jax.Array
     bary: jax.Array
     dists: jax.Array
+    # Bin-local interpolation data (binned Pallas path only; see
+    # BinnedAttributes). None for dense/XLA rasterization.
+    binned: Optional[BinnedAttributes] = None
 
     @property
     def mask(self) -> jax.Array:
@@ -50,6 +86,123 @@ class Fragments:
         """(B, H, W) nearest-hit depth with background 0 (the reference's
         `relu(zbuf[..., 0])`, torch_renderer.py:113-114)."""
         return jax.nn.relu(self.zbuf[..., 0])
+
+
+def tile_image(img: jax.Array, tile: int, n_tiles_hw) -> jax.Array:
+    """(B, H, W, ...) -> (B, T, tile*tile, ...) — inverse of
+    binning.untile_image; right/bottom zero-pads H/W to tile multiples."""
+    TH, TW = n_tiles_hw
+    B, H, W = img.shape[:3]
+    trailing = img.shape[3:]
+    ph, pw = TH * tile - H, TW * tile - W
+    if ph or pw:
+        img = jnp.pad(
+            img, [(0, 0), (0, ph), (0, pw)] + [(0, 0)] * len(trailing)
+        )
+    a = img.reshape((B, TH, tile, TW, tile) + trailing)
+    a = jnp.moveaxis(a, 2, 3)
+    return a.reshape((B, TH * TW, tile * tile) + trailing)
+
+
+def interpolate_binned(
+    fragments: "Fragments", flat: bool = False, k_slots: Optional[int] = None,
+):
+    """Barycentric interpolation of ALL bin-gathered attribute channels.
+
+    The fast path behind interpolate_face_attributes for fragments produced
+    by the binned Pallas rasterizer with extra_face_attrs: per-pixel corner
+    picks are one-hots over the tile's <=Fmax candidate LANES (the kernel's
+    winner-lane output) against the pre-gathered (B, T, Fmax, 3*C) slabs —
+    instead of one-hots over all F faces. Exact same values/gradients as
+    the global one-hot path (selection is non-differentiable; gradients
+    flow through the bin-gather einsum and the barycentric combine).
+
+    Returns {name: (B, H, W, K, C)} for every attribute in the layout,
+    zeros at empty slots.
+
+    flat=True instead returns ({name: (B, T*tp*K, C)}, finalize) where
+    finalize maps a (B, T*tp*K, C) array back to masked image shape
+    (B, H, W, K, C). Shading chains should stay flat until their final
+    color and untile ONCE: every (..., K, small-C) image-shaped
+    intermediate pays a (8, 128)-tile padding relayout on TPU.
+
+    k_slots limits interpolation to the nearest k_slots hits per pixel
+    (shading cost scales with it; at gamma=1e-4 the z-softmax color blend
+    is effectively decided by the first 1-2 slots).
+    """
+    ba = fragments.binned
+    assert ba is not None
+    tile, nthw = ba.tile, ba.n_tiles_hw
+    B, H, W, K = ba.lane.shape
+    if k_slots is not None:
+        K = min(k_slots, K)
+    T, Fmax, CE = ba.channels.shape[1:]
+    Ctot = CE // 3
+    tp = tile * tile
+    tpk = tp * K
+
+    live = fragments.pix_to_face[..., :K] >= 0
+    idx = jnp.where(live, ba.lane[..., :K], -1)  # -1 matches no lane
+    idx_t = tile_image(idx, tile, nthw).reshape(B, T, tpk)
+    bar_t = tile_image(fragments.bary[..., :K, :], tile, nthw).reshape(
+        B, T, tpk, 3
+    )
+
+    tc = max(1, min(T, 1 + 16_000_000 // max(1, tpk * Fmax)))
+    n_chunks = -(-T // tc)
+    padt = n_chunks * tc - T
+
+    def padc(a, fill=0):
+        a = jnp.pad(
+            a, [(0, 0), (0, padt)] + [(0, 0)] * (a.ndim - 2),
+            constant_values=fill,
+        )
+        return a.reshape((a.shape[0], n_chunks, tc) + a.shape[2:]).swapaxes(0, 1)
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, tc, 1, Fmax), 3)
+    dtype = ba.channels.dtype
+
+    @jax.checkpoint  # one-hots are rebuilt in backward, never stored
+    def chunk(args):
+        idx_c, bar_c, ch_c = args  # (B,tc,tpk), (B,tc,tpk,3), (B,tc,Fmax,CE)
+        onehot = (idx_c[..., None] == iota).astype(dtype)
+        sel = jnp.einsum(
+            "btpf,btfz->btpz", onehot, ch_c,
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(idx_c.shape[0], tc, tpk, 3, Ctot)
+        return jnp.einsum("btpv,btpvc->btpc", bar_c, sel)
+
+    out = jax.lax.map(
+        chunk, (padc(idx_t, -1), padc(bar_t), padc(ba.channels))
+    )  # (n_chunks, B, tc, tpk, Ctot)
+
+    from .binning import untile_image
+
+    if flat:
+        out_flat = out.swapaxes(0, 1).reshape(
+            B, n_chunks * tc * tpk, Ctot
+        )[:, : T * tpk]
+        # Mask dead slots HERE, not only in finalize: the where() also
+        # severs the backward path, so NaN cotangents from downstream
+        # shading math evaluated at the zero attributes (e.g. the vjp of
+        # normalize at a zero normal) never reach the interpolation.
+        live_flat = tile_image(live, tile, nthw).reshape(B, T * tpk)
+        out_flat = jnp.where(live_flat[..., None], out_flat, 0.0)
+
+        def finalize(x: jax.Array) -> jax.Array:
+            x = x.reshape(B, T, tp, K, x.shape[-1])
+            img = untile_image(x, (H, W), tile, nthw)
+            return jnp.where(live[..., None], img, 0.0)
+
+        return (
+            {n: out_flat[..., s:s + c] for n, s, c in ba.layout},
+            finalize,
+        )
+
+    out = out.swapaxes(0, 1).reshape(B, n_chunks * tc, tp, K, Ctot)[:, :T]
+    img = untile_image(out, (H, W), tile, nthw)  # (B, H, W, K, Ctot)
+    img = jnp.where(live[..., None], img, 0.0)
+    return {n: img[..., s:s + c] for n, s, c in ba.layout}
 
 
 def interpolate_face_attributes(
@@ -102,7 +255,10 @@ def _interpolate_onehot(pix_to_face, bary, face_attrs, pixel_chunk):
     attrs_flat = face_attrs.reshape(B, F, 3 * C)
     iota_f = jax.lax.broadcasted_iota(jnp.int32, (1, 1, F), 2)
 
-    pc = max(1, min(pixel_chunk, P))
+    # Bound the per-chunk one-hot to ~64 MB whatever the face count: at
+    # F=100k the default pixel_chunk would otherwise materialize a ~3 GB
+    # (B, pc, F) slab per chunk.
+    pc = max(1, min(pixel_chunk, P, 16_000_000 // max(1, F)))
     n_chunks = -(-P // pc)
     padp = n_chunks * pc - P
     padc = lambda a: jnp.pad(

@@ -496,7 +496,7 @@ _tile_topk.defvjp(_tile_topk_fwd, _tile_topk_bwd)
 
 
 def rasterize_binned_pallas(
-    fd: FaceRasterData, settings
+    fd: FaceRasterData, settings, extra=None, extra_layout=(),
 ) -> Fragments:
     """Coarse-to-fine top-K rasterization through the fused Pallas kernels.
 
@@ -504,7 +504,14 @@ def rasterize_binned_pallas(
     hard-depth / silhouette / single-hit Phong path), K>1 uses _tile_topk
     (soft Phong / texture fitting, reference deform_mesh_with_color.py:
     149-159's faces_per_pixel=50 settings). Same bins, same fragment
-    semantics; selection runs in VMEM with per-tile occupancy skipping."""
+    semantics; selection runs in VMEM with per-tile occupancy skipping.
+
+    extra: optional (B, F, CE) per-face attribute channels (corner-major
+    flattened (B, F, 3, Ctot)); they ride the bin gather's one-hot einsum
+    and come back on Fragments.binned together with the kernel's winner
+    lanes, enabling bin-local attribute interpolation
+    (fragments.interpolate_binned). extra_layout: ((name, start, c), ...)
+    slices into Ctot."""
     H, W = settings.image_size
     K = settings.faces_per_pixel
     tile = settings.bin_size
@@ -514,7 +521,11 @@ def rasterize_binned_pallas(
     fd_sel = jax.lax.stop_gradient(fd)
     bins = bin_faces(fd_sel, (H, W), tile, settings.max_faces_per_bin,
                      pad_radius)
-    ch = gather_bin_planes(fd, bins)                 # (B, T, Fmax) channels
+    extra_bin = None
+    if extra is not None:
+        ch, extra_bin = gather_bin_planes(fd, bins, extra=extra)
+    else:
+        ch = gather_bin_planes(fd, bins)             # (B, T, Fmax) channels
     B, T, Fmax = bins.face_idx.shape
 
     valid = bins.face_mask.astype(jnp.float32)
@@ -572,4 +583,16 @@ def rasterize_binned_pallas(
     bary = jnp.stack([img(1), img(2), img(3)], axis=-1)  # (B, H, W, K, 3)
     dists = img(4)
     p2f = jnp.round(img(5)).astype(jnp.int32)
-    return Fragments(pix_to_face=p2f, zbuf=zbuf, bary=bary, dists=dists)
+
+    binned = None
+    if extra_bin is not None:
+        from .fragments import BinnedAttributes
+
+        lane = jnp.round(jax.lax.stop_gradient(img(7))).astype(jnp.int32)
+        binned = BinnedAttributes(
+            lane=lane, channels=extra_bin, tile=tile,
+            n_tiles_hw=bins.n_tiles_hw, layout=tuple(extra_layout),
+        )
+    return Fragments(
+        pix_to_face=p2f, zbuf=zbuf, bary=bary, dists=dists, binned=binned
+    )

@@ -368,10 +368,39 @@ def _rasterize_binned(fd: FaceRasterData, settings: RasterizationSettings) -> Fr
     )
 
 
+def uses_binned_pallas(settings: RasterizationSettings) -> bool:
+    """Whether rasterize_face_data will route to the fused Pallas binned
+    kernels (see the dispatch comment in rasterize_face_data): explicitly
+    forced via impl='pallas', or auto-picked for K>1 on TPU. Only these
+    fragments carry Fragments.binned attribute slabs."""
+    if settings.bin_size is None or settings.bin_size > 16:
+        return False
+    return settings.impl == "pallas" or (
+        settings.impl == "auto"
+        and settings.faces_per_pixel > 1
+        and jax.default_backend() == "tpu"
+    )
+
+
 def rasterize_face_data(
-    fd: FaceRasterData, settings: RasterizationSettings
+    fd: FaceRasterData, settings: RasterizationSettings,
+    extra_face_attrs=None,
 ) -> Fragments:
-    """Rasterize pre-projected faces into per-pixel top-K fragments."""
+    """Rasterize pre-projected faces into per-pixel top-K fragments.
+
+    extra_face_attrs: optional {name: (B, F, 3, C)} per-face-corner
+    attribute channels. On the binned Pallas path they are bin-gathered
+    alongside the corner channels and returned on Fragments.binned for
+    bin-local interpolation (fragments.interpolate_binned); other paths
+    ignore them (shading falls back to global interpolation).
+    """
+    if settings.impl == "pallas" and (
+        settings.bin_size is None or settings.bin_size > 16
+    ):
+        raise ValueError(
+            "impl='pallas' requires bin_size <= 16 (tile=32 kernels "
+            f"crash the Mosaic compiler); got bin_size={settings.bin_size}"
+        )
     if settings.bin_size is not None:
         # auto: the fused Pallas top-K kernel on TPU for K>1 — it beats the
         # XLA tile path 19-27x there (the XLA K>1 interpolation does
@@ -381,18 +410,20 @@ def rasterize_face_data(
         # tiles waste the kernel's 128-lane chunk padding). Gated to
         # bin_size <= 16: tile=32 (tp=1024) kernels deterministically
         # crash the Mosaic compile helper (measured at any N/F).
-        use_pallas = settings.bin_size <= 16 and (
-            settings.impl == "pallas"
-            or (
-                settings.impl == "auto"
-                and settings.faces_per_pixel > 1
-                and jax.default_backend() == "tpu"
-            )
-        )
-        if use_pallas:
+        if uses_binned_pallas(settings):
             from .pallas_hard import rasterize_binned_pallas
 
-            return rasterize_binned_pallas(fd, settings)
+            extra = None
+            layout = ()
+            if extra_face_attrs:
+                B, F = fd.q.shape[:2]
+                parts, start = [], 0
+                for name, a in extra_face_attrs.items():
+                    parts.append(a)
+                    layout += ((name, start, a.shape[-1]),)
+                    start += a.shape[-1]
+                extra = jnp.concatenate(parts, axis=-1).reshape(B, F, -1)
+            return rasterize_binned_pallas(fd, settings, extra, layout)
         return _rasterize_binned(fd, settings)
 
     H, W = settings.image_size
@@ -428,8 +459,9 @@ def rasterize_face_data(
 
 
 def rasterize_meshes(
-    meshes: Meshes, camera: PerspectiveCamera, settings: RasterizationSettings
+    meshes: Meshes, camera: PerspectiveCamera,
+    settings: RasterizationSettings, extra_face_attrs=None,
 ) -> Fragments:
     """End-to-end: meshes + camera -> Fragments (the MeshRasterizer call)."""
     fd = setup_faces(meshes, camera, znear=settings.znear)
-    return rasterize_face_data(fd, settings)
+    return rasterize_face_data(fd, settings, extra_face_attrs)

@@ -90,8 +90,14 @@ class MeshRenderer(DifferentiableRenderer):
         bin_size: Optional[int] = None,
         max_faces_per_bin: int = 128,
         impl: str = "auto",
+        shade_k: Optional[int] = None,
     ):
+        """shade_k: shade only the nearest shade_k fragment slots for RGB
+        (silhouette/depth keep all K); at the default gamma=1e-4 the
+        z-softmax blend weights beyond slot ~2 are negligible and shading
+        cost scales with the slot count."""
         super().__init__(K, image_size)
+        self.shade_k = shade_k
         self.settings = RasterizationSettings(
             image_size=self._image_size,
             blur_radius=blur_radius,
@@ -105,9 +111,14 @@ class MeshRenderer(DifferentiableRenderer):
         self.lights = lights if lights is not None else PointLights.make()
         self.materials = materials if materials is not None else Materials.make()
 
-    def rasterize(self, meshes: Meshes, R, tvec) -> Tuple[Fragments, PerspectiveCamera]:
+    def rasterize(
+        self, meshes: Meshes, R, tvec, extra_face_attrs=None,
+    ) -> Tuple[Fragments, PerspectiveCamera]:
         cam = self.camera_with_pose(R, tvec)
-        return rasterize_meshes(meshes, cam, self.settings), cam
+        return (
+            rasterize_meshes(meshes, cam, self.settings, extra_face_attrs),
+            cam,
+        )
 
     def render(
         self,
@@ -119,13 +130,25 @@ class MeshRenderer(DifferentiableRenderer):
         with_rgb: bool = False,
         soft_rgb: bool = True,
     ) -> RenderOutputs:
-        frags, cam = self.rasterize(meshes, R, tvec)
+        extra = None
+        if with_rgb:
+            from .rasterize.raster import uses_binned_pallas
+
+            if uses_binned_pallas(self.settings):
+                # Pre-gather the shading attributes per tile (rides the
+                # rasterizer's bin-gather einsum) so Phong interpolation
+                # runs bin-locally over <=Fmax candidates.
+                from .shading.phong import face_shading_attrs
+
+                extra = face_shading_attrs(meshes)
+        frags, cam = self.rasterize(meshes, R, tvec, extra)
         sil = sigmoid_alpha(frags, self.blend.sigma) if with_silhouette else None
         rgb = None
         if with_rgb:
             if soft_rgb:
                 rgba = soft_phong_shader(
-                    meshes, frags, cam, self.lights, self.materials, self.blend
+                    meshes, frags, cam, self.lights, self.materials,
+                    self.blend, shade_k=self.shade_k,
                 )
             else:
                 rgba = hard_phong_shader(

@@ -60,15 +60,19 @@ def softmax_rgb_blend(
 ) -> jax.Array:
     """SoftRas aggregation (pytorch3d softmax_rgb_blend semantics).
 
-    colors: (B, H, W, K, 3) per-fragment shaded colors.
+    colors: (B, H, W, Kc, 3) per-fragment shaded colors. Kc may be SMALLER
+    than the fragments' K (shade_k shading): the color softmax then runs
+    over the nearest Kc slots (the dropped slots' weights are ~exp(-dz/
+    gamma) — negligible at the default gamma) while alpha keeps all K.
     Returns (B, H, W, 4) RGBA; alpha is the sigmoid coverage product.
     """
     eps = 1e-10
-    mask = fragments.mask
-    prob = jax.nn.sigmoid(-fragments.dists / blend.sigma) * mask
+    kc = colors.shape[-2]
+    mask = fragments.mask[..., :kc]
+    prob = jax.nn.sigmoid(-fragments.dists[..., :kc] / blend.sigma) * mask
 
     # Normalized inverse depth in [0, 1]; far/empty -> 0.
-    zinv = (zfar - fragments.zbuf) / (zfar - znear) * mask
+    zinv = (zfar - fragments.zbuf[..., :kc]) / (zfar - znear) * mask
     zmax = jnp.max(zinv, axis=-1, keepdims=True)  # stabilizer
     w = prob * jnp.exp((zinv - zmax) / blend.gamma)
     delta = jnp.exp((eps - zmax[..., 0]) / blend.gamma)
@@ -79,5 +83,10 @@ def softmax_rgb_blend(
         jnp.einsum("...k,...kc->...c", w, colors) + delta[..., None] * bg
     ) / denom[..., None]
 
-    alpha = 1.0 - jnp.exp(-jnp.sum(jax.nn.softplus(-fragments.dists / blend.sigma) * mask, axis=-1))
+    alpha = 1.0 - jnp.exp(
+        -jnp.sum(
+            jax.nn.softplus(-fragments.dists / blend.sigma) * fragments.mask,
+            axis=-1,
+        )
+    )
     return jnp.concatenate([rgb, alpha[..., None]], axis=-1)

@@ -14,7 +14,11 @@ import jax
 import jax.numpy as jnp
 
 from ..cameras.perspective import PerspectiveCamera
-from ..rasterize.fragments import Fragments, interpolate_face_attributes
+from ..rasterize.fragments import (
+    Fragments,
+    interpolate_binned,
+    interpolate_face_attributes,
+)
 from ..structures.meshes import Meshes
 from ..structures.textures import TexturesUV, TexturesVertex
 from .blending import BlendParams, hard_rgb_blend, softmax_rgb_blend
@@ -23,8 +27,31 @@ from .lights import DirectionalLights, Materials, PointLights
 Lights = Union[PointLights, DirectionalLights]
 
 
+def face_shading_attrs(meshes: Meshes) -> dict:
+    """Per-face-corner attribute channels Phong shading interpolates:
+    {name: (B, F, 3, C)}. Passed to rasterize_meshes(extra_face_attrs=...)
+    so the binned Pallas path can pre-gather them per tile (they ride the
+    corner-channel one-hot einsum) and shading interpolates bin-locally
+    over <=Fmax candidates instead of all F faces."""
+    fv_normals = jax.vmap(lambda n, f: n[f])(
+        meshes.vertex_normals(), meshes.faces
+    )
+    out = {
+        "pts_normals": jnp.concatenate(
+            [meshes.face_verts(), fv_normals], axis=-1
+        )
+    }
+    tex = meshes.textures
+    if isinstance(tex, TexturesUV):
+        out["uv"] = tex.face_uvs()
+    elif isinstance(tex, TexturesVertex):
+        out["tex"] = tex.face_features(meshes.faces)
+    return out
+
+
 def sample_textures(meshes: Meshes, fragments: Fragments) -> jax.Array:
-    """Per-fragment texel colors (B, H, W, K, 3).
+    """Per-fragment texel colors (B, H, W, K, 3) — the global-interpolation
+    path (shade_phong's bin-local fast path samples inline instead).
 
     TexturesVertex: barycentric interpolation of per-vertex colors.
     TexturesUV: barycentric interpolation of UVs then bilinear map lookup
@@ -95,14 +122,58 @@ def shade_phong(
     camera: PerspectiveCamera,
     lights: Optional[Lights] = None,
     materials: Optional[Materials] = None,
+    shade_k: Optional[int] = None,
 ) -> jax.Array:
-    """Per-fragment Phong colors (B, H, W, K, 3): texel*(ambient+diffuse)+spec."""
+    """Per-fragment Phong colors (B, H, W, Kc, 3): texel*(ambient+diffuse)+spec.
+
+    shade_k shades only the nearest shade_k slots (Kc = min(shade_k, K));
+    interpolation / texture sampling / lighting cost scales with Kc, and
+    softmax_rgb_blend accepts the narrower color stack (far slots carry
+    ~exp(-dz/gamma) weight — negligible at the default gamma=1e-4)."""
     lights = lights if lights is not None else PointLights.make()
     materials = materials if materials is not None else Materials.make()
 
-    face_verts = meshes.face_verts()  # (B, F, 3, 3) world corners
-    fv_normals = jax.vmap(lambda n, f: n[f])(meshes.vertex_normals(), meshes.faces)
+    # Bin-local fast path: the rasterizer pre-gathered the shading
+    # attributes per tile (face_shading_attrs via extra_face_attrs), so ONE
+    # interpolation over <=Fmax candidate lanes covers points, normals and
+    # texture coordinates together. The whole chain stays FLAT (B, N, C)
+    # and untiles once at the final color — image-shaped (..., K, small-C)
+    # intermediates pay (8, 128)-tile padding relayouts on TPU.
+    if fragments.binned is not None and "pts_normals" in fragments.binned.names():
+        flat, finalize = interpolate_binned(
+            fragments, flat=True, k_slots=shade_k
+        )
+        pts, nrm = flat["pts_normals"][..., :3], flat["pts_normals"][..., 3:]
+        tex = meshes.textures
+        if tex is None:
+            texels = jnp.ones(pts.shape[:-1] + (3,), jnp.float32)
+        elif isinstance(tex, TexturesVertex):
+            texels = flat["tex"]
+        elif isinstance(tex, TexturesUV):
+            texels = tex.sample(flat["uv"])
+        else:
+            raise TypeError(f"unsupported textures type {type(tex)!r}")
+        cam_pos = camera.camera_center_world()
+        ambient, diffuse, specular = phong_lighting(
+            pts, nrm, cam_pos, lights, materials
+        )
+        return finalize(texels * (ambient + diffuse) + specular)
 
+    if shade_k is not None and shade_k < fragments.pix_to_face.shape[-1]:
+        import dataclasses as _dc
+
+        fragments = _dc.replace(
+            fragments,
+            pix_to_face=fragments.pix_to_face[..., :shade_k],
+            zbuf=fragments.zbuf[..., :shade_k],
+            bary=fragments.bary[..., :shade_k, :],
+            dists=fragments.dists[..., :shade_k],
+            binned=None,
+        )
+    face_verts = meshes.face_verts()  # (B, F, 3, 3) world corners
+    fv_normals = jax.vmap(lambda n, f: n[f])(
+        meshes.vertex_normals(), meshes.faces
+    )
     # one interpolation call for points+normals: the TPU one-hot corner
     # pick is built per call, so batching attributes halves its cost
     both = interpolate_face_attributes(
@@ -120,10 +191,13 @@ def shade_phong(
 def soft_phong_shader(
     meshes, fragments, camera, lights=None, materials=None,
     blend: Optional[BlendParams] = None, znear: float = 1.0, zfar: float = 100.0,
+    shade_k: Optional[int] = None,
 ) -> jax.Array:
     """SoftPhongShader: Phong colors + softmax blending -> (B, H, W, 4)."""
     blend = blend or BlendParams()
-    colors = shade_phong(meshes, fragments, camera, lights, materials)
+    colors = shade_phong(
+        meshes, fragments, camera, lights, materials, shade_k=shade_k
+    )
     return softmax_rgb_blend(colors, fragments, blend, znear=znear, zfar=zfar)
 
 
