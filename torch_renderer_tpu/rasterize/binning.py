@@ -163,14 +163,6 @@ def count_overflow(fd: FaceRasterData, image_size, tile, faces_per_tile, pad_rad
     return jnp.max(counts), jnp.sum(counts > faces_per_tile)
 
 
-def gather_bins(fd: FaceRasterData, bins: TileBins):
-    """Re-lay-out per-face raster data per tile: (B, T, Fmax, ...)."""
-    def g(arr):
-        return jax.vmap(lambda a, i: a[i])(arr, bins.face_idx)
-
-    return g(fd.q), g(fd.abc), g(fd.area2), g(fd.z), g(fd.invz)
-
-
 def gather_bin_channels(planes: jax.Array, bins: TileBins,
                         onehot_max_items: int = 8192) -> jax.Array:
     """Per-tile re-layout of per-item channels: (B, N, C) -> (B, T, Nmax, C).

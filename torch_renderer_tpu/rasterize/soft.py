@@ -33,7 +33,6 @@ from ..cameras.perspective import PerspectiveCamera
 from ..structures.meshes import Meshes
 from .binning import (
     bin_faces,
-    gather_bins,
     tile_pixel_coords,
     untile_image,
 )
@@ -79,6 +78,9 @@ def signed_dist2(pix_h: jax.Array, pix: jax.Array, q, abc, area2, valid):
 # Tile-binned fast path
 # ---------------------------------------------------------------------------
 
+_CORNER_CHANNELS = ("qx0", "qx1", "qx2", "qy0", "qy1", "qy2")
+
+
 def soft_silhouette_binned(
     fd: FaceRasterData,
     image_size,
@@ -87,14 +89,22 @@ def soft_silhouette_binned(
     faces_per_tile: int = 256,
     tile_chunk: int = 128,
 ) -> jax.Array:
-    """Tile-binned soft coverage (B, H, W)."""
+    """Tile-binned soft coverage (B, H, W) — the XLA fallback path.
+
+    Same one-hot scalar-channel-plane layout as the Pallas kernel and the
+    binned hard rasterizer (gather_bin_planes): only the six corner
+    coordinate channels are gathered (the coverage sum needs no depth), and
+    edge functions / distances are recomputed per tile from those planes —
+    no (F, 3, 2)/(F, 3, 3) arbitrary-index gathers (which TPUs tile-pad up
+    to ~40x and execute nearly scalar)."""
+    from .binning import gather_bin_planes
+
     B = fd.q.shape[0]
     pad_radius = math.sqrt(SOFT_CUTOFF * sigma)
     bins = bin_faces(fd, image_size, tile, faces_per_tile, pad_radius)
-    q_t, abc_t, a2_t, _, _ = gather_bins(fd, bins)  # (B, T, Fmax, ...)
+    ch = gather_bin_planes(fd, bins, channels=_CORNER_CHANNELS)
     valid_t = bins.face_mask  # (B, T, Fmax)
-    T = q_t.shape[1]
-    Fmax = q_t.shape[2]
+    T, Fmax = valid_t.shape[1:]
     tp = tile * tile
 
     local = tile_pixel_coords(image_size, tile)  # (tp, 2)
@@ -104,7 +114,8 @@ def soft_silhouette_binned(
     def flat(a):
         return a.reshape((B * T,) + a.shape[2:])
 
-    qf, abcf, a2f, vf = flat(q_t), flat(abc_t), flat(a2_t), flat(valid_t)
+    chf = {k: flat(v) for k, v in ch.items()}
+    vf = flat(valid_t)
     of = jnp.broadcast_to(origins[None], (B, T, 2)).reshape(B * T, 2)
 
     N = B * T
@@ -117,18 +128,52 @@ def soft_silhouette_binned(
             (n_chunks, chunk) + a.shape[1:]
         )
 
-    qc, abcc, a2c, vc, oc = padc(qf), padc(abcf), padc(a2f), padc(vf), padc(of)
     inv_sigma = 1.0 / sigma
 
     @jax.checkpoint
     def per_chunk(args):
-        qb, ab, a2b, vb, ob = args
-        pix = local[None] + ob[:, None, :]  # (chunk, tp, 2)
-        pix_h = jnp.concatenate([pix, jnp.ones(pix.shape[:-1] + (1,), pix.dtype)], -1)
-        d = signed_dist2(pix_h, pix, qb, ab, a2b, vb)  # (chunk, tp, Fmax)
-        return jnp.sum(jax.nn.softplus(-d * inv_sigma), axis=-1)  # (chunk, tp)
+        chc, vb, ob = args  # dict (c, Fmax), (c, Fmax), (c, 2)
+        px = (local[None, :, 0] + ob[:, 0:1])[..., None]  # (c, tp, 1)
+        py = (local[None, :, 1] + ob[:, 1:2])[..., None]
+        qx = [chc[f"qx{k}"][:, None, :] for k in range(3)]  # (c, 1, Fmax)
+        qy = [chc[f"qy{k}"][:, None, :] for k in range(3)]
 
-    S = jax.lax.map(per_chunk, (qc, abcc, a2c, vc, oc))
+        def cross_e(ax, ay, bx, by):
+            return (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+
+        # edge k opposite corner k (geometry.setup_faces' abc convention)
+        e0 = cross_e(qx[1], qy[1], qx[2], qy[2])
+        e1 = cross_e(qx[2], qy[2], qx[0], qy[0])
+        e2 = cross_e(qx[0], qy[0], qx[1], qy[1])
+        area2 = (qx[1] - qx[0]) * (qy[2] - qy[0]) - (qy[1] - qy[0]) * (
+            qx[2] - qx[0]
+        )
+        inv_area = 1.0 / jnp.where(jnp.abs(area2) > 1e-12, area2, 1.0)
+        inside = (
+            (e0 * inv_area >= 0.0)
+            & (e1 * inv_area >= 0.0)
+            & (e2 * inv_area >= 0.0)
+        )
+
+        d2 = None
+        for a_i, b_i in ((0, 1), (1, 2), (2, 0)):
+            gx = qx[b_i] - qx[a_i]
+            gy = qy[b_i] - qy[a_i]
+            len2 = jnp.clip(gx * gx + gy * gy, 1e-12, None)
+            wx = px - qx[a_i]
+            wy = py - qy[a_i]
+            wg = wx * gx + wy * gy
+            t = jnp.clip(wg / len2, 0.0, 1.0)
+            dd = wx * wx + wy * wy - 2.0 * t * wg + t * t * len2
+            d2 = dd if d2 is None else jnp.minimum(d2, dd)
+        d2 = jnp.maximum(d2, 0.0)
+        d = jnp.where(inside, -d2, d2)
+        d = jnp.where(vb[:, None, :], d, 1e9)
+        return jnp.sum(jax.nn.softplus(-d * inv_sigma), axis=-1)  # (c, tp)
+
+    S = jax.lax.map(
+        per_chunk, ({k: padc(v) for k, v in chf.items()}, padc(vf), padc(of))
+    )
     S = S.reshape(n_chunks * chunk, tp)[:N].reshape(B, T, tp)
     alpha = 1.0 - jnp.exp(-S)
     return untile_image(alpha, image_size, tile, bins.n_tiles_hw)
