@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""Multi-chip scaling harness for the dp+tp north-star training step.
+
+Runs the sharded soft-silhouette pose-optimization step
+(parallel.sharded.make_sharded_pose_step — batch over the 'data' axis,
+faces over the 'model' axis) across mesh shapes (1,1) -> (d,m) and reports
+steady images/sec and images/sec/chip.
+
+Today this runs on an N-virtual-device CPU mesh
+(xla_force_host_platform_device_count) because only one physical TPU chip
+is reachable; the SAME script runs unchanged on real multi-chip hardware
+(drop --cpu and it uses jax.devices()). Committed CPU-mesh numbers live in
+docs/BENCHMARKS.md.
+
+Usage:
+  python scripts/multichip_scaling.py --cpu --devices 8 --steps 30
+  python scripts/multichip_scaling.py            # real hardware, all chips
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--cpu", action="store_true",
+                   help="force an N-virtual-device CPU mesh")
+    p.add_argument("--devices", type=int, default=8)
+    p.add_argument("--batch-per-chip", type=int, default=2)
+    p.add_argument("--image-size", type=int, default=64)
+    p.add_argument("--level", type=int, default=2, help="icosphere level")
+    p.add_argument("--steps", type=int, default=30)
+    p.add_argument("--json", type=str, default=None,
+                   help="write results to this JSON file")
+    args = p.parse_args()
+
+    if args.cpu:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags
+                + f" --xla_force_host_platform_device_count={args.devices}"
+            ).strip()
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+    import optax
+
+    from torch_renderer_tpu.cameras.perspective import PerspectiveCamera
+    from torch_renderer_tpu.ops.icosphere import icosphere
+    from torch_renderer_tpu.opt.pose_fit import pose_params_from_Rt
+    from torch_renderer_tpu.parallel.mesh import make_mesh, shard_batch
+    from torch_renderer_tpu.parallel.sharded import (
+        make_sharded_pose_step,
+        soft_silhouette_sharded,
+    )
+    from torch_renderer_tpu.structures.meshes import Meshes
+
+    devices = jax.devices()
+    n = min(args.devices, len(devices))
+    print(f"platform={devices[0].platform} devices={n}")
+
+    # mesh shapes to sweep: (1,1) single-chip baseline, then all (d, m)
+    # factorizations of n
+    shapes = [(1, 1)]
+    for d in sorted({d for d in range(1, n + 1) if n % d == 0}):
+        shapes.append((d, n // d))
+
+    HW = (args.image_size, args.image_size)
+    f = 0.8 * args.image_size
+    K = np.array(
+        [[f, 0, HW[1] / 2], [0, f, HW[0] / 2], [0, 0, 1]], np.float32
+    )
+    verts, faces = icosphere(args.level)
+
+    results = []
+    for (d, m) in shapes:
+        nd = d * m
+        B = args.batch_per_chip * d
+        mesh2 = make_mesh((d, m), ("data", "model"), devices[:nd])
+        meshes = Meshes.from_single(verts, faces).extend(B)
+        R = np.broadcast_to(np.eye(3, dtype=np.float32), (B, 3, 3))
+        t = np.tile(np.array([0.0, 0.0, 3.0], np.float32), (B, 1))
+        base_cam = PerspectiveCamera.from_K(K, HW)
+        cam_gt = base_cam.replace_pose(R, t)
+
+        meshes_s = shard_batch(meshes, mesh2)
+        ref = soft_silhouette_sharded(
+            meshes_s, cam_gt, mesh2, pixel_chunk=2048, face_chunk=128,
+        )
+        refs_s = shard_batch(ref, mesh2)
+        params = shard_batch(
+            pose_params_from_Rt(
+                R, t + np.array([0.05, -0.05, 0.1], np.float32)
+            ),
+            mesh2,
+        )
+        tx = optax.adam(1e-3)
+        step = make_sharded_pose_step(
+            mesh2, base_cam, tx, pixel_chunk=2048, face_chunk=128,
+        )
+        opt_state = tx.init(params)
+
+        # warmup/compile
+        params_w, opt_w, loss = step(params, opt_state, meshes_s, refs_s)
+        jax.block_until_ready(loss)
+
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            params, opt_state, loss = step(params, opt_state, meshes_s, refs_s)
+        jax.block_until_ready(loss)
+        dt = time.perf_counter() - t0
+
+        img_s = B * args.steps / dt
+        row = {
+            "mesh": f"({d},{m})", "chips": nd, "batch": B,
+            "img_per_sec": round(img_s, 2),
+            "img_per_sec_per_chip": round(img_s / nd, 2),
+            "loss": float(loss),
+        }
+        results.append(row)
+        print(
+            f"mesh ({d},{m}) chips={nd} B={B}: {img_s:8.2f} img/s"
+            f"  {img_s / nd:8.2f} img/s/chip  loss={float(loss):.5f}"
+        )
+
+    if args.json:
+        with open(args.json, "w") as fjson:
+            json.dump(
+                {"platform": devices[0].platform, "image_size": HW,
+                 "level": args.level, "results": results},
+                fjson, indent=1,
+            )
+        print(f"wrote {args.json}")
+
+
+if __name__ == "__main__":
+    main()

@@ -11,7 +11,8 @@ python -m pytest \
   tests/test_canny.py tests/test_ply.py tests/test_native.py \
   tests/test_utils.py tests/test_fixtures.py tests/test_component_parity.py \
   tests/test_binned_raster.py tests/test_creator.py \
-  tests/test_textured_obj.py tests/test_plotting.py -q
+  tests/test_textured_obj.py tests/test_plotting.py \
+  tests/test_oracle_raytrace.py tests/test_reference_assets.py -q
 
 echo "=== suite half B ==="
 python -m pytest \
