@@ -29,6 +29,12 @@ def main():
     p.add_argument("--material-mode", choices=["vertex", "uniform", "random"],
                    default="random")
     p.add_argument("--edge-maps", action="store_true")
+    p.add_argument("--no-normals", action="store_true",
+                   help="skip the normals pass (saves a third of the "
+                        "device->host transfer volume)")
+    p.add_argument("--no-pack", action="store_true",
+                   help="keep float32 outputs instead of the compact "
+                        "u8/u16/i8 on-device packing")
     p.add_argument("--reformat", action="store_true",
                    help="remap category ids to contiguous 1..N (detectron2)")
     p.add_argument("--objs", type=str, nargs="*", default=None,
@@ -71,6 +77,8 @@ def main():
         objects_per_scene=(args.min_objects, args.max_objects),
         material_mode=args.material_mode,
         edge_maps=args.edge_maps,
+        normal_maps=not args.no_normals,
+        pack_outputs=not args.no_pack,
     )
     gen = COCODataGenerator(library, cfg)
 

@@ -126,6 +126,61 @@ def test_coco_generation_end_to_end(tmp_path):
     assert 0 <= x < 64 and 0 <= y < 48 and w > 0 and h > 0
 
 
+def test_packed_outputs_dtypes_and_roundtrip():
+    """pack_outputs=True ships u8/u16/i8 off device; unpack helpers recover
+    float values to within quantization error of the float path."""
+    from torch_renderer_tpu.datagen.coco import (
+        SEG_BACKGROUND, unpack_depth, unpack_normals,
+    )
+
+    rng_seed = 3
+    base = dict(image_size=(48, 64), views_per_scene=2,
+                objects_per_scene=(2, 2))
+    lib = ObjectLibrary.primitives()
+
+    gen_f = COCODataGenerator(ObjectLibrary.primitives(),
+                              DataGenConfig(**base, pack_outputs=False))
+    scene, _ = gen_f.sample_scene(np.random.default_rng(rng_seed))
+    out_f = gen_f.render_scene(scene, np.random.default_rng(rng_seed))
+
+    gen_p = COCODataGenerator(lib, DataGenConfig(**base, pack_outputs=True))
+    out_p = gen_p.render_scene(scene, np.random.default_rng(rng_seed))
+
+    assert out_p["rgb"].dtype == np.uint8
+    assert out_p["depth"].dtype == np.uint16
+    assert out_p["normals"].dtype == np.int8
+    assert out_p["segmentation"].dtype == np.uint8
+    np.testing.assert_allclose(
+        out_p["rgb"] / 255.0, np.clip(out_f["rgb"], 0, 1), atol=1.0 / 255
+    )
+    np.testing.assert_allclose(
+        unpack_depth(out_p["depth"]), out_f["depth"], atol=5.1e-4
+    )
+    np.testing.assert_allclose(
+        unpack_normals(out_p["normals"]), out_f["normals"], atol=1.0 / 127
+    )
+    seg_f = np.asarray(out_f["segmentation"])
+    assert (
+        (out_p["segmentation"] == SEG_BACKGROUND) == (seg_f < 0)
+    ).all()
+    assert (out_p["segmentation"][seg_f >= 0] == seg_f[seg_f >= 0]).all()
+
+
+def test_no_normals_skips_pass(tmp_path):
+    cfg = DataGenConfig(
+        image_size=(48, 64), views_per_scene=2, objects_per_scene=(1, 2),
+        normal_maps=False,
+    )
+    gen = COCODataGenerator(ObjectLibrary.primitives(), cfg)
+    scene, _ = gen.sample_scene(np.random.default_rng(0))
+    out = gen.render_scene(scene, np.random.default_rng(0))
+    assert out["normals"] is None
+    assert out["rgb"].dtype == np.uint8
+    gen.generate(str(tmp_path), n_scenes=1, rng=np.random.default_rng(1))
+    assert not list((tmp_path / "aux").glob("*_normals.npy"))
+    assert list((tmp_path / "aux").glob("*_depth.npy"))
+
+
 def test_reformat_remaps_to_contiguous():
     coco = {
         "images": [], "annotations": [{"id": 0, "category_id": 7}],
