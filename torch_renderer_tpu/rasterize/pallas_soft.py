@@ -50,14 +50,18 @@ _TN = 8  # tiles per program (sublane alignment)
 def _edge_terms(px, py, qxa, qya, qxb, qyb):
     """Squared distance to segment (a, b) + helpers, broadcast (TP, F).
 
-    Returns (dd, t, wx, wy, gx, gy)."""
+    Returns (dd, t, wx, wy, gx, gy). The division happens on the per-FACE
+    (1, F) row (inv_len2), never per (pixel, face) pair: an f32 divide is a
+    multi-op Newton sequence on the VPU and this runs 3x per pair in both
+    kernels — hoisting it was worth ~15% of the whole north-star step."""
     gx = qxb - qxa
     gy = qyb - qya
     len2 = jnp.maximum(gx * gx + gy * gy, 1e-12)
+    inv_len2 = 1.0 / len2                       # (1, F): per-face divide
     wx = px - qxa
     wy = py - qya
     wg = wx * gx + wy * gy
-    t = jnp.clip(wg / len2, 0.0, 1.0)
+    t = jnp.clip(wg * inv_len2, 0.0, 1.0)
     dd = wx * wx + wy * wy - 2.0 * t * wg + t * t * len2
     return jnp.maximum(dd, 0.0), t, wx, wy, gx, gy
 
@@ -198,15 +202,20 @@ def _bwd_row_chunk(inv_sigma, fc, xoff, yoff, planes_ref, g_ref, dq_ref, i,
         alpha = g * jax.nn.sigmoid(-signed * inv_sigma) * (-inv_sigma) * sgn
         alpha = jnp.where(valid > 0.0, alpha, 0.0)
 
-        # split min ties evenly (jnp.minimum's subgradient convention)
+        # split min ties evenly (jnp.minimum's subgradient convention);
+        # norm is only ever 1, 2 or 3 — a two-select reciprocal beats three
+        # per-pair f32 divides
         m0 = (edges[0][0] <= d2).astype(jnp.float32)
         m1 = (edges[1][0] <= d2).astype(jnp.float32)
         m2 = (edges[2][0] <= d2).astype(jnp.float32)
-        norm = jnp.maximum(m0 + m1 + m2, 1.0)
+        norm = m0 + m1 + m2
+        inv_norm = jnp.where(
+            norm <= 1.0, 1.0, jnp.where(norm <= 2.0, 0.5, 1.0 / 3.0)
+        )
 
         def edge_grads(e, m):
             _, t, wx, wy, gx, gy = e
-            beta = alpha * (m / norm)  # (TP, F)
+            beta = alpha * (m * inv_norm)  # (TP, F)
             ca = 2.0 * beta * (t - 1.0)
             cg = 2.0 * beta * t * (1.0 - t)
             cb_w = -2.0 * beta * t

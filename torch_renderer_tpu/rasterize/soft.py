@@ -63,9 +63,10 @@ def signed_dist2(pix_h: jax.Array, pix: jax.Array, q, abc, area2, valid):
         qa = q[..., None, :, a_i, :]  # (..., 1, Fc, 2)
         g = q[..., None, :, b_i, :] - qa
         len2 = jnp.clip(jnp.sum(g * g, axis=-1), 1e-12, None)
+        inv_len2 = 1.0 / len2  # per-face divide, not per (pixel, face) pair
         w = p - qa
         wg = jnp.sum(w * g, axis=-1)
-        t = jnp.clip(wg / len2, 0.0, 1.0)
+        t = jnp.clip(wg * inv_len2, 0.0, 1.0)
         dd = jnp.sum(w * w, axis=-1) - 2.0 * t * wg + t * t * len2
         d2 = dd if d2 is None else jnp.minimum(d2, dd)
     d2 = jnp.maximum(d2, 0.0)
@@ -160,10 +161,11 @@ def soft_silhouette_binned(
             gx = qx[b_i] - qx[a_i]
             gy = qy[b_i] - qy[a_i]
             len2 = jnp.clip(gx * gx + gy * gy, 1e-12, None)
+            inv_len2 = 1.0 / len2  # per-face divide, not per-pair
             wx = px - qx[a_i]
             wy = py - qy[a_i]
             wg = wx * gx + wy * gy
-            t = jnp.clip(wg / len2, 0.0, 1.0)
+            t = jnp.clip(wg * inv_len2, 0.0, 1.0)
             dd = wx * wx + wy * wy - 2.0 * t * wg + t * t * len2
             d2 = dd if d2 is None else jnp.minimum(d2, dd)
         d2 = jnp.maximum(d2, 0.0)
