@@ -1,0 +1,188 @@
+"""Rank-based binning + exact one-hot gathers vs the top_k reference path.
+
+Covers the round-2 perf rework: binning.bin_ranks / gather_rank_planes
+(slot one-hot from a prefix count, no top_k) and geometry._onehot_take
+(corner assembly as an exact bf16-split MXU contraction). Both must be
+value-exact against the original formulations — the splits are constructed
+to reproduce f32 exactly (see binning._split3).
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torch_renderer_tpu.cameras.perspective import PerspectiveCamera
+from torch_renderer_tpu.ops.icosphere import icosphere
+from torch_renderer_tpu.rasterize.binning import (
+    _split3,
+    bin_faces,
+    bin_faces_ranked,
+    gather_bin_planes,
+    gather_rank_planes,
+)
+from torch_renderer_tpu.rasterize.geometry import _onehot_take, setup_faces
+from torch_renderer_tpu.rasterize.soft import SOFT_CUTOFF
+from torch_renderer_tpu.structures.meshes import Meshes
+
+
+def _scene(B=2, img=128, level=2):
+    verts, faces = icosphere(level)
+    K = np.array([[100.0, 0, img / 2], [0, 100.0, img / 2], [0, 0, 1]],
+                 np.float32)
+    R = np.broadcast_to(np.eye(3, dtype=np.float32), (B, 3, 3))
+    t = np.tile(np.array([0.03, -0.05, 2.8], np.float32), (B, 1))
+    meshes = Meshes.from_single(verts, faces).extend(B)
+    cam = PerspectiveCamera.from_K(K, (img, img), R=R, t=t)
+    return meshes, cam, (img, img)
+
+
+def test_split3_reconstructs_f32_exactly():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(
+        np.concatenate([
+            rng.standard_normal(1000).astype(np.float32),
+            np.array([0.0, 1e-30, -1e30, 3.14159265], np.float32),
+        ])
+    )
+    hi, mid, lo = jax.jit(_split3)(x)
+    assert bool(jnp.all(hi + mid + lo == x))
+    for part in (hi, mid, lo):
+        roundtrip = part.astype(jnp.bfloat16).astype(jnp.float32)
+        assert bool(jnp.all(roundtrip == part))
+
+
+def test_rank_bins_match_topk_bins():
+    """Same candidates in the same slots, same valid mask, exact values."""
+    meshes, cam, image_size = _scene()
+    fd = setup_faces(meshes, cam)
+    pad = math.sqrt(SOFT_CUTOFF * 1e-4)
+    tile, fpt = 16, 64
+
+    ref_bins = bin_faces(fd, image_size, tile, fpt, pad)
+    ch_ref = gather_bin_planes(fd, ref_bins)
+
+    bins = bin_faces_ranked(fd, image_size, tile, pad)
+    ch, mask = gather_rank_planes(fd, bins, fpt)
+
+    np.testing.assert_array_equal(
+        np.asarray(mask), np.asarray(ref_bins.face_mask)
+    )
+    m = np.asarray(mask)
+    for name in ch:
+        a = np.asarray(ch[name])
+        b = np.asarray(ch_ref[name])
+        # valid slots must agree EXACTLY (both paths copy f32 values)
+        np.testing.assert_array_equal(a[m], b[m])
+        # invalid slots must be zero on the rank path (top_k path leaves
+        # face-0 data there, masked by consumers)
+        assert np.all(a[~m] == 0.0)
+
+
+def test_rank_bins_overflow_drops_highest_ids():
+    """per_tile smaller than the densest tile: both paths keep the first
+    per_tile ascending face ids."""
+    meshes, cam, image_size = _scene(level=3)
+    fd = setup_faces(meshes, cam)
+    pad = math.sqrt(SOFT_CUTOFF * 1e-4)
+    tile, fpt = 16, 8  # deliberately overflowing
+
+    ref_bins = bin_faces(fd, image_size, tile, fpt, pad)
+    bins = bin_faces_ranked(fd, image_size, tile, pad)
+    ch, mask = gather_rank_planes(fd, bins, fpt)
+    ch_ref = gather_bin_planes(fd, ref_bins)
+    m = np.asarray(mask)
+    np.testing.assert_array_equal(m, np.asarray(ref_bins.face_mask))
+    np.testing.assert_array_equal(
+        np.asarray(ch["qx0"])[m], np.asarray(ch_ref["qx0"])[m]
+    )
+
+
+def test_gather_rank_planes_gradients_match_topk_path():
+    meshes, cam, image_size = _scene()
+    pad = math.sqrt(SOFT_CUTOFF * 1e-4)
+    tile, fpt = 16, 64
+
+    def loss_rank(v):
+        fd = setup_faces(meshes.update_padded(v), cam)
+        bins = bin_faces_ranked(fd, image_size, tile, pad)
+        ch, mask = gather_rank_planes(fd, bins, fpt)
+        msk = mask.astype(jnp.float32)
+        return sum(jnp.sum(jnp.sin(c) * msk) for c in ch.values())
+
+    def loss_topk(v):
+        fd = setup_faces(meshes.update_padded(v), cam)
+        bins = bin_faces(fd, image_size, tile, fpt, pad)
+        ch = gather_bin_planes(fd, bins)
+        msk = bins.face_mask.astype(jnp.float32)
+        return sum(jnp.sum(jnp.sin(c) * msk) for c in ch.values())
+
+    g1 = jax.jit(jax.grad(loss_rank))(meshes.verts)
+    g2 = jax.jit(jax.grad(loss_topk))(meshes.verts)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_gather_rank_planes_extra_channels():
+    meshes, cam, image_size = _scene()
+    fd = setup_faces(meshes, cam)
+    pad = math.sqrt(SOFT_CUTOFF * 1e-4)
+    F = fd.num_faces
+    extra = jnp.asarray(
+        np.random.default_rng(1).standard_normal((fd.q.shape[0], F, 4)),
+        jnp.float32,
+    )
+    bins = bin_faces_ranked(fd, image_size, 16, pad)
+    ch, ex, mask = gather_rank_planes(fd, bins, 64, extra=extra)
+    ref_bins = bin_faces(fd, image_size, 16, 64, pad)
+    _, ex_ref = gather_bin_planes(fd, ref_bins, extra=extra)
+    m = np.asarray(mask)
+    np.testing.assert_array_equal(np.asarray(ex)[m], np.asarray(ex_ref)[m])
+
+
+def test_onehot_take_matches_gather_values_and_grads():
+    rng = np.random.default_rng(2)
+    B, V, N, C = 3, 100, 57, 3
+    arr = jnp.asarray(rng.standard_normal((B, V, C)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, V, size=(B, N)), jnp.int32)
+
+    out = jax.jit(_onehot_take)(idx, arr)
+    ref = jax.vmap(lambda a, i: a[i])(arr, idx)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    def loss_oh(a):
+        return jnp.sum(jnp.sin(_onehot_take(idx, a)))
+
+    def loss_ref(a):
+        return jnp.sum(jnp.sin(jax.vmap(lambda x, i: x[i])(a, idx)))
+
+    g1 = jax.jit(jax.grad(loss_oh))(arr)
+    g2 = jax.jit(jax.grad(loss_ref))(arr)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               atol=1e-6, rtol=1e-6)
+
+
+@pytest.mark.parametrize("img", [(96, 128)])
+def test_pallas_soft_rank_path_nonsquare(img):
+    """The rank-binned Pallas entry stays exact on non-square images."""
+    from torch_renderer_tpu.rasterize.pallas_soft import (
+        soft_silhouette_pallas_fd,
+    )
+    from torch_renderer_tpu.rasterize.soft import (
+        soft_silhouette_streaming_face_data,
+    )
+
+    verts, faces = icosphere(2)
+    H, W = img
+    K = np.array([[90.0, 0, W / 2], [0, 90.0, H / 2], [0, 0, 1]], np.float32)
+    meshes = Meshes.from_single(verts, faces).extend(2)
+    cam = PerspectiveCamera.from_K(
+        K, (H, W), R=np.broadcast_to(np.eye(3, dtype=np.float32), (2, 3, 3)),
+        t=np.tile(np.array([0, 0, 2.5], np.float32), (2, 1)),
+    )
+    fd = setup_faces(meshes, cam)
+    a = soft_silhouette_pallas_fd(fd, (H, W), sigma=1e-4, faces_per_tile=128)
+    b = soft_silhouette_streaming_face_data(fd, (H, W), sigma=1e-4)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

@@ -18,10 +18,12 @@ faces_per_tile with headroom (count_overflow() reports the true max).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .geometry import FaceRasterData
 
@@ -280,6 +282,195 @@ def gather_bin_planes(fd: FaceRasterData, bins: TileBins,
 
 _PLANE_ORDER = ("qx0", "qx1", "qx2", "qy0", "qy1", "qy2",
                 "z0", "z1", "z2", "invz0", "invz1", "invz2")
+
+
+# ---------------------------------------------------------------------------
+# Rank-based fused binning + gather (no top_k)
+# ---------------------------------------------------------------------------
+#
+# bin_bboxes' candidate lists are exactly "the first Nmax overlapping items,
+# ascending id" — which a prefix count (cumsum) of the overlap mask encodes
+# directly: item f with overlap rank r lands in slot r-1. That makes the
+# (B, T, Nmax, F) slot one-hot computable straight from the overlap mask,
+# skipping the top_k sort AND the face_idx == iota reconstruction that
+# gather_bin_channels pays. The one-hot rides the MXU as 3 bfloat16 passes
+# (see _split3) — exact f32 results at half the cost of a
+# Precision.HIGHEST (6-pass) f32 einsum.
+
+
+def _trunc16(x: jax.Array) -> jax.Array:
+    """Zero the low 16 mantissa bits: the result is exactly bf16-representable.
+    Done with integer masking because XLA folds an f32->bf16->f32 convert
+    pair away entirely (measured), which would silently break the split."""
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    return jax.lax.bitcast_convert_type(
+        bits & jnp.uint32(0xFFFF0000), jnp.float32
+    )
+
+
+def _split3(x: jax.Array):
+    """Exact 3-way bf16 split: x == hi + mid + lo with every part exactly
+    bf16-representable (8 mantissa bits each covers f32's 24)."""
+    hi = _trunc16(x)
+    r = x - hi
+    mid = _trunc16(r)
+    lo = r - mid
+    return hi, mid, lo
+
+
+def _slot_onehot(slot: jax.Array, n_slots: int) -> jax.Array:
+    """(B, t, F) slot ids -> (B, t, n_slots, F) bf16 one-hot (0/1 exact)."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n_slots, 1), 2)
+    return (slot[:, :, None, :] == iota).astype(jnp.bfloat16)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _slot_gather(slot: jax.Array, planes: jax.Array, n_slots: int):
+    """Exact one-hot gather: out[b,t,k,c] = planes[b,f,c] where slot[b,t,f]==k.
+
+    slot entries outside [0, n_slots) contribute nothing. Exact f32 via 3
+    bf16 MXU passes (one-hot is exactly bf16; planes split exactly, see
+    _split3). custom_vjp keeps only `slot` as residual — the backward
+    rebuilds the one-hot and runs the transpose contraction with the same
+    split trick on the cotangent, so nothing (B, t, K, F)-sized is ever
+    stored (what jax.checkpoint achieved on the top_k path, minus the
+    recompute of the forward einsum)."""
+    onehot = _slot_onehot(slot, n_slots)
+    hi, mid, lo = _split3(planes)
+    out = None
+    for part in (hi, mid, lo):
+        y = jax.lax.dot_general(
+            onehot, part.astype(jnp.bfloat16),
+            (((3,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        out = y if out is None else out + y
+    return out
+
+
+def _slot_gather_fwd(slot, planes, n_slots):
+    return _slot_gather(slot, planes, n_slots), slot
+
+
+def _slot_gather_bwd(n_slots, slot, g):
+    onehot = _slot_onehot(slot, n_slots)
+    # d_planes[b,f,c] = sum_{t,k} onehot[b,t,k,f] * g[b,t,k,c]
+    d_planes = None
+    for part in _split3(g):
+        y = jax.lax.dot_general(
+            onehot, part.astype(jnp.bfloat16),
+            (((1, 2), (1, 2)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        d_planes = y if d_planes is None else d_planes + y
+    d_slot = np.zeros(slot.shape, dtype=jax.dtypes.float0)
+    return d_slot, d_planes
+
+
+_slot_gather.defvjp(_slot_gather_fwd, _slot_gather_bwd)
+
+
+class RankBins(NamedTuple):
+    """Rank-encoded tile bins: slot[b,t,f] = candidate position of item f in
+    tile t (ascending id among overlaps), or >= F for non-overlapping."""
+
+    slot: jax.Array         # (B, T, F) int32
+    count: jax.Array        # (B, T) int32 total overlaps (uncapped)
+    tile_origin: jax.Array  # (T, 2)
+    n_tiles_hw: Tuple[int, int]
+
+
+def bin_ranks(
+    bbox_min: jax.Array,
+    bbox_max: jax.Array,
+    valid: jax.Array,
+    image_size,
+    tile: int,
+) -> RankBins:
+    """Overlap mask -> slot ranks via prefix count. No sort, no top_k."""
+    H, W = image_size
+    s = min(H, W) / 2.0
+    TH, TW, origin = tile_grid(image_size, tile)
+    tile_extent = tile / s
+    t_lo = origin[None, :, None, :]
+    t_hi = t_lo + tile_extent
+    overlap = jnp.all(
+        (bbox_min[:, None, :, :] <= t_hi) & (bbox_max[:, None, :, :] >= t_lo),
+        axis=-1,
+    ) & valid[:, None, :]
+    overlap = jax.lax.stop_gradient(overlap)
+    F = overlap.shape[-1]
+    rank = jnp.cumsum(overlap.astype(jnp.int32), axis=-1)  # 1-based
+    slot = jnp.where(overlap, rank - 1, F + 1)
+    return RankBins(
+        slot=slot, count=rank[..., -1], tile_origin=origin,
+        n_tiles_hw=(TH, TW),
+    )
+
+
+def bin_faces_ranked(
+    fd: FaceRasterData, image_size, tile: int, pad_radius: float,
+) -> RankBins:
+    """Rank-binning of faces by blur-expanded screen bbox (cf. bin_faces)."""
+    fmin = jnp.min(fd.q, axis=2) - pad_radius
+    fmax = jnp.max(fd.q, axis=2) + pad_radius
+    return bin_ranks(fmin, fmax, fd.valid, image_size, tile)
+
+
+def gather_rank_channels(
+    planes: jax.Array, bins: RankBins, per_tile: int,
+    vmem_budget: int = 16_000_000,
+) -> jax.Array:
+    """Per-tile re-layout (B, N, C) -> (B, T, per_tile, C) via _slot_gather,
+    chunked over tiles to bound the fused one-hot working set."""
+    B, T, F = bins.slot.shape
+    C = planes.shape[-1]
+    t_chunk = max(1, min(T, 1 + vmem_budget // (per_tile * F)))
+    n_chunks = -(-T // t_chunk)
+    padt = n_chunks * t_chunk - T
+    slot_p = jnp.pad(bins.slot, ((0, 0), (0, padt), (0, 0)),
+                     constant_values=F + 1)
+    slot_c = jnp.swapaxes(slot_p.reshape(B, n_chunks, t_chunk, F), 0, 1)
+
+    def chunk(sc):
+        return _slot_gather(sc, planes, per_tile)
+
+    g = jax.lax.map(chunk, slot_c)  # (n_chunks, B, t_chunk, K, C)
+    return jnp.swapaxes(g, 0, 1).reshape(
+        B, n_chunks * t_chunk, per_tile, C
+    )[:, :T]
+
+
+def gather_rank_planes(
+    fd: FaceRasterData, bins: RankBins, per_tile: int,
+    channels=None, extra=None,
+):
+    """Rank-binned analogue of gather_bin_planes: same channel-plane output
+    dict (+ optional extra channels riding the same one-hot contraction),
+    plus the per-slot valid mask derived from the tile counts."""
+    sources = {
+        "qx0": fd.q[:, :, 0, 0], "qx1": fd.q[:, :, 1, 0],
+        "qx2": fd.q[:, :, 2, 0],
+        "qy0": fd.q[:, :, 0, 1], "qy1": fd.q[:, :, 1, 1],
+        "qy2": fd.q[:, :, 2, 1],
+        "z0": fd.z[:, :, 0], "z1": fd.z[:, :, 1], "z2": fd.z[:, :, 2],
+        "invz0": fd.invz[:, :, 0], "invz1": fd.invz[:, :, 1],
+        "invz2": fd.invz[:, :, 2],
+    }
+    names = _PLANE_ORDER if channels is None else tuple(channels)
+    planes = jnp.stack([sources[n] for n in names], axis=-1)
+    if extra is not None:
+        planes = jnp.concatenate([planes, extra], axis=-1)
+    gathered = gather_rank_channels(planes, bins, per_tile)
+    out = {name: gathered[..., c] for c, name in enumerate(names)}
+    capped = jnp.minimum(bins.count, per_tile)  # (B, T)
+    mask = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, 1, per_tile), 2)
+        < capped[:, :, None]
+    )
+    if extra is not None:
+        return out, gathered[..., len(names):], mask
+    return out, mask
 
 
 def tile_pixel_coords(image_size, tile: int):

@@ -18,6 +18,7 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..cameras.perspective import PerspectiveCamera
 from ..structures.meshes import Meshes
@@ -42,6 +43,64 @@ class FaceRasterData:
         return self.q.shape[1]
 
 
+# Corner assembly (verts -> per-face corners) strategy: on TPU an
+# arbitrary-index gather runs nearly scalar and its VJP is a scatter-add, so
+# for meshes below this one-hot size (3F * V elements) the corners are
+# assembled with an exact one-hot MXU contraction instead (bf16 3-pass split;
+# see binning._split3). Large meshes keep the gather: the one-hot's O(F*V)
+# construction would dominate.
+_ONEHOT_TAKE_MAX_ELEMS = 64_000_000
+
+
+@jax.custom_vjp
+def _onehot_take(idx: jax.Array, arr: jax.Array) -> jax.Array:
+    """out[b, n, c] = arr[b, idx[b, n], c] as an exact one-hot MXU matmul.
+
+    idx (B, N) int32 in [0, V); arr (B, V, C) f32. Exact f32: the one-hot is
+    exactly bf16 and arr splits into 3 exactly-bf16 parts (binning._split3).
+    The backward is the transpose contraction (d_arr = onehot^T @ g) — a
+    matmul where jnp's gather VJP would emit a TPU scatter-add."""
+    from .binning import _split3
+
+    V = arr.shape[1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, V), 2)
+    onehot = (idx[:, :, None] == iota).astype(jnp.bfloat16)  # (B, N, V)
+    out = None
+    for part in _split3(arr):
+        y = jax.lax.dot_general(
+            onehot, part.astype(jnp.bfloat16),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        out = y if out is None else out + y
+    return out
+
+
+def _onehot_take_fwd(idx, arr):
+    return _onehot_take(idx, arr), (idx, arr.shape[1])
+
+
+def _onehot_take_bwd(res, g):
+    from .binning import _split3
+
+    idx, V = res
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, V), 2)
+    onehot = (idx[:, :, None] == iota).astype(jnp.bfloat16)  # (B, N, V)
+    d_arr = None
+    for part in _split3(g):
+        y = jax.lax.dot_general(
+            onehot, part.astype(jnp.bfloat16),
+            (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (B, V, C)
+        d_arr = y if d_arr is None else d_arr + y
+    d_idx = np.zeros(idx.shape, dtype=jax.dtypes.float0)
+    return d_idx, d_arr
+
+
+_onehot_take.defvjp(_onehot_take_fwd, _onehot_take_bwd)
+
+
 def setup_faces(
     meshes: Meshes, camera: PerspectiveCamera, znear: float = 1e-5,
     eps_area: float = 1e-12,
@@ -60,11 +119,25 @@ def setup_faces(
     y = (uv[..., 1] - H / 2.0) / s
     pts = jnp.stack([x, y], axis=-1)  # (B, V, 2)
 
-    def gather_b(arr, faces):
-        return arr[faces]
+    B, V = pts.shape[:2]
+    F = meshes.faces.shape[1]
+    if (
+        jax.default_backend() == "tpu"
+        and 3 * F * V <= _ONEHOT_TAKE_MAX_ELEMS
+    ):
+        # one contraction assembles corners for pts AND z (channel concat)
+        arr = jnp.concatenate([pts, z[..., None]], axis=-1)  # (B, V, 3)
+        corners = _onehot_take(
+            meshes.faces.reshape(B, F * 3), arr
+        ).reshape(B, F, 3, 3)
+        q = corners[..., :2]   # (B, F, 3, 2)
+        fz = corners[..., 2]   # (B, F, 3)
+    else:
+        def gather_b(arr, faces):
+            return arr[faces]
 
-    q = jax.vmap(gather_b)(pts, meshes.faces)  # (B, F, 3, 2)
-    fz = jax.vmap(gather_b)(z, meshes.faces)   # (B, F, 3)
+        q = jax.vmap(gather_b)(pts, meshes.faces)  # (B, F, 3, 2)
+        fz = jax.vmap(gather_b)(z, meshes.faces)   # (B, F, 3)
 
     front = jnp.all(fz > znear, axis=-1)
     invz = 1.0 / jnp.clip(fz, znear, None)

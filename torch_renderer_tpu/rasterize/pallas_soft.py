@@ -39,7 +39,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .binning import bin_faces, count_overflow, tile_grid, untile_image
+from .binning import count_overflow, untile_image
 from .geometry import FaceRasterData, setup_faces
 from .soft import SOFT_CUTOFF
 
@@ -330,32 +330,36 @@ def soft_silhouette_pallas_fd(
 
     Exact (same sum as the streaming oracle) provided no bin overflows —
     size faces_per_tile with suggest_faces_per_tile()."""
-    from .binning import gather_bin_planes
+    from .binning import bin_faces_ranked, gather_rank_planes
 
     B = fd.q.shape[0]
     pad = math.sqrt(SOFT_CUTOFF * sigma)
-    bins = bin_faces(fd, image_size, tile, faces_per_tile, pad)
-    TH, TW, _ = tile_grid(image_size, tile)
+    # rank-binning: candidate slots come from a prefix count of the overlap
+    # mask (no top_k sort) and the slot one-hot feeds the gather contraction
+    # directly — see binning.bin_ranks. Replaced the bin_faces top_k path,
+    # which was ~1.5 ms of the 7 ms north-star step.
+    bins = bin_faces_ranked(fd, image_size, tile, pad)
+    TH, TW = bins.n_tiles_hw
     T = TH * TW
-    Fmax = bins.face_idx.shape[-1]
+    Fmax = min(faces_per_tile, fd.num_faces)
 
     # per-tile corner channels via the one-hot MXU gather (TPU arbitrary-
-    # index gathers run nearly scalar; see binning.gather_bin_planes)
-    ch = gather_bin_planes(
-        fd, bins,
+    # index gathers run nearly scalar; see binning.gather_rank_planes)
+    ch, mask = gather_rank_planes(
+        fd, bins, Fmax,
         channels=("qx0", "qy0", "qx1", "qy1", "qx2", "qy2"),
     )  # coverage needs only the corner coords — half the gather einsum
-    valid = bins.face_mask.astype(jnp.float32)              # (B, T, Fmax)
+    valid = mask.astype(jnp.float32)                        # (B, T, Fmax)
 
     origins = jnp.broadcast_to(bins.tile_origin[None], (B, T, 2))
     # the per-tile face-chunk trip count rides in row 7 lane 2 next to
     # the tile origin: a separate SMEM input would need a whole-array
     # (overflows SMEM at 720p tile counts) or (8,128)-tiled block, and the
     # kernels already do scalar VMEM reads for the origins. Valid slots
-    # are contiguous at the front of the lane axis (bin_faces' top_k sorts
-    # scores descending), so ceil(count/fc) chunks cover every valid face.
+    # are contiguous at the front of the lane axis (slot = overlap rank),
+    # so ceil(count/fc) chunks cover every valid face.
     fc = _face_chunk_width(Fmax + ((-Fmax) % _FC))
-    n_chunks = -(-jnp.sum(bins.face_mask, axis=-1) // fc)   # (B, T) int
+    n_chunks = -(-jnp.minimum(bins.count, Fmax) // fc)      # (B, T) int
     origin_row = jnp.zeros((B, T, Fmax), jnp.float32)
     origin_row = origin_row.at[..., 0].set(origins[..., 0])
     origin_row = origin_row.at[..., 1].set(origins[..., 1])
