@@ -52,7 +52,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .binning import bin_faces, gather_bin_planes, untile_image
+from .binning import bin_faces_ranked, gather_rank_planes, untile_image
 from .fragments import EMPTY_DIST, Fragments
 from .geometry import FaceRasterData
 
@@ -519,17 +519,23 @@ def rasterize_binned_pallas(
     pad_radius = math.sqrt(blur) if blur > 0 else 0.0
 
     fd_sel = jax.lax.stop_gradient(fd)
-    bins = bin_faces(fd_sel, (H, W), tile, settings.max_faces_per_bin,
-                     pad_radius)
-    extra_bin = None
-    if extra is not None:
-        ch, extra_bin = gather_bin_planes(fd, bins, extra=extra)
-    else:
-        ch = gather_bin_planes(fd, bins)             # (B, T, Fmax) channels
-    B, T, Fmax = bins.face_idx.shape
+    # rank binning (prefix-count slots, no top_k); the global face id rides
+    # the one-hot contraction as one extra f32 channel (exact below 2^24)
+    bins = bin_faces_ranked(fd_sel, (H, W), tile, pad_radius)
+    B = fd.q.shape[0]
+    F = fd.num_faces
+    fid = jnp.broadcast_to(
+        jax.lax.broadcasted_iota(jnp.float32, (1, F, 1), 1), (B, F, 1)
+    )
+    ex = fid if extra is None else jnp.concatenate([extra, fid], axis=-1)
+    ch, exg, mask = gather_rank_planes(
+        fd, bins, min(settings.max_faces_per_bin, F), extra=ex
+    )  # (B, T, Fmax) channels
+    extra_bin = exg[..., :-1] if extra is not None else None
+    fidf = jax.lax.stop_gradient(exg[..., -1])
+    B, T, Fmax = mask.shape
 
-    valid = bins.face_mask.astype(jnp.float32)
-    fidf = bins.face_idx.astype(jnp.float32)
+    valid = mask.astype(jnp.float32)
     origins = jnp.broadcast_to(bins.tile_origin[None], (B, T, 2))
     origin_row = jnp.zeros((B, T, Fmax), jnp.float32)
     origin_row = origin_row.at[..., 0].set(origins[..., 0])
@@ -539,7 +545,7 @@ def rasterize_binned_pallas(
     # tile counts) or (8,128)-tiled block, and the kernels already do
     # scalar VMEM reads for the tile origins
     fc = _face_chunk_width(Fmax + ((-Fmax) % _FC))
-    n_chunks = -(-jnp.sum(bins.face_mask, axis=-1) // fc)   # (B, T) int
+    n_chunks = -(-jnp.minimum(bins.count, Fmax) // fc)      # (B, T) int
     zrow = jnp.zeros((B, T, Fmax), jnp.float32)
     zrow = zrow.at[..., 0].set(n_chunks.astype(jnp.float32))
 

@@ -279,8 +279,8 @@ def _rasterize_binned(fd: FaceRasterData, settings: RasterizationSettings) -> Fr
     import math
 
     from .binning import (
-        bin_faces,
-        gather_bin_planes,
+        bin_faces_ranked,
+        gather_rank_planes,
         tile_pixel_coords,
         untile_image,
     )
@@ -291,9 +291,18 @@ def _rasterize_binned(fd: FaceRasterData, settings: RasterizationSettings) -> Fr
     blur = settings.blur_radius
     pad_radius = math.sqrt(blur) if blur > 0 else 0.0
     fd_sel = jax.lax.stop_gradient(fd)
-    bins = bin_faces(fd_sel, (H, W), tile, settings.max_faces_per_bin, pad_radius)
-    ch = gather_bin_planes(fd, bins)  # DIFFERENTIABLE channel planes (B,T,Fmax)
-    valid_t = bins.face_mask.astype(jnp.float32)
+    # rank binning (prefix-count slots, no top_k); the global face id rides
+    # the one-hot contraction as one extra f32 channel (exact below 2^24)
+    bins = bin_faces_ranked(fd_sel, (H, W), tile, pad_radius)
+    B = fd.q.shape[0]
+    F = fd.num_faces
+    fid = jnp.broadcast_to(
+        jax.lax.broadcasted_iota(jnp.float32, (1, F, 1), 1), (B, F, 1)
+    )
+    ch, fid_t, mask = gather_rank_planes(
+        fd, bins, min(settings.max_faces_per_bin, F), extra=fid
+    )  # ch: DIFFERENTIABLE channel planes (B, T, Fmax)
+    valid_t = mask.astype(jnp.float32)
     B, T, Fmax = valid_t.shape
     tp = tile * tile
 
@@ -301,7 +310,7 @@ def _rasterize_binned(fd: FaceRasterData, settings: RasterizationSettings) -> Fr
     flat = lambda a: a.reshape(B * T, Fmax)
     ch = {k: flat(v) for k, v in ch.items()}
     vf = flat(valid_t)
-    fidx = bins.face_idx.reshape(B * T, Fmax)
+    fidx = fid_t[..., 0].astype(jnp.int32).reshape(B * T, Fmax)
     of = jnp.broadcast_to(bins.tile_origin[None], (B, T, 2)).reshape(B * T, 2)
 
     N = B * T

@@ -32,7 +32,6 @@ import jax.numpy as jnp
 from ..cameras.perspective import PerspectiveCamera
 from ..structures.meshes import Meshes
 from .binning import (
-    bin_faces,
     tile_pixel_coords,
     untile_image,
 )
@@ -98,13 +97,15 @@ def soft_silhouette_binned(
     edge functions / distances are recomputed per tile from those planes —
     no (F, 3, 2)/(F, 3, 3) arbitrary-index gathers (which TPUs tile-pad up
     to ~40x and execute nearly scalar)."""
-    from .binning import gather_bin_planes
+    from .binning import bin_faces_ranked, gather_rank_planes
 
     B = fd.q.shape[0]
     pad_radius = math.sqrt(SOFT_CUTOFF * sigma)
-    bins = bin_faces(fd, image_size, tile, faces_per_tile, pad_radius)
-    ch = gather_bin_planes(fd, bins, channels=_CORNER_CHANNELS)
-    valid_t = bins.face_mask  # (B, T, Fmax)
+    bins = bin_faces_ranked(fd, image_size, tile, pad_radius)
+    ch, valid_t = gather_rank_planes(
+        fd, bins, min(faces_per_tile, fd.num_faces),
+        channels=_CORNER_CHANNELS,
+    )
     T, Fmax = valid_t.shape[1:]
     tp = tile * tile
 
