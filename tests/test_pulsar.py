@@ -1,0 +1,108 @@
+"""True sphere-based Pulsar renderer (Lassner & Zollhoefer, CVPR 2021).
+
+Parity target: the reference's PulsarPointRender wrapping pytorch3d's
+pulsar backend (torch_renderer.py:209-230). These tests pin the properties
+that distinguish the sphere model from the fast center-depth splat
+approximation (PulsarPointRender): occlusion by ray-sphere INTERSECTION
+depth, per-sphere opacity, the exp(eps/gamma) background weight, and
+silhouette gradients through the soft sphere boundary.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import torch_renderer_tpu as trt
+from torch_renderer_tpu.structures.pointclouds import Pointclouds
+
+H, W = 64, 64
+F = 64.0
+K_MAT = np.array([[F, 0, W / 2], [0, F, H / 2], [0, 0, 1]], np.float32)
+EYE = np.eye(3, dtype=np.float32)[None]
+ZERO = np.zeros((1, 3), np.float32)
+
+
+def _cloud(pts, feats):
+    return Pointclouds.from_padded(
+        jnp.asarray(pts, jnp.float32)[None],
+        features=jnp.asarray(feats, jnp.float32)[None],
+    )
+
+
+def test_single_sphere_center_pixel_color_and_alpha():
+    pcl = _cloud([[0.0, 0.0, 3.0]], [[1.0, 0.0, 0.0]])
+    r = trt.PulsarRenderer(K_MAT, (H, W), radius=0.5, gamma=1e-3)
+    out = np.asarray(r.render(pcl, EYE, ZERO))
+    assert out.shape == (1, H, W, 4)
+    c = out[0, H // 2, W // 2]
+    np.testing.assert_allclose(c[:3], [1.0, 0.0, 0.0], atol=1e-3)
+    assert c[3] > 0.99
+    # outside the sphere's ~10.7 px screen radius: background
+    assert out[0, 2, 2, 3] < 1e-3
+
+
+def test_occlusion_by_intersection_depth_not_center_depth():
+    """Sphere A: center z=3.0, radius 1.0 (surface at z=2.0). Sphere B:
+    center z=2.5, radius 0.05 (surface at z=2.45). A's SURFACE is nearer
+    although its CENTER is farther — the sphere model must show A."""
+    pcl = _cloud(
+        [[0.0, 0.0, 3.0], [0.0, 0.0, 2.5]],
+        [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]],
+    )
+    r = trt.PulsarRenderer(K_MAT, (H, W), radius=1.0, gamma=1e-3)
+    out = np.asarray(
+        r.render(pcl, EYE, ZERO, radius=jnp.asarray([[1.0, 0.05]]))
+    )
+    c = out[0, H // 2, W // 2]
+    assert c[0] > 0.95 and c[1] < 0.05, c
+
+
+def test_opacity_zero_is_invisible():
+    pcl = _cloud(
+        [[0.0, 0.0, 2.0], [0.0, 0.0, 3.0]],
+        [[0.0, 1.0, 0.0], [1.0, 0.0, 0.0]],
+    )
+    r = trt.PulsarRenderer(K_MAT, (H, W), radius=0.4, gamma=1e-3)
+    out = np.asarray(
+        r.render(pcl, EYE, ZERO, opacity=jnp.asarray([[0.0, 1.0]]))
+    )
+    c = out[0, H // 2, W // 2]
+    # the front sphere is fully transparent: the back one shows through
+    assert c[0] > 0.9 and c[1] < 0.1, c
+
+
+def test_large_gamma_blends_translucently():
+    pcl = _cloud(
+        [[0.0, 0.0, 2.6], [0.0, 0.0, 3.0]],
+        [[0.0, 1.0, 0.0], [1.0, 0.0, 0.0]],
+    )
+    r = trt.PulsarRenderer(K_MAT, (H, W), radius=0.4, gamma=1.0)
+    out = np.asarray(r.render(pcl, EYE, ZERO))
+    c = out[0, H // 2, W // 2]
+    assert c[0] > 0.2 and c[1] > 0.2, c  # both spheres contribute
+
+
+def test_gradients_flow_to_positions_and_radius():
+    def loss(pts, r_w):
+        pcl = Pointclouds.from_padded(pts)
+        rend = trt.PulsarRenderer(K_MAT, (H, W), gamma=1e-2)
+        out = rend.render(pcl, EYE, ZERO, radius=r_w)
+        return jnp.sum(out[..., 3])
+
+    pts = jnp.asarray([[[0.1, -0.05, 2.5], [-0.2, 0.1, 3.0]]])
+    r_w = jnp.asarray([[0.3, 0.4]])
+    gp, gr = jax.jit(jax.grad(loss, argnums=(0, 1)))(pts, r_w)
+    for g in (np.asarray(gp), np.asarray(gr)):
+        assert np.all(np.isfinite(g))
+        assert np.abs(g).max() > 0.0
+
+
+def test_background_color_and_alpha():
+    pcl = _cloud([[0.0, 0.0, 2.0]], [[0.0, 0.0, 1.0]])
+    r = trt.PulsarRenderer(
+        K_MAT, (H, W), radius=0.2, gamma=1e-3, background=0.5
+    )
+    out = np.asarray(r.render(pcl, EYE, ZERO))
+    corner = out[0, 1, 1]
+    np.testing.assert_allclose(corner[:3], 0.5, atol=1e-4)  # bg color
+    assert corner[3] < 1e-3

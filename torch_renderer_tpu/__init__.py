@@ -35,6 +35,7 @@ from .renderer import (
     NormPointRender,
     PointsRenderer,
     PulsarPointRender,
+    PulsarRenderer,
     RenderOutputs,
     SilhouetteRender,
 )

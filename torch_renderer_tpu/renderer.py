@@ -276,7 +276,12 @@ class NormPointRender(PointsRenderer):
 
 
 class PulsarPointRender(PointsRenderer):
-    """Sphere-splat renderer with depth-softmax blending (Pulsar-style)."""
+    """FAST APPROXIMATION of Pulsar: 2D splats blended by a softmax over
+    center depth with temperature gamma. This is NOT the sphere-based model
+    of Lassner & Zollhoefer — see PulsarRenderer for the true ray-sphere
+    blend (intersection depths, world radii, per-sphere opacity, background
+    epsilon weight). Kept for cheap depth-ordered splatting where sphere
+    geometry doesn't matter (radius is in NDC units here)."""
 
     def __init__(self, K, image_size, gamma: float = 1e-3, **kw):
         super().__init__(K, image_size, **kw)
@@ -287,6 +292,75 @@ class PulsarPointRender(PointsRenderer):
 
         frags, w, feats = self._splats(pointclouds, R, tvec, radius)
         return pulsar_composite(frags, w, feats, gamma=self.gamma)
+
+
+class PulsarRenderer(PointsRenderer):
+    """True sphere-based Pulsar renderer (Lassner & Zollhoefer, CVPR 2021).
+
+    Parity target: the reference's PulsarPointRender wrapping
+    pytorch3d.renderer.points.pulsar (torch_renderer.py:209-230) — scene =
+    spheres with WORLD-space radii and per-sphere opacity; per pixel the
+    K nearest spheres are intersected analytically and blended by a softmax
+    over normalized intersection depth with temperature gamma and an
+    exp(eps/gamma) background weight (shading.compositing.
+    pulsar_sphere_composite). Returns (B, H, W, C+1).
+
+    radius: default world-space sphere radius (per-point override via
+    render(..., radius=)); opacity defaults to 1."""
+
+    def __init__(
+        self, K, image_size, gamma: float = 1e-2,
+        radius: float = 0.05, znear: float = 0.1, zfar: float = 10.0,
+        background: float = 0.0, eps: float = 1e-3, **kw,
+    ):
+        super().__init__(K, image_size, radius=radius, **kw)
+        self.gamma = gamma
+        self.znear = znear
+        self.zfar = zfar
+        self.background = background
+        self.eps = eps
+
+    def render(self, pointclouds, R, tvec, radius=None, opacity=None):
+        import jax.numpy as jnp
+
+        from .rasterize.points import rasterize_points
+        from .shading.compositing import pulsar_sphere_composite
+
+        cam = self.camera_with_pose(R, tvec)
+        pts_cam = cam.world_to_camera(pointclouds.points)   # (B, N, 3)
+        B, N = pts_cam.shape[:2]
+        r_w = jnp.broadcast_to(
+            jnp.asarray(
+                self.settings.radius if radius is None else radius,
+                jnp.float32,
+            ),
+            (B, N),
+        )
+        o = jnp.broadcast_to(
+            jnp.asarray(1.0 if opacity is None else opacity, jnp.float32),
+            (B, N),
+        )
+        # selection radius in NDC units: the world sphere's screen extent
+        # at its NEAR surface (conservative), so the rasterizer's top-K
+        # candidate set contains every sphere the ray can intersect
+        fmax = jnp.maximum(cam.fx, cam.fy)[:, None]          # (B, 1)
+        z = pts_cam[..., 2]
+        r_ndc = r_w * fmax / (
+            cam.ndc_scale * jnp.maximum(z - r_w, self.settings.znear)
+        )
+        frags = rasterize_points(pointclouds, cam, self.settings, r_ndc)
+
+        if pointclouds.features is None:
+            feats = jnp.ones((B, N, 3), jnp.float32)
+        else:
+            feats = pointclouds.features
+        bcast = lambda a: jnp.broadcast_to(a, (B,))
+        return pulsar_sphere_composite(
+            frags, pts_cam, r_w, o, feats,
+            bcast(cam.fx), bcast(cam.fy), bcast(cam.cx), bcast(cam.cy),
+            self._image_size, gamma=self.gamma, znear=self.znear,
+            zfar=self.zfar, background=self.background, eps=self.eps,
+        )
 
 
 class DepthPointRender(PointsRenderer):
