@@ -26,7 +26,8 @@ def main():
     p.add_argument("--width", type=int, default=640)
     p.add_argument("--min-objects", type=int, default=2)
     p.add_argument("--max-objects", type=int, default=5)
-    p.add_argument("--material-mode", choices=["vertex", "uniform", "random"],
+    p.add_argument("--material-mode",
+                   choices=["vertex", "uniform", "texture", "random"],
                    default="random")
     p.add_argument("--edge-maps", action="store_true")
     p.add_argument("--no-normals", action="store_true",

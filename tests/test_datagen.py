@@ -203,3 +203,87 @@ def test_edge_maps_option(tmp_path):
     assert edges.shape == (1, 48, 64)
     assert np.isfinite(edges).all()
     assert (edges > 0).sum() > 10  # object boundary produces edges
+
+
+# -- procedural texture materials (reference coco_data_generator.py:253-266,
+#    random image-texture per object) ----------------------------------------
+
+def test_texgen_families_shapes_and_range():
+    from torch_renderer_tpu.datagen import texgen
+
+    rng = np.random.default_rng(3)
+    for fam in texgen._FAMILIES:
+        img = fam(rng, 64)
+        assert img.shape == (64, 64, 3) and img.dtype == np.float32
+        assert img.min() >= 0.0 and img.max() <= 1.0
+        assert img.std() > 0.01  # never a flat color
+
+
+def test_texgen_planar_uvs_cover_unit_square():
+    from torch_renderer_tpu.datagen.texgen import planar_uvs
+
+    sv, _ = icosphere(2)
+    uv = planar_uvs(np.random.default_rng(0), sv)
+    assert uv.shape == (sv.shape[0], 2)
+    assert uv.min() >= 0.0 and uv.max() <= 1.0
+    # projection spans the square (normalized per axis)
+    assert uv.min(axis=0).max() < 0.05 and uv.max(axis=0).min() > 0.95
+
+
+def test_pack_atlas_tiles_do_not_bleed():
+    from torch_renderer_tpu.datagen.texgen import pack_atlas
+    from torch_renderer_tpu.structures.textures import TexturesUV
+
+    # tile 0 solid red, tile 1 solid green; sampling anywhere inside each
+    # object's UV range must return ONLY that tile's color (inset keeps
+    # bilinear taps off neighboring tiles)
+    t0 = np.zeros((32, 32, 3), np.float32); t0[..., 0] = 1.0
+    t1 = np.zeros((32, 32, 3), np.float32); t1[..., 1] = 1.0
+    uv = np.stack(np.meshgrid(np.linspace(0, 1, 9), np.linspace(0, 1, 9)),
+                  -1).reshape(-1, 2).astype(np.float32)
+    atlas, packed = pack_atlas([t0, t1], [uv, uv])
+    tex = TexturesUV(
+        maps=jnp.asarray(atlas)[None],
+        faces_uvs=jnp.zeros((1, 1, 3), jnp.int32),
+        verts_uvs=jnp.asarray(packed[0])[None],
+    )
+    s0 = np.asarray(tex.sample(jnp.asarray(packed[0])[None], method="gather"))
+    s1 = np.asarray(tex.sample(jnp.asarray(packed[1])[None], method="gather"))
+    np.testing.assert_allclose(s0[0], [1, 0, 0] * np.ones_like(s0[0]), atol=1e-6)
+    np.testing.assert_allclose(s1[0], [0, 1, 0] * np.ones_like(s1[0]), atol=1e-6)
+
+
+def test_textured_scene_end_to_end():
+    lib = ObjectLibrary.primitives()
+    cfg = DataGenConfig(
+        image_size=(64, 80), views_per_scene=2, view_chunk=2,
+        material_mode="texture", objects_per_scene=(2, 3),
+    )
+    gen = COCODataGenerator(lib, cfg)
+    rng = np.random.default_rng(0)
+    scene, _ = gen.sample_scene(rng)
+    from torch_renderer_tpu.structures.textures import TexturesUV
+
+    assert isinstance(scene.meshes.textures, TexturesUV)
+    out = gen.render_scene(scene, rng)
+    rgb, seg = out["rgb"], out["segmentation"]
+    # textured objects show intra-instance color variation (a flat-shaded
+    # vertex color would not); pick the largest instance
+    areas = [(seg[0] == i).sum() for i in range(3)]
+    oid = int(np.argmax(areas))
+    mask = seg[0] == oid
+    assert mask.sum() > 20
+    px = rgb[0][mask].astype(np.float32)
+    assert px.std(axis=0).max() > 2.0
+
+
+def test_random_material_mode_is_deterministic_per_seed():
+    lib = ObjectLibrary.primitives()
+    cfg = DataGenConfig(
+        image_size=(48, 64), views_per_scene=1, view_chunk=1,
+        material_mode="random", objects_per_scene=(2, 2),
+    )
+    gen = COCODataGenerator(lib, cfg)
+    s1, _ = gen.sample_scene(np.random.default_rng(7))
+    s2, _ = gen.sample_scene(np.random.default_rng(7))
+    assert type(s1.meshes.textures) is type(s2.meshes.textures)

@@ -10,7 +10,10 @@ the randomization axes mirror the reference:
 
   * object placement: ground-plane rest pose with random yaw + rejection-
     sampled non-overlapping positions (stand-in for physics settling :296-309)
-  * materials: per-object vertex-color / uniform-color / random mode (:237-266)
+  * materials: per-object vertex-color / uniform-color modes plus random
+    per-object image textures (procedural checker/stripe/noise/gradient maps
+    with random planar UVs, packed into one scene atlas — datagen/texgen.py;
+    the stand-in for the reference's random texture-image folder :253-266)
   * camera: spherical-shell sampling, look-at a point of interest, random
     in-plane roll (:316-349)
   * lighting: point light on a shell with intensity jitter (:268-288)
@@ -41,6 +44,7 @@ from ..structures.scenes import (
     sample_nonoverlapping_xy,
 )
 from ..transforms.so3 import euler_angles_to_matrix
+from .texgen import pack_atlas, planar_uvs, random_texture
 
 
 @dataclasses.dataclass(frozen=True)
@@ -53,7 +57,8 @@ class DataGenConfig:
     camera_dist: Tuple[float, float] = (0.9, 1.6)
     camera_elev: Tuple[float, float] = (15.0, 70.0)
     max_inplane_deg: float = 25.0
-    material_mode: str = "random"      # vertex | uniform | random
+    material_mode: str = "random"      # vertex | uniform | texture | random
+    texture_size: int = 128            # per-object tile size in texture mode
     min_visibility: float = 0.002      # drop annotations below this coverage
     edge_maps: bool = False
     focal_scale: float = 0.9
@@ -205,8 +210,18 @@ class COCODataGenerator:
         xy = sample_nonoverlapping_xy(
             rng, n, radius=cfg.object_scale, extent=cfg.placement_extent
         )
+        # Image-texture materials are a per-SCENE choice: a textured scene
+        # carries TexturesUV, a vertex-colored one TexturesVertex, and the
+        # compiled render specializes on the pytree type (two cached
+        # variants at most). Per-object texture randomness lives inside the
+        # scene's atlas — each object gets its own tile, mirroring the
+        # reference's per-object random texture image (:253-266).
+        textured = cfg.material_mode == "texture" or (
+            cfg.material_mode == "random" and rng.uniform() < 0.5
+        )
 
         verts_list, faces_list, colors_list, cats, poses = [], [], [], [], []
+        tiles, uvs_list = [], []
         for i, pick in enumerate(picks):
             entry = self.library.entries[int(pick)]
             yaw = rng.uniform(0.0, 2 * np.pi)
@@ -218,7 +233,11 @@ class COCODataGenerator:
             )
             verts_list.append(v)
             faces_list.append(np.asarray(entry["faces"]))
-            colors_list.append(self._object_colors(rng, v))
+            if textured:
+                tiles.append(random_texture(rng, cfg.texture_size))
+                uvs_list.append(planar_uvs(rng, entry["verts"]))
+            else:
+                colors_list.append(self._object_colors(rng, v))
             cats.append(entry["category_id"])
             t = v.mean(axis=0)
             poses.append({
@@ -226,10 +245,24 @@ class COCODataGenerator:
                 "name": entry["name"],
                 "R": R.tolist(), "t": t.tolist(),
             })
-        scene = merge_meshes(
-            verts_list, faces_list, colors_list, cats,
-            pad_verts_to=self._pad_verts, pad_faces_to=self._pad_faces,
-        )
+        if textured:
+            # pad to the static max object count so the atlas (and with it
+            # the compiled TexturesUV shape) is scene-count independent
+            n_max = cfg.objects_per_scene[1]
+            while len(tiles) < n_max:
+                tiles.append(np.zeros_like(tiles[0]))
+            atlas, packed_uvs = pack_atlas(tiles, uvs_list + [
+                np.zeros((0, 2), np.float32)] * (n_max - len(uvs_list)))
+            scene = merge_meshes(
+                verts_list, faces_list, None, cats,
+                pad_verts_to=self._pad_verts, pad_faces_to=self._pad_faces,
+                uvs_list=packed_uvs[:len(verts_list)], texture_map=atlas,
+            )
+        else:
+            scene = merge_meshes(
+                verts_list, faces_list, colors_list, cats,
+                pad_verts_to=self._pad_verts, pad_faces_to=self._pad_faces,
+            )
         return scene, poses
 
     # -- rendering -----------------------------------------------------------

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .meshes import Meshes
-from .textures import TexturesVertex
+from .textures import TexturesUV, TexturesVertex
 
 
 @dataclasses.dataclass(frozen=True)
@@ -40,13 +40,24 @@ def merge_meshes(
     categories: Optional[Sequence[int]] = None,
     pad_verts_to: Optional[int] = None,
     pad_faces_to: Optional[int] = None,
+    uvs_list: Optional[Sequence[np.ndarray]] = None,
+    texture_map: Optional[np.ndarray] = None,
 ) -> SceneMeshes:
     """Concatenate per-object (Vi, 3)/(Fi, 3) into one mesh with offset faces.
 
     colors_list: optional per-object per-vertex RGB -> TexturesVertex.
+    uvs_list + texture_map: optional per-object per-vertex (Vi, 2) UVs into a
+    shared (H, W, 3) map -> TexturesUV (UVs are per-VERTEX so faces_uvs
+    reuses the padded faces table; use datagen.texgen.pack_atlas to build
+    the shared map from per-object textures). Mutually exclusive with
+    colors_list.
     pad_verts_to/pad_faces_to: static padding budget so every sampled scene
     shares ONE compiled shape (padding faces get object id -1).
     """
+    if uvs_list is not None and colors_list is not None:
+        raise ValueError("pass colors_list OR uvs_list+texture_map, not both")
+    if (uvs_list is None) != (texture_map is None):
+        raise ValueError("uvs_list and texture_map go together")
     verts_np = [np.asarray(v, np.float32) for v in verts_list]
     faces_np = [np.asarray(f, np.int64) for f in faces_list]
     offsets = np.cumsum([0] + [v.shape[0] for v in verts_np[:-1]])
@@ -78,6 +89,22 @@ def merge_meshes(
         [all_verts], [all_faces], textures=textures,
         pad_verts_to=pad_verts_to, pad_faces_to=pad_faces_to,
     )
+    if uvs_list is not None:
+        all_uvs = np.concatenate(
+            [np.asarray(u, np.float32) for u in uvs_list], axis=0
+        )
+        if pad_verts_to is not None and pad_verts_to > all_uvs.shape[0]:
+            all_uvs = np.concatenate([
+                all_uvs,
+                np.full((pad_verts_to - all_uvs.shape[0], 2), 0.5, np.float32),
+            ])
+        # per-vertex UVs: the padded faces table doubles as faces_uvs
+        # (padding faces read vertex 0's UV; they are masked downstream)
+        meshes = dataclasses.replace(meshes, textures=TexturesUV(
+            maps=jnp.asarray(texture_map, jnp.float32)[None],
+            faces_uvs=meshes.faces,
+            verts_uvs=jnp.asarray(all_uvs)[None],
+        ))
     cats = np.asarray(
         categories if categories is not None else np.zeros(len(verts_np)),
         np.int32,
