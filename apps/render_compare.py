@@ -2,10 +2,20 @@
 
 CLI parity with renderer_comparison_with_pyrender.py: load recorded frames
 (filtered_datas.pkl format: K / extrinsic / object_pose / rendered_depth),
-render the same views with OUR renderer, and report per-frame depth
-differences + per-stage timings. Without --pickle it self-checks: renders a
-synthetic scene, perturbs nothing, and verifies the recorded-ingestion path
-round-trips (diff == 0).
+render the same views with OUR renderer AND an independent oracle renderer,
+and report per-frame depth differences + per-stage timings — the reference's
+pixel-fidelity gate (renderer_comparison_with_pyrender.py:254-259).
+
+Oracle selection (--oracle):
+  raytrace  (default) the framework's float64 numpy ray caster
+            (baselines.VisRaytrace) — fully independent of the rasterizer's
+            formulation and runnable in any image;
+  pyrender  the reference's own OpenGL oracle, used when installed;
+  none      skip the cross-renderer diff (recorded-vs-ours only).
+
+Without --pickle it synthesizes a recording with our renderer first
+(exercising the fixture pathway end to end), then still runs the
+cross-renderer diff against the oracle.
 """
 
 from __future__ import annotations
@@ -18,11 +28,43 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 from apps._common import base_parser, load_scene_mesh, pinhole_K, setup_platform
 
 
+def _diff_report(name, ours, other, interior_only=True):
+    """Per-frame coverage IoU + depth diff stats. Edge pixels legitimately
+    differ by sub-pixel sampling between renderers, so depth stats are taken
+    on interior pixels (3x3-stable coverage) when interior_only."""
+    import numpy as np
+
+    N = ours.shape[0]
+    worst = 0.0
+    for i in range(N):
+        cov_a, cov_b = ours[i] > 0, other[i] > 0
+        both = cov_a & cov_b
+        union = cov_a | cov_b
+        iou = both.sum() / max(union.sum(), 1)
+        sel = both
+        if interior_only:
+            sel = both.copy()
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    sel &= np.roll(both, (dy, dx), axis=(0, 1))
+            sel[0, :] = sel[-1, :] = False
+            sel[:, 0] = sel[:, -1] = False
+        d = np.abs(ours[i] - other[i])[sel]
+        mean_d = d.mean() if d.size else 0.0
+        max_d = d.max() if d.size else 0.0
+        worst = max(worst, max_d)
+        print(f"[{name}] frame {i}: coverage IoU {iou:.4f}, "
+              f"interior depth |diff| mean {mean_d:.5f} max {max_d:.5f}")
+    return worst
+
+
 def main():
     p = base_parser(__doc__)
     p.add_argument("--pickle", type=str, default=None,
                    help="recorded frames pickle (filtered_datas.pkl format)")
     p.add_argument("--image-size", type=int, default=180)
+    p.add_argument("--oracle", choices=("raytrace", "pyrender", "none"),
+                   default="raytrace")
     p.add_argument("--plot", type=str, default=None, help="diff image PNG")
     args = p.parse_args()
     setup_platform(args)
@@ -67,21 +109,51 @@ def main():
     timer = StageTimer()
     with timer.stage("camera+renderer construction"):
         dr = DepthRender(rec["K"], (H, W))
-    with timer.stage("batched depth render"):
+    with timer.stage("batched depth render (ours)"):
         ours = dr.render(meshes.extend(N), rec["R"], rec["t"])
         jax.block_until_ready(ours)
+    ours = np.asarray(ours)
+
+    # cross-renderer oracle pass (the reference compares against pyrender
+    # serially, one frame per OpenGL call — same shape here)
+    oracle = None
+    if args.oracle == "pyrender":
+        from torch_renderer_tpu.baselines import VisPyrender, pyrender_available
+
+        if not pyrender_available():
+            print("pyrender not installed; falling back to --oracle raytrace")
+            args.oracle = "raytrace"
+        else:
+            vis = VisPyrender((H, W))
+    if args.oracle == "raytrace":
+        from torch_renderer_tpu.baselines import VisRaytrace
+
+        vis = VisRaytrace((H, W))
+    if args.oracle != "none":
+        verts, faces = meshes.verts_list()[0], meshes.faces_list()[0]
+        Ks = np.asarray(rec["K"])
+        if Ks.ndim == 2:
+            Ks = np.broadcast_to(Ks, (N, 3, 3))
+        with timer.stage(f"serial oracle renders ({args.oracle})"):
+            oracle = np.stack([
+                vis.quick_depth_render(
+                    verts, faces, Ks[i],
+                    np.concatenate([
+                        np.concatenate([np.asarray(rec["R"][i], np.float64),
+                                        np.asarray(rec["t"][i], np.float64)[:, None]], 1),
+                        [[0.0, 0.0, 0.0, 1.0]],
+                    ], 0),
+                )
+                for i in range(N)
+            ])
     print(timer.report())
 
-    ours = np.asarray(ours)
     recd = rec["depth"]
-    both = (ours > 0) & (recd > 0)
-    union = (ours > 0) | (recd > 0)
-    for i in range(N):
-        d = np.abs(ours[i] - recd[i])[both[i]]
-        iou = both[i].sum() / max(union[i].sum(), 1)
-        print(f"frame {i}: coverage IoU {iou:.4f}, "
-              f"depth |diff| mean {d.mean() if d.size else 0:.5f} "
-              f"max {d.max() if d.size else 0:.5f}")
+    _diff_report("ours vs recorded", ours, recd,
+                 interior_only=args.pickle is not None)
+    if oracle is not None:
+        worst = _diff_report(f"ours vs {args.oracle}", ours, oracle)
+        print(f"cross-renderer gate: worst interior |diff| {worst:.5f}")
 
     if args.plot:
         import matplotlib
@@ -89,13 +161,16 @@ def main():
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
-        fig, axes = plt.subplots(3, min(N, 4), figsize=(4 * min(N, 4), 9),
+        rows = [("recorded", recd), ("ours", ours)]
+        if oracle is not None:
+            rows.append((args.oracle, oracle))
+        rows.append(("|ours-ref|", np.abs(ours - (oracle if oracle is not None else recd))))
+        fig, axes = plt.subplots(len(rows), min(N, 4),
+                                 figsize=(4 * min(N, 4), 3 * len(rows)),
                                  squeeze=False)
         for i in range(min(N, 4)):
-            axes[0][i].imshow(recd[i]); axes[0][i].set_title("recorded")
-            axes[1][i].imshow(ours[i]); axes[1][i].set_title("ours")
-            axes[2][i].imshow(np.abs(ours[i] - recd[i])); axes[2][i].set_title("|diff|")
-            for r in range(3):
+            for r, (title, img) in enumerate(rows):
+                axes[r][i].imshow(img[i]); axes[r][i].set_title(title)
                 axes[r][i].axis("off")
         fig.tight_layout(); fig.savefig(args.plot, dpi=110)
         print("saved", args.plot)

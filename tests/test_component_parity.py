@@ -68,6 +68,44 @@ def test_query_vertex_colors_exact_and_knn():
     assert 0.5 < ck[0, 0, 0] <= 1.0  # nearest dominates the idw blend
 
 
+def test_visraytrace_matches_depth_render():
+    """The always-available cross-renderer oracle (baselines.VisRaytrace,
+    the executable stand-in for the reference's pyrender gate at
+    renderer_comparison_with_pyrender.py:254-259) agrees with DepthRender
+    through the VisPyrender-shaped extrinsic surface."""
+    import numpy as np
+
+    from torch_renderer_tpu.baselines import VisRaytrace
+    from torch_renderer_tpu.ops.icosphere import icosphere
+    from torch_renderer_tpu.renderer import DepthRender
+    from torch_renderer_tpu.structures.meshes import Meshes
+
+    H, W = 48, 64
+    K = np.array([[70.0, 0, 25.0], [0, 65.0, 27.0], [0, 0, 1.0]], np.float32)
+    c, s = np.cos(0.3), np.sin(0.3)
+    R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+    t = np.array([0.02, -0.01, 2.7], np.float32)
+    verts, faces = icosphere(2)
+
+    ours = np.asarray(
+        DepthRender(K, (H, W)).render(
+            Meshes.from_single(verts, faces), R[None], t[None]
+        )
+    )[0]
+    ext = np.eye(4)
+    ext[:3, :3], ext[:3, 3] = R, t
+    oracle = VisRaytrace((H, W)).quick_depth_render(verts, faces, K, ext)
+
+    both = (ours > 0) & (oracle > 0)
+    union = (ours > 0) | (oracle > 0)
+    assert both.sum() / union.sum() > 0.99
+    interior = both.copy()
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            interior &= np.roll(both, (dy, dx), axis=(0, 1))
+    assert np.abs(ours - oracle)[interior].max() < 2e-3
+
+
 def test_baselines_gated_cleanly():
     from torch_renderer_tpu import baselines
 

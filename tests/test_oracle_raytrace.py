@@ -27,6 +27,7 @@ import numpy as np
 import pytest
 
 import torch_renderer_tpu as trt
+from torch_renderer_tpu.baselines import raytrace_depth
 from torch_renderer_tpu.ops.icosphere import icosphere
 from torch_renderer_tpu.rasterize.raster import (
     RasterizationSettings,
@@ -41,46 +42,10 @@ K_MAT = np.array(
 )
 
 
-def raytrace_depth(verts, faces, K, R, t, image_size, znear=1e-5,
-                   pixel_chunk=4096):
-    """Float64 ray-cast depth map (H, W); 0 where no triangle is hit.
-
-    Derivation independent of the rasterizer: ray direction per pixel is
-    d = ((u-cx)/fx, (v-cy)/fy, 1) from the camera origin; Moller-Trumbore
-    against R X + t triangles; depth is the ray parameter (= camera z
-    since d_z = 1).
-    """
-    Hh, Ww = image_size
-    K = np.asarray(K, np.float64)
-    tri = (np.asarray(verts, np.float64) @ np.asarray(R, np.float64).T
-           + np.asarray(t, np.float64))[np.asarray(faces)]  # (F, 3, 3)
-    v0, e1, e2 = tri[:, 0], tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]
-
-    jj, ii = np.meshgrid(np.arange(Ww), np.arange(Hh))
-    u = jj.reshape(-1) + 0.5
-    v = ii.reshape(-1) + 0.5
-    d = np.stack(
-        [(u - K[0, 2]) / K[0, 0], (v - K[1, 2]) / K[1, 1], np.ones_like(u)],
-        axis=-1,
-    )  # (P, 3)
-
-    depth = np.full(d.shape[0], np.inf)
-    for lo in range(0, d.shape[0], pixel_chunk):
-        dc = d[lo:lo + pixel_chunk]                      # (p, 3)
-        h = np.cross(dc[:, None, :], e2[None])           # (p, F, 3)
-        a = np.einsum("fk,pfk->pf", e1, h)
-        f = 1.0 / np.where(np.abs(a) < 1e-14, np.inf, a)
-        s = -v0[None]                                     # origin is 0
-        uu = f * np.einsum("fk,pfk->pf", -v0, h)
-        q = np.cross(s, e1[None])                         # (p, F, 3)
-        vv = f * np.einsum("pk,pfk->pf", dc, q)
-        tt = f * np.einsum("fk,pfk->pf", e2, q)
-        hit = (uu >= 0) & (vv >= 0) & (uu + vv <= 1) & (tt > znear)
-        tt = np.where(hit, tt, np.inf)
-        depth[lo:lo + pixel_chunk] = tt.min(axis=1)
-
-    depth[~np.isfinite(depth)] = 0.0
-    return depth.reshape(Hh, Ww)
+# raytrace_depth lives in torch_renderer_tpu.baselines (promoted there so
+# apps/render_compare.py can run it as the cross-renderer diff). It still
+# shares nothing with rasterize/geometry — baselines.py does not import the
+# rasterizer — so the independence claim above holds.
 
 
 def _rasterizer_depth(verts, faces, K, R, t, image_size, **settings_kw):
