@@ -52,6 +52,7 @@ def tpu_fps() -> float:
     from torch_renderer_tpu.rasterize.geometry import setup_faces
     from torch_renderer_tpu.rasterize.pallas_soft import (
         soft_silhouette_pallas_fd,
+        suggest_active_tiles,
         suggest_faces_per_tile,
     )
     from torch_renderer_tpu.structures.meshes import Meshes
@@ -63,14 +64,18 @@ def tpu_fps() -> float:
         t=np.tile(t, (B, 1)),
     )
 
-    # size the tile bins for this scene once (static kernel parameter);
-    # exactness vs the streaming oracle is covered by tests/test_pallas_soft
-    fpt = suggest_faces_per_tile(setup_faces(meshes, cam), (IMAGE, IMAGE))
+    # size the tile bins + active-tile budget for this scene once (static
+    # kernel parameters); exactness vs the streaming oracle is covered by
+    # tests/test_pallas_soft and tests/test_rank_binning
+    fd0 = setup_faces(meshes, cam)
+    fpt = suggest_faces_per_tile(fd0, (IMAGE, IMAGE))
+    act = suggest_active_tiles(fd0, (IMAGE, IMAGE))
 
     def loss_fn(v):
         fd = setup_faces(meshes.update_padded(v), cam)
         alpha = soft_silhouette_pallas_fd(
-            fd, (IMAGE, IMAGE), sigma=SIGMA, faces_per_tile=fpt
+            fd, (IMAGE, IMAGE), sigma=SIGMA, faces_per_tile=fpt,
+            active_tiles=act,
         )
         return jnp.sum(alpha)
 

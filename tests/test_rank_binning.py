@@ -186,3 +186,115 @@ def test_pallas_soft_rank_path_nonsquare(img):
     a = soft_silhouette_pallas_fd(fd, (H, W), sigma=1e-4, faces_per_tile=128)
     b = soft_silhouette_streaming_face_data(fd, (H, W), sigma=1e-4)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Round-2 continuation: active-tile compaction + sublane-layout kernels
+# ---------------------------------------------------------------------------
+
+
+def _multi_pose_scene(B=2, img=128):
+    """Two different poses so per-batch active tile sets differ."""
+    verts, faces = icosphere(2)
+    K = np.array([[0.8 * img, 0, img / 2], [0, 0.8 * img, img / 2],
+                  [0, 0, 1]], np.float32)
+    c, s = np.cos(0.45), np.sin(0.45)
+    R = np.stack([
+        np.eye(3, dtype=np.float32),
+        np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32),
+    ])
+    t = np.stack([
+        np.array([0.0, 0.0, 3.0], np.float32),
+        np.array([0.3, -0.2, 2.5], np.float32),
+    ])
+    meshes = Meshes.from_single(verts, faces).extend(B)
+    cam = PerspectiveCamera.from_K(K, (img, img), R=R, t=t)
+    return meshes, cam, (img, img)
+
+
+def test_active_tile_compaction_bit_exact():
+    """Compacted tile axis (bin_faces_active + scatter_active) reproduces
+    the full-grid Pallas path bit-exactly, values AND gradients, on a batch
+    whose per-element active sets differ."""
+    from torch_renderer_tpu.rasterize.pallas_soft import (
+        soft_silhouette_pallas_fd,
+        suggest_active_tiles,
+        suggest_faces_per_tile,
+    )
+
+    meshes, cam, img = _multi_pose_scene()
+    fd = setup_faces(meshes, cam)
+    fpt = suggest_faces_per_tile(fd, img)
+    act = suggest_active_tiles(fd, img)
+    T = (img[0] // 16) * (img[1] // 16)
+    assert act < T  # compaction actually engaged
+
+    full = soft_silhouette_pallas_fd(fd, img, faces_per_tile=fpt)
+    comp = soft_silhouette_pallas_fd(fd, img, faces_per_tile=fpt,
+                                     active_tiles=act)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(comp))
+
+    def loss(v, **kw):
+        fd2 = setup_faces(meshes.update_padded(v), cam)
+        return jnp.sum(
+            soft_silhouette_pallas_fd(fd2, img, faces_per_tile=fpt, **kw) ** 2
+        )
+
+    g_full = jax.grad(loss)(meshes.verts)
+    g_comp = jax.grad(lambda v: loss(v, active_tiles=act))(meshes.verts)
+    scale = float(jnp.abs(g_full).max())
+    assert float(jnp.abs(g_full - g_comp).max()) < 1e-6 * scale
+
+
+def test_active_tile_budget_drops_excess_tiles():
+    """Tiles beyond the active budget are dropped (alpha 0 there), matching
+    the documented overflow contract."""
+    from torch_renderer_tpu.rasterize.pallas_soft import (
+        soft_silhouette_pallas_fd,
+    )
+
+    meshes, cam, img = _multi_pose_scene()
+    fd = setup_faces(meshes, cam)
+    full = soft_silhouette_pallas_fd(fd, img, faces_per_tile=128)
+    tiny = soft_silhouette_pallas_fd(fd, img, faces_per_tile=128,
+                                     active_tiles=8)
+    # the first 8 non-empty tiles are exact; everything else drops to 0
+    assert float(jnp.sum(tiny > 0)) < float(jnp.sum(full > 0))
+    both = np.asarray(tiny) > 0
+    np.testing.assert_allclose(
+        np.asarray(tiny)[both], np.asarray(full)[both], rtol=0, atol=0
+    )
+
+
+def test_sublane_layout_matches_lane_layout():
+    """The transposed (faces-on-sublanes) kernels agree with the lane
+    layout and the streaming oracle (kept despite the measured perf loss —
+    see pallas_soft for the negative result)."""
+    from torch_renderer_tpu.rasterize.pallas_soft import (
+        soft_silhouette_pallas_fd,
+        suggest_faces_per_tile,
+    )
+    from torch_renderer_tpu.rasterize.soft import soft_silhouette_streaming
+
+    meshes, cam, img = _multi_pose_scene()
+    fd = setup_faces(meshes, cam)
+    fpt = suggest_faces_per_tile(fd, img)
+    ref = soft_silhouette_streaming(meshes, cam)
+    lane = soft_silhouette_pallas_fd(fd, img, faces_per_tile=fpt,
+                                     layout="lane")
+    sub = soft_silhouette_pallas_fd(fd, img, faces_per_tile=fpt,
+                                    layout="sublane")
+    assert float(jnp.abs(lane - ref).max()) < 2e-5
+    assert float(jnp.abs(sub - ref).max()) < 2e-5
+
+    def loss(v, layout):
+        fd2 = setup_faces(meshes.update_padded(v), cam)
+        return jnp.sum(
+            soft_silhouette_pallas_fd(fd2, img, faces_per_tile=fpt,
+                                      layout=layout) ** 2
+        )
+
+    g_lane = jax.grad(lambda v: loss(v, "lane"))(meshes.verts)
+    g_sub = jax.grad(lambda v: loss(v, "sublane"))(meshes.verts)
+    scale = float(jnp.abs(g_lane).max())
+    assert float(jnp.abs(g_lane - g_sub).max()) < 1e-5 * scale

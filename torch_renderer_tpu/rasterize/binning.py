@@ -473,6 +473,130 @@ def gather_rank_planes(
     return out, mask
 
 
+# ---------------------------------------------------------------------------
+# Active-tile compaction
+# ---------------------------------------------------------------------------
+#
+# Measured on the north-star scene: 62.5% of tiles are EMPTY, yet every tile
+# pays its slice of the gather one-hot (slot compare over all T tiles), its
+# planes DMA into the kernel, and a grid step. Compacting the tile axis to
+# the <= max_active non-empty tiles (rank over the tile-nonempty mask — the
+# same prefix-count trick as rank binning, one level up) cuts all three by
+# the empty fraction. The kernel output is scattered back to the full tile
+# grid through the same exact one-hot contraction (_slot_gather with the
+# inverse rank), where empty tiles receive an exact 0 (= coverage sum of no
+# faces). Tiles beyond max_active are DROPPED (alpha 0) — size with
+# suggest_active_tiles()-style headroom, as with faces_per_tile.
+
+
+class ActiveBins(NamedTuple):
+    """Rank bins over COMPACTED non-empty tiles. slot/count are indexed by
+    active slot a (not tile t); invrank maps a back to its tile id (or
+    T + 1 for unused slots); origin is the active tile's raster origin."""
+
+    slot: jax.Array         # (B, A, F) int32
+    count: jax.Array        # (B, A) int32
+    invrank: jax.Array      # (B, A) int32
+    origin: jax.Array       # (B, A, 2) float32
+    n_active: jax.Array     # (B,) int32 true non-empty count (diagnostics)
+    tile_origin: jax.Array  # (T, 2)
+    n_tiles_hw: Tuple[int, int]
+
+
+def bin_ranks_active(
+    bbox_min: jax.Array,
+    bbox_max: jax.Array,
+    valid: jax.Array,
+    image_size,
+    tile: int,
+    max_active: int,
+) -> ActiveBins:
+    """Rank-binning with the tile axis compacted to non-empty tiles."""
+    H, W = image_size
+    s = min(H, W) / 2.0
+    TH, TW, origin = tile_grid(image_size, tile)
+    tile_extent = tile / s
+    t_lo = origin[None, :, None, :]
+    t_hi = t_lo + tile_extent
+    overlap = jnp.all(
+        (bbox_min[:, None, :, :] <= t_hi) & (bbox_max[:, None, :, :] >= t_lo),
+        axis=-1,
+    ) & valid[:, None, :]
+    overlap = jax.lax.stop_gradient(overlap)
+    B, T, F = overlap.shape
+    A = min(max_active, T)
+
+    nonempty = jnp.any(overlap, axis=-1)                    # (B, T)
+    trank = jnp.cumsum(nonempty.astype(jnp.int32), axis=-1)
+    rank = jnp.where(nonempty, trank - 1, A + 1)            # >= A drops
+    iota_a = jnp.arange(A, dtype=jnp.int32)
+    onehot = rank[:, None, :] == iota_a[None, :, None]      # (B, A, T)
+
+    # compact the overlap mask rows: exact bf16 matmul (0/1 values, one
+    # nonzero term per output element)
+    overlap_c = jax.lax.dot_general(
+        onehot.astype(jnp.bfloat16), overlap.astype(jnp.bfloat16),
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) > 0.5                                                 # (B, A, F)
+    rankf = jnp.cumsum(overlap_c.astype(jnp.int32), axis=-1)
+    slot = jnp.where(overlap_c, rankf - 1, F + 1)
+
+    onef = onehot.astype(jnp.float32)
+    origin_c = jnp.einsum(
+        "bat,tc->bac", onef, origin, precision=jax.lax.Precision.HIGHEST
+    )
+    inv = jnp.einsum(
+        "bat,t->ba", onef, jnp.arange(T, dtype=jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(jnp.int32)
+    n_active = jnp.sum(nonempty.astype(jnp.int32), axis=-1)
+    used = iota_a[None, :] < jnp.minimum(n_active, A)[:, None]
+    invrank = jnp.where(used, inv, T + 1)  # unused slots scatter nowhere
+
+    return ActiveBins(
+        slot=slot, count=rankf[..., -1], invrank=invrank, origin=origin_c,
+        n_active=n_active, tile_origin=origin, n_tiles_hw=(TH, TW),
+    )
+
+
+def bin_faces_active(
+    fd: FaceRasterData, image_size, tile: int, pad_radius: float,
+    max_active: int,
+) -> ActiveBins:
+    """Active-tile rank-binning of faces (cf. bin_faces_ranked)."""
+    fmin = jnp.min(fd.q, axis=2) - pad_radius
+    fmax = jnp.max(fd.q, axis=2) + pad_radius
+    return bin_ranks_active(fmin, fmax, fd.valid, image_size, tile,
+                            max_active)
+
+
+def count_active_tiles(fd: FaceRasterData, image_size, tile, pad_radius):
+    """Max over the batch of the non-empty tile count (sizing helper for
+    bin_faces_active; call with concrete data, like count_overflow)."""
+    H, W = image_size
+    s = min(H, W) / 2.0
+    TH, TW, origin = tile_grid(image_size, tile)
+    tile_extent = tile / s
+    fmin = jnp.min(fd.q, axis=2) - pad_radius
+    fmax = jnp.max(fd.q, axis=2) + pad_radius
+    t_lo = origin[None, :, None, :]
+    t_hi = t_lo + tile_extent
+    overlap = jnp.all(
+        (fmin[:, None, :, :] <= t_hi) & (fmax[:, None, :, :] >= t_lo), axis=-1
+    ) & fd.valid[:, None, :]
+    return jnp.max(jnp.sum(jnp.any(overlap, axis=-1).astype(jnp.int32),
+                           axis=-1))
+
+
+def scatter_active(values: jax.Array, bins: ActiveBins) -> jax.Array:
+    """(B, A, P) active-slot values -> (B, T, P) full tile grid; empty tiles
+    receive exactly 0. Rides _slot_gather (exact 3-pass bf16 contraction,
+    residual-light custom VJP) with the inverse rank as the slot map."""
+    T = bins.tile_origin.shape[0]
+    return _slot_gather(bins.invrank[:, None, :], values, T)[:, 0]
+
+
 def tile_pixel_coords(image_size, tile: int):
     """Local pixel offsets within a tile, raster units: (tile*tile, 2)."""
     H, W = image_size

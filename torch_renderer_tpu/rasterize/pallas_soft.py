@@ -246,6 +246,194 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+# ---------------------------------------------------------------------------
+# Sublane-transposed kernels: faces on SUBLANES (granularity 8), pixels on
+# LANES. The lane-layout kernels above pay ceil(count/128)*128 face lanes per
+# tile — a tile with 27 candidates (the north-star mean) still burns a full
+# 128-lane chunk, 4.7x its useful work. Transposing puts the dynamic face
+# loop on the sublane axis where the hardware granule is 8, so a tile pays
+# ceil(count/8)*8. Probe-verified Mosaic ops only: dynamic sublane-slice
+# loads/stores, static single-lane column slices + lane broadcast, sublane
+# and lane reductions.
+#
+# MEASURED NEGATIVE RESULT (north-star 256^2 scene, v5e): grad 9.1 ms vs
+# 5.9 ms for the lane layout; isolated kernels fwd 2.8 vs 2.3, fwd+bwd 6.0
+# vs 3.4. The mean non-empty tile holds ~61 candidates, so the granularity
+# win is only ~2x, and the per-group overheads (lane-column extract +
+# broadcast x6, lane reductions x12 in backward, fori bookkeeping) cost
+# more than the saved math when a group is two (8, 128) vregs. The winning
+# occupancy lever is tile COMPACTION instead (62.5% of tiles are empty and
+# still paid DMA + gather one-hot work) — see active_tiles in
+# soft_silhouette_pallas_fd.
+#
+# Layout: planes_t (N, S, 128) f32 — slot s's face in row s, lanes 0-5 =
+# qx0, qy0, qx1, qy1, qx2, qy2, lane 6 = valid (exactly the slot-filled
+# mask: a free ones-channel through the rank gather), lanes 7+ zero.
+# meta (N, 128) f32 — lane 0/1 = tile origin x/y, lane 2 = group count
+# ceil(min(count, S)/8). Output S_sum (N, tile^2) as before.
+# ---------------------------------------------------------------------------
+
+_GF = 8  # faces per group = sublane granule
+
+
+def _group_inputs(planes_ref, i, g, xoff, yoff, ox, oy):
+    blk = planes_ref[i, pl.ds(g * _GF, _GF), :]   # (8, 128)
+    q = tuple(blk[:, c:c + 1] for c in range(6))  # 6x (8, 1)
+    valid = blk[:, 6:7]                           # (8, 1)
+    px = ox + xoff                                # (1, TP)
+    py = oy + yoff
+    return q, valid, px, py
+
+
+def _pixel_offsets_t(tile: int, inv_s: float):
+    """Within-tile pixel-center offsets as (1, TP) lane vectors."""
+    tp = tile * tile
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, tp), 1)
+    xoff = (idx % tile).astype(jnp.float32) * inv_s
+    yoff = (idx // tile).astype(jnp.float32) * inv_s
+    return xoff, yoff
+
+
+def _fwd_kernel_t(tile, inv_s, inv_sigma, planes_ref, meta_ref, out_ref):
+    tp = tile * tile
+    xoff, yoff = _pixel_offsets_t(tile, inv_s)
+
+    for i in range(_TN):
+        ox = meta_ref[i, 0]
+        oy = meta_ref[i, 1]
+        ng = meta_ref[i, 2].astype(jnp.int32)
+
+        def group(g, acc):
+            q, valid, px, py = _group_inputs(planes_ref, i, g, xoff, yoff,
+                                             ox, oy)
+            signed, _, _, _ = _signed_d2(px, py, q, valid)   # (8, TP)
+            return acc + jax.nn.softplus(-signed * inv_sigma)
+
+        acc = jax.lax.fori_loop(0, ng, group, jnp.zeros((_GF, tp),
+                                                        jnp.float32))
+        out_ref[i, :] = jnp.sum(acc, axis=0)
+
+
+def _bwd_kernel_t(tile, inv_s, inv_sigma, n_groups, planes_ref, meta_ref,
+                  g_ref, dq_ref):
+    xoff, yoff = _pixel_offsets_t(tile, inv_s)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (_GF, 128), 1)
+    lane_oh = [
+        (lane == c).astype(jnp.float32) for c in range(6)
+    ]  # assemble dq rows as sum(col * lane-onehot): only probe-safe ops
+
+    for i in range(_TN):
+        ox = meta_ref[i, 0]
+        oy = meta_ref[i, 1]
+        ng = meta_ref[i, 2].astype(jnp.int32)
+        gcot = g_ref[i, :][None, :]  # (1, TP)
+
+        def group(g, _):
+            q, valid, px, py = _group_inputs(planes_ref, i, g, xoff, yoff,
+                                             ox, oy)
+            signed, d2, inside, edges = _signed_d2(px, py, q, valid)
+
+            sgn = jnp.where(inside, -1.0, 1.0)
+            alpha = gcot * jax.nn.sigmoid(-signed * inv_sigma) * (
+                -inv_sigma) * sgn
+            alpha = jnp.where(valid > 0.0, alpha, 0.0)     # (8, TP)
+
+            m0 = (edges[0][0] <= d2).astype(jnp.float32)
+            m1 = (edges[1][0] <= d2).astype(jnp.float32)
+            m2 = (edges[2][0] <= d2).astype(jnp.float32)
+            norm = m0 + m1 + m2
+            inv_norm = jnp.where(
+                norm <= 1.0, 1.0, jnp.where(norm <= 2.0, 0.5, 1.0 / 3.0)
+            )
+
+            def edge_grads(e, m):
+                _, t, wx, wy, gx, gy = e
+                beta = alpha * (m * inv_norm)
+                ca = 2.0 * beta * (t - 1.0)
+                cg = 2.0 * beta * t * (1.0 - t)
+                cb_w = -2.0 * beta * t
+                cb_g = 2.0 * beta * t * t
+                # reductions over the PIXEL (lane) axis -> (8, 1) per face
+                dqa_x = jnp.sum(ca * wx + cg * gx, axis=1, keepdims=True)
+                dqa_y = jnp.sum(ca * wy + cg * gy, axis=1, keepdims=True)
+                dqb_x = jnp.sum(cb_w * wx + cb_g * gx, axis=1, keepdims=True)
+                dqb_y = jnp.sum(cb_w * wy + cb_g * gy, axis=1, keepdims=True)
+                return dqa_x, dqa_y, dqb_x, dqb_y
+
+            a0x, a0y, b0x, b0y = edge_grads(edges[0], m0)  # edge (q0, q1)
+            a1x, a1y, b1x, b1y = edge_grads(edges[1], m1)  # edge (q1, q2)
+            a2x, a2y, b2x, b2y = edge_grads(edges[2], m2)  # edge (q2, q0)
+
+            cols = (a0x + b2x, a0y + b2y, b0x + a1x, b0y + a1y,
+                    b1x + a2x, b1y + a2y)
+            blk = lane_oh[0] * cols[0]
+            for c in range(1, 6):
+                blk = blk + lane_oh[c] * cols[c]
+            dq_ref[i, pl.ds(g * _GF, _GF), :] = blk
+            return 0
+
+        def zero_group(g, _):
+            dq_ref[i, pl.ds(g * _GF, _GF), :] = jnp.zeros((_GF, 128),
+                                                          jnp.float32)
+            return 0
+
+        jax.lax.fori_loop(0, ng, group, 0)
+        jax.lax.fori_loop(ng, n_groups, zero_group, 0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _tile_coverage_t(planes_t, meta, tile, inv_s, sigma):
+    """planes_t (N, S, 128) + meta (N, 128) -> S (N, tile^2), sublane
+    layout (see block comment above)."""
+    return _tile_coverage_t_fwd(planes_t, meta, tile, inv_s, sigma)[0]
+
+
+def _tile_coverage_t_fwd(planes_t, meta, tile, inv_s, sigma):
+    N, S, _ = planes_t.shape
+    tp = tile * tile
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel_t, tile, inv_s, 1.0 / sigma),
+        grid=(N // _TN,),
+        in_specs=[
+            pl.BlockSpec((_TN, S, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TN, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_TN, tp), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, tp), jnp.float32),
+        interpret=_interpret(),
+    )(planes_t, meta)
+    return out, (planes_t, meta)
+
+
+def _tile_coverage_t_bwd(tile, inv_s, sigma, res, g):
+    planes_t, meta = res
+    N, S, _ = planes_t.shape
+    tp = tile * tile
+    dplanes = pl.pallas_call(
+        functools.partial(_bwd_kernel_t, tile, inv_s, 1.0 / sigma, S // _GF),
+        grid=(N // _TN,),
+        in_specs=[
+            pl.BlockSpec((_TN, S, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TN, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TN, tp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_TN, S, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, S, 128), jnp.float32),
+        interpret=_interpret(),
+    )(planes_t, meta, g)
+    return dplanes, jnp.zeros_like(meta)
+
+
+_tile_coverage_t.defvjp(_tile_coverage_t_fwd, _tile_coverage_t_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
 def _tile_coverage(planes, tile, inv_s, sigma):
     """planes (N, 8, F) [6 q rows, valid, packed origin] -> S (N, tile^2)."""
@@ -325,20 +513,54 @@ def soft_silhouette_pallas_fd(
     tile: int = 16,
     faces_per_tile: int = 128,
     return_sum: bool = False,
+    layout: str = "lane",
+    active_tiles: int | None = None,
 ) -> jax.Array:
     """Tile-binned soft coverage (B, H, W) through the fused Pallas kernel.
 
     Exact (same sum as the streaming oracle) provided no bin overflows —
-    size faces_per_tile with suggest_faces_per_tile()."""
-    from .binning import bin_faces_ranked, gather_rank_planes
+    size faces_per_tile with suggest_faces_per_tile().
+
+    active_tiles: if set, the tile axis is COMPACTED to the non-empty tiles
+    before the gather + kernel (binning.bin_ranks_active) and the coverage
+    sums are scattered back afterwards — the measured win on the north-star
+    scene, where 62.5% of tiles are empty but still paid gather one-hot
+    work, planes DMA and grid steps. Size it with suggest_active_tiles()
+    (tiles beyond the budget are dropped, like overflowing face bins).
+
+    layout: "lane" (default) — faces on the lane axis, chunk granularity
+    128. "sublane" runs the transposed kernels (faces on sublanes,
+    granularity 8) — measured SLOWER at the north-star scale (grad 9.1 vs
+    5.9 ms): the per-group fixed costs (6 lane-column extracts + broadcasts,
+    12 lane reductions per 8-face group in the backward) outweigh the
+    2x occupancy win when each group is only two (8, 128) vregs of math.
+    Kept (exact, tested) for documentation and for shapes where wide pixel
+    rows might amortize the overheads."""
+    from .binning import (
+        bin_faces_active,
+        bin_faces_ranked,
+        gather_rank_planes,
+        scatter_active,
+    )
 
     B = fd.q.shape[0]
     pad = math.sqrt(SOFT_CUTOFF * sigma)
+    if layout == "sublane":
+        return _soft_silhouette_pallas_t(
+            fd, image_size, sigma, tile, faces_per_tile, return_sum, pad
+        )
     # rank-binning: candidate slots come from a prefix count of the overlap
     # mask (no top_k sort) and the slot one-hot feeds the gather contraction
     # directly — see binning.bin_ranks. Replaced the bin_faces top_k path,
     # which was ~1.5 ms of the 7 ms north-star step.
-    bins = bin_faces_ranked(fd, image_size, tile, pad)
+    if active_tiles is not None:
+        bins = bin_faces_active(fd, image_size, tile, pad, active_tiles)
+        T_run = bins.slot.shape[1]                          # = A
+        origins = bins.origin                               # (B, A, 2)
+    else:
+        bins = bin_faces_ranked(fd, image_size, tile, pad)
+        T_run = bins.slot.shape[1]                          # = T
+        origins = jnp.broadcast_to(bins.tile_origin[None], (B, T_run, 2))
     TH, TW = bins.n_tiles_hw
     T = TH * TW
     Fmax = min(faces_per_tile, fd.num_faces)
@@ -349,9 +571,8 @@ def soft_silhouette_pallas_fd(
         fd, bins, Fmax,
         channels=("qx0", "qy0", "qx1", "qy1", "qx2", "qy2"),
     )  # coverage needs only the corner coords — half the gather einsum
-    valid = mask.astype(jnp.float32)                        # (B, T, Fmax)
+    valid = mask.astype(jnp.float32)                        # (B, T_run, Fmax)
 
-    origins = jnp.broadcast_to(bins.tile_origin[None], (B, T, 2))
     # the per-tile face-chunk trip count rides in row 7 lane 2 next to
     # the tile origin: a separate SMEM input would need a whole-array
     # (overflows SMEM at 720p tile counts) or (8,128)-tiled block, and the
@@ -359,8 +580,8 @@ def soft_silhouette_pallas_fd(
     # are contiguous at the front of the lane axis (slot = overlap rank),
     # so ceil(count/fc) chunks cover every valid face.
     fc = _face_chunk_width(Fmax + ((-Fmax) % _FC))
-    n_chunks = -(-jnp.minimum(bins.count, Fmax) // fc)      # (B, T) int
-    origin_row = jnp.zeros((B, T, Fmax), jnp.float32)
+    n_chunks = -(-jnp.minimum(bins.count, Fmax) // fc)      # (B, T_run) int
+    origin_row = jnp.zeros((B, T_run, Fmax), jnp.float32)
     origin_row = origin_row.at[..., 0].set(origins[..., 0])
     origin_row = origin_row.at[..., 1].set(origins[..., 1])
     origin_row = origin_row.at[..., 2].set(n_chunks.astype(jnp.float32))
@@ -371,22 +592,98 @@ def soft_silhouette_pallas_fd(
             valid, origin_row,
         ],
         axis=2,
-    ).reshape(B * T, 8, Fmax)
+    ).reshape(B * T_run, 8, Fmax)
     # pad the face/lane axis to full _FC chunks (padding faces carry
     # valid=0; jnp.pad's VJP slices the gradient back)
     f_pad = (-Fmax) % _FC
     if f_pad:
         planes = jnp.pad(planes, ((0, 0), (0, 0), (0, f_pad)))
 
-    N = B * T
+    N = B * T_run
     n_pad = (-N) % _TN
     if n_pad:
         planes = jnp.pad(planes, ((0, n_pad), (0, 0), (0, 0)))
 
     H, W = image_size
     inv_s = 1.0 / (min(H, W) / 2.0)
-    S = _tile_coverage(planes, tile, inv_s, sigma)[:N]  # (B*T, tp)
-    per_tile = S.reshape(B, T, tile * tile)
+    S = _tile_coverage(planes, tile, inv_s, sigma)[:N]  # (B*T_run, tp)
+    per_tile = S.reshape(B, T_run, tile * tile)
+    if active_tiles is not None:
+        # back to the full grid; empty tiles get exactly 0 coverage sum
+        per_tile = scatter_active(per_tile, bins)           # (B, T, tp)
+    if not return_sum:
+        per_tile = 1.0 - jnp.exp(-per_tile)
+    return untile_image(per_tile, image_size, tile, bins.n_tiles_hw)
+
+
+def suggest_active_tiles(
+    fd: FaceRasterData, image_size, tile: int = 16, sigma: float = 1e-4,
+    margin: float = 1.3, multiple: int = 8,
+) -> int:
+    """Smallest safe active-tile budget for this scene (max non-empty tile
+    count over the batch, with headroom). Call OUTSIDE jit with concrete
+    data; pass the result as soft_silhouette_pallas_fd(active_tiles=...).
+    Returns the full tile count when compaction would not help."""
+    from .binning import count_active_tiles, tile_grid
+
+    pad = math.sqrt(SOFT_CUTOFF * sigma)
+    n = int(count_active_tiles(fd, image_size, tile, pad))
+    TH, TW, _ = tile_grid(image_size, tile)
+    T = TH * TW
+    want = int(math.ceil(n * margin / multiple)) * multiple
+    return max(multiple, min(want, T))
+
+
+def _soft_silhouette_pallas_t(
+    fd: FaceRasterData, image_size, sigma, tile, faces_per_tile,
+    return_sum, pad,
+) -> jax.Array:
+    """Sublane-layout assembly: rank-bin, gather corner channels + a free
+    ones-channel (the slot-filled mask) into (N, S, 128) planes, build the
+    (N, 128) per-tile meta array, run the transposed kernels."""
+    from .binning import bin_faces_ranked, gather_rank_channels
+
+    B = fd.q.shape[0]
+    bins = bin_faces_ranked(fd, image_size, tile, pad)
+    TH, TW = bins.n_tiles_hw
+    T = TH * TW
+    S = min(faces_per_tile, fd.num_faces)
+    S += (-S) % _GF  # sublane granule
+
+    ones = jnp.ones_like(fd.q[:, :, 0, 0])
+    planes7 = jnp.stack(
+        [
+            fd.q[:, :, 0, 0], fd.q[:, :, 0, 1],
+            fd.q[:, :, 1, 0], fd.q[:, :, 1, 1],
+            fd.q[:, :, 2, 0], fd.q[:, :, 2, 1],
+            ones,  # lane 6: gathers to 1 exactly where the slot is filled
+        ],
+        axis=-1,
+    )  # (B, F, 7)
+    gathered = gather_rank_channels(planes7, bins, S)     # (B, T, S, 7)
+    planes_t = jnp.pad(gathered, ((0, 0), (0, 0), (0, 0), (0, 128 - 7)))
+    planes_t = planes_t.reshape(B * T, S, 128)
+
+    capped = jnp.minimum(bins.count, S)                   # (B, T)
+    ng = -(-capped // _GF)
+    meta = jnp.zeros((B, T, 128), jnp.float32)
+    meta = meta.at[..., 0].set(
+        jnp.broadcast_to(bins.tile_origin[None, :, 0], (B, T)))
+    meta = meta.at[..., 1].set(
+        jnp.broadcast_to(bins.tile_origin[None, :, 1], (B, T)))
+    meta = meta.at[..., 2].set(ng.astype(jnp.float32))
+    meta = meta.reshape(B * T, 128)
+
+    N = B * T
+    n_pad = (-N) % _TN
+    if n_pad:
+        planes_t = jnp.pad(planes_t, ((0, n_pad), (0, 0), (0, 0)))
+        meta = jnp.pad(meta, ((0, n_pad), (0, 0)))
+
+    H, W = image_size
+    inv_s = 1.0 / (min(H, W) / 2.0)
+    out = _tile_coverage_t(planes_t, meta, tile, inv_s, sigma)[:N]
+    per_tile = out.reshape(B, T, tile * tile)
     if not return_sum:
         per_tile = 1.0 - jnp.exp(-per_tile)
     return untile_image(per_tile, image_size, tile, bins.n_tiles_hw)
