@@ -31,6 +31,10 @@ def main():
     p.add_argument("--max-faces-per-bin", type=int, default=0,
                    help="0 = auto-size from the scene's measured max tile "
                         "occupancy (pallas_soft.suggest_faces_per_tile)")
+    p.add_argument("--active-tiles", type=int, default=0,
+                   help="active-tile compaction budget; 0 = auto-size from "
+                        "the scene's non-empty tile count (at 720p ~80%% of "
+                        "tiles are empty), -1 = disable compaction")
     args = p.parse_args()
     setup_platform(args)
 
@@ -51,23 +55,32 @@ def main():
     Rs, ts = look_at_view_transform(2.7, 15.0, azims)
 
     mfb = args.max_faces_per_bin
-    if mfb == 0:
+    act = args.active_tiles
+    if mfb == 0 or act == 0:
         from torch_renderer_tpu.cameras.perspective import PerspectiveCamera
-        from torch_renderer_tpu.rasterize.binning import count_overflow
+        from torch_renderer_tpu.rasterize.binning import (
+            count_overflow,
+            suggest_active_tiles_fd,
+        )
         from torch_renderer_tpu.rasterize.geometry import setup_faces
 
         vc0 = min(args.view_chunk, N)
         cam0 = PerspectiveCamera.from_K(K, (H, W), R=Rs[:vc0], t=ts[:vc0])
-        max_count, _ = count_overflow(
-            setup_faces(meshes.extend(vc0), cam0), (H, W), args.bin_size, 0, 0.0
-        )
-        mfb = max(8, int(float(max_count) * 1.3))
-        print(f"auto max_faces_per_bin = {mfb} (measured max {int(max_count)})")
+        fd0 = setup_faces(meshes.extend(vc0), cam0)
+        if mfb == 0:
+            max_count, _ = count_overflow(fd0, (H, W), args.bin_size, 0, 0.0)
+            mfb = max(8, int(float(max_count) * 1.3))
+            print(f"auto max_faces_per_bin = {mfb} "
+                  f"(measured max {int(max_count)})")
+        if act == 0:
+            act = suggest_active_tiles_fd(fd0, (H, W), args.bin_size, 0.0)
+            print(f"auto active_tiles = {act}")
 
     renderer = DepthRender(
         K, (H, W), pixel_chunk=1048576,
         bin_size=args.bin_size, max_faces_per_bin=mfb,
         impl=args.raster_impl,
+        active_tiles=None if act < 0 else act,
     )
     vc = min(args.view_chunk, N)
     batched = meshes.extend(vc)

@@ -597,6 +597,44 @@ def scatter_active(values: jax.Array, bins: ActiveBins) -> jax.Array:
     return _slot_gather(bins.invrank[:, None, :], values, T)[:, 0]
 
 
+def active_indicator(bins: ActiveBins) -> jax.Array:
+    """(B, T, 1) bool: True where the tile is active (scatter target)."""
+    B, A = bins.invrank.shape
+    ones = jnp.ones((B, A, 1), jnp.float32)
+    return scatter_active(ones, bins) > 0.5
+
+
+def scatter_active_bg(values: jax.Array, bins: ActiveBins, bg,
+                      indicator: jax.Array | None = None) -> jax.Array:
+    """(B, A, ...) -> (B, T, ...) with inactive tiles set to `bg` (a scalar
+    or an array broadcastable to the trailing dims). Values on active tiles
+    are EXACT (single-term one-hot contraction), so the full-grid result is
+    bit-identical to the uncompacted path wherever a tile exists."""
+    B, A = values.shape[:2]
+    trail = values.shape[2:]
+    T = bins.tile_origin.shape[0]
+    s = scatter_active(values.reshape(B, A, -1), bins).reshape((B, T) + trail)
+    ind = active_indicator(bins) if indicator is None else indicator
+    ind = ind.reshape((B, T) + (1,) * len(trail))
+    return jnp.where(ind, s, jnp.asarray(bg, values.dtype))
+
+
+def suggest_active_tiles_fd(
+    fd: FaceRasterData, image_size, tile: int, pad_radius: float,
+    margin: float = 1.3, multiple: int = 8,
+) -> int:
+    """Smallest safe active-tile budget for this scene (max non-empty tile
+    count over the batch, with headroom). Call OUTSIDE jit with concrete
+    data; tiles beyond the budget are dropped like overflowing face bins."""
+    import math as _math
+
+    n = int(count_active_tiles(fd, image_size, tile, pad_radius))
+    TH, TW, _ = tile_grid(image_size, tile)
+    T = TH * TW
+    want = int(_math.ceil(n * margin / multiple)) * multiple
+    return max(multiple, min(want, T))
+
+
 def tile_pixel_coords(image_size, tile: int):
     """Local pixel offsets within a tile, raster units: (tile*tile, 2)."""
     H, W = image_size

@@ -519,9 +519,28 @@ def rasterize_binned_pallas(
     pad_radius = math.sqrt(blur) if blur > 0 else 0.0
 
     fd_sel = jax.lax.stop_gradient(fd)
+    compact = settings.active_tiles is not None
+    if compact and extra is not None:
+        raise ValueError(
+            "active_tiles is not yet supported together with "
+            "extra_face_attrs (bin-local interpolation indexes channels "
+            "by tile); drop one of the two"
+        )
     # rank binning (prefix-count slots, no top_k); the global face id rides
-    # the one-hot contraction as one extra f32 channel (exact below 2^24)
-    bins = bin_faces_ranked(fd_sel, (H, W), tile, pad_radius)
+    # the one-hot contraction as one extra f32 channel (exact below 2^24).
+    # active_tiles compacts the tile axis to the non-empty tiles first —
+    # the gather and both kernels then run on A instead of T tiles, and the
+    # per-tile channel bands scatter back to the full grid at the end.
+    if compact:
+        from .binning import bin_faces_active
+
+        bins = bin_faces_active(
+            fd_sel, (H, W), tile, pad_radius, settings.active_tiles
+        )
+        origins = bins.origin                                 # (B, A, 2)
+    else:
+        bins = bin_faces_ranked(fd_sel, (H, W), tile, pad_radius)
+        origins = None
     B = fd.q.shape[0]
     F = fd.num_faces
     fid = jnp.broadcast_to(
@@ -533,10 +552,11 @@ def rasterize_binned_pallas(
     )  # (B, T, Fmax) channels
     extra_bin = exg[..., :-1] if extra is not None else None
     fidf = jax.lax.stop_gradient(exg[..., -1])
-    B, T, Fmax = mask.shape
+    B, T, Fmax = mask.shape                                   # T = A if compact
 
     valid = mask.astype(jnp.float32)
-    origins = jnp.broadcast_to(bins.tile_origin[None], (B, T, 2))
+    if origins is None:
+        origins = jnp.broadcast_to(bins.tile_origin[None], (B, T, 2))
     origin_row = jnp.zeros((B, T, Fmax), jnp.float32)
     origin_row = origin_row.at[..., 0].set(origins[..., 0])
     origin_row = origin_row.at[..., 1].set(origins[..., 1])
@@ -580,6 +600,17 @@ def rasterize_binned_pallas(
             planes, tile, inv_s, blur, settings.znear, settings.clip_bary, K
         )[:N]                                        # (N, K*8, tp)
         per_tile = out.reshape(B, T, K, 8, tp)
+
+    if compact:
+        # back to the full tile grid; empty tiles carry the kernels' own
+        # no-hit band (zbuf -1 / bary 0 / dists EMPTY_DIST / fid -1 /
+        # live 0 / lane 0), selected exactly via the active indicator
+        from .binning import scatter_active_bg
+
+        bg = jnp.array(
+            [-1.0, 0.0, 0.0, 0.0, EMPTY_DIST, -1.0, 0.0, 0.0], jnp.float32
+        )[None, None, None, :, None]                 # broadcast (B,T,K,8,tp)
+        per_tile = scatter_active_bg(per_tile, bins, bg)
 
     def img(row):  # (B, H, W, K)
         chan = per_tile[:, :, :, row, :].transpose(0, 1, 3, 2)  # (B,T,tp,K)

@@ -69,6 +69,15 @@ class RasterizationSettings:
     # tiles cost ~nothing) and the XLA tile path otherwise; 'xla'/'pallas'
     # force a path (pallas falls back to interpret mode off-TPU).
     impl: str = "auto"
+    # Active-tile compaction: if set, the binned paths compact the tile axis
+    # to this many non-empty tiles before selection/interpolation and
+    # scatter the per-tile outputs back afterwards (exact; background
+    # everywhere a tile was empty). At 720p ~80% of tiles are empty and the
+    # XLA tile path computes them all — size with
+    # binning.suggest_active_tiles_fd (tiles beyond the budget are DROPPED,
+    # like overflowing face bins). Not yet supported together with
+    # extra_face_attrs (the bin-local interpolation path).
+    active_tiles: Optional[int] = None
 
     @property
     def clip_bary(self) -> bool:
@@ -279,8 +288,10 @@ def _rasterize_binned(fd: FaceRasterData, settings: RasterizationSettings) -> Fr
     import math
 
     from .binning import (
+        bin_faces_active,
         bin_faces_ranked,
         gather_rank_planes,
+        scatter_active_bg,
         tile_pixel_coords,
         untile_image,
     )
@@ -292,8 +303,19 @@ def _rasterize_binned(fd: FaceRasterData, settings: RasterizationSettings) -> Fr
     pad_radius = math.sqrt(blur) if blur > 0 else 0.0
     fd_sel = jax.lax.stop_gradient(fd)
     # rank binning (prefix-count slots, no top_k); the global face id rides
-    # the one-hot contraction as one extra f32 channel (exact below 2^24)
-    bins = bin_faces_ranked(fd_sel, (H, W), tile, pad_radius)
+    # the one-hot contraction as one extra f32 channel (exact below 2^24).
+    # active_tiles additionally compacts the tile axis to the non-empty
+    # tiles (binning.bin_ranks_active) — every per-tile stage below then
+    # runs on A instead of T tiles, and the outputs scatter back to the
+    # full grid at the end (exact; empty tiles carry background values).
+    if settings.active_tiles is not None:
+        bins = bin_faces_active(
+            fd_sel, (H, W), tile, pad_radius, settings.active_tiles
+        )
+        origins = bins.origin                                 # (B, A, 2)
+    else:
+        bins = bin_faces_ranked(fd_sel, (H, W), tile, pad_radius)
+        origins = None
     B = fd.q.shape[0]
     F = fd.num_faces
     fid = jnp.broadcast_to(
@@ -303,7 +325,7 @@ def _rasterize_binned(fd: FaceRasterData, settings: RasterizationSettings) -> Fr
         fd, bins, min(settings.max_faces_per_bin, F), extra=fid
     )  # ch: DIFFERENTIABLE channel planes (B, T, Fmax)
     valid_t = mask.astype(jnp.float32)
-    B, T, Fmax = valid_t.shape
+    B, T, Fmax = valid_t.shape                                # T = A if compact
     tp = tile * tile
 
     local = tile_pixel_coords((H, W), tile)  # (tp, 2)
@@ -311,7 +333,9 @@ def _rasterize_binned(fd: FaceRasterData, settings: RasterizationSettings) -> Fr
     ch = {k: flat(v) for k, v in ch.items()}
     vf = flat(valid_t)
     fidx = fid_t[..., 0].astype(jnp.int32).reshape(B * T, Fmax)
-    of = jnp.broadcast_to(bins.tile_origin[None], (B, T, 2)).reshape(B * T, 2)
+    if origins is None:
+        origins = jnp.broadcast_to(bins.tile_origin[None], (B, T, 2))
+    of = origins.reshape(B * T, 2)
 
     N = B * T
     tiles_per_chunk = max(1, min(settings.pixel_chunk // tp, N))
@@ -366,14 +390,31 @@ def _rasterize_binned(fd: FaceRasterData, settings: RasterizationSettings) -> Fr
         ({k: padc(v) for k, v in ch.items()}, padc(vf), padc(fidx), padc(of)),
     )
 
-    def finish(a):
-        a = a.reshape((n_chunks * tiles_per_chunk, tp) + a.shape[3:])[:N]
-        a = a.reshape((B, T, tp) + a.shape[2:])
-        return untile_image(a, (H, W), tile, bins.n_tiles_hw)
+    if settings.active_tiles is not None:
+        from .binning import active_indicator
+
+        ind = active_indicator(bins)
+
+        def finish(a, bg):
+            a = a.reshape((n_chunks * tiles_per_chunk, tp) + a.shape[3:])[:N]
+            a = a.reshape((B, T, tp) + a.shape[2:])
+            dtype = a.dtype
+            if dtype == jnp.int32:  # scatter rides f32 (ids < 2^24: exact)
+                a = a.astype(jnp.float32)
+            a = scatter_active_bg(a, bins, bg, indicator=ind)
+            if dtype == jnp.int32:
+                a = jnp.round(a).astype(jnp.int32)
+            return untile_image(a, (H, W), tile, bins.n_tiles_hw)
+    else:
+        def finish(a, bg):
+            del bg
+            a = a.reshape((n_chunks * tiles_per_chunk, tp) + a.shape[3:])[:N]
+            a = a.reshape((B, T, tp) + a.shape[2:])
+            return untile_image(a, (H, W), tile, bins.n_tiles_hw)
 
     return Fragments(
-        pix_to_face=finish(p2f), zbuf=finish(zbuf),
-        bary=finish(bary), dists=finish(dists),
+        pix_to_face=finish(p2f, -1), zbuf=finish(zbuf, -1.0),
+        bary=finish(bary, 0.0), dists=finish(dists, EMPTY_DIST),
     )
 
 

@@ -91,6 +91,7 @@ class MeshRenderer(DifferentiableRenderer):
         max_faces_per_bin: int = 128,
         impl: str = "auto",
         shade_k: Optional[int] = None,
+        active_tiles: Optional[int] = None,
     ):
         """shade_k: shade only the nearest shade_k fragment slots for RGB
         (silhouette/depth keep all K); at the default gamma=1e-4 the
@@ -106,6 +107,7 @@ class MeshRenderer(DifferentiableRenderer):
             bin_size=bin_size,
             max_faces_per_bin=max_faces_per_bin,
             impl=impl,
+            active_tiles=active_tiles,
         )
         self.blend = BlendParams(sigma=sigma, gamma=gamma, background_color=background_color)
         self.lights = lights if lights is not None else PointLights.make()
