@@ -25,6 +25,9 @@ def main():
     p.add_argument("--texture-size", type=int, default=256)
     p.add_argument("--level", type=int, default=4)
     p.add_argument("--out-dir", type=str, default="joint_out")
+    p.add_argument("--active-tiles", type=int, default=-1,
+                   help="-1 = auto-size tile compaction (default), 0 = off, "
+                        ">0 = fixed budget")
     args = p.parse_args()
     setup_platform(args)
 
@@ -67,6 +70,7 @@ def main():
 
     cfg = JointFitConfig(
         n_views=args.views, n_steps=args.iters, texture_size=args.texture_size,
+        active_tiles=None if args.active_tiles < 0 else args.active_tiles,
     )
     fitter = JointShapeTextureFitter(pinhole_K((H, W)), (H, W), cfg)
     dataset = fitter.make_dataset(tgt)

@@ -196,14 +196,59 @@ def test_active_tile_compaction_exact_fragments(impl, K_, blur, tile):
     np.testing.assert_array_equal(np.asarray(g_full), np.asarray(g_comp))
 
 
-def test_active_tiles_with_extras_raises(scene):
-    """Bin-local attribute interpolation indexes channels by tile; the
-    compacted axis is not yet supported there — must fail loudly."""
-    meshes, cam = scene
-    st = RasterizationSettings(
-        image_size=(IMG, IMG), faces_per_pixel=2, bin_size=16,
-        max_faces_per_bin=128, impl="pallas", active_tiles=8,
-    )
-    attrs = {"rgb": jnp.ones((B, meshes.max_faces, 3, 3), jnp.float32)}
-    with pytest.raises(ValueError, match="active_tiles"):
-        rasterize_meshes(meshes, cam, st, extra_face_attrs=attrs)
+def test_active_tiles_composes_with_binned_shading():
+    """active_tiles + extra_face_attrs: the bin-local attribute channels
+    stay compacted through interpolate_binned and the flat Phong chain
+    (the joint-fit path); the shaded render must match the full-grid
+    result, values and gradients."""
+    import math
+
+    from torch_renderer_tpu.rasterize.binning import suggest_active_tiles_fd
+    from torch_renderer_tpu.rasterize.geometry import setup_faces
+    from torch_renderer_tpu.renderer import MeshRenderer
+
+    img = 96
+    verts, faces = icosphere(2)
+    meshes = Meshes.from_single(verts, faces).extend(B)
+    f = 0.8 * img
+    Km = np.array([[f, 0, img / 2], [0, f, img / 2], [0, 0, 1]], np.float32)
+    R = np.broadcast_to(np.eye(3, dtype=np.float32), (B, 3, 3))
+    t = np.stack([
+        np.array([0.0, 0.0, 3.5], np.float32),
+        np.array([0.4, -0.3, 3.0], np.float32),
+    ])
+    blur = 1e-4 * math.log(1 / 1e-4 - 1)
+
+    def renderer(act):
+        return MeshRenderer(
+            Km, (img, img), blur_radius=blur, faces_per_pixel=4,
+            bin_size=16, max_faces_per_bin=128, impl="pallas",
+            active_tiles=act,
+        )
+
+    cam = renderer(None).camera_with_pose(R, t)
+    fd = setup_faces(meshes, cam)
+    act = suggest_active_tiles_fd(fd, (img, img), 16, math.sqrt(blur))
+    assert act < (img // 16) ** 2
+
+    full = renderer(None).render(meshes, R, t, with_silhouette=True,
+                                 with_rgb=True, soft_rgb=True)
+    comp = renderer(act).render(meshes, R, t, with_silhouette=True,
+                                with_rgb=True, soft_rgb=True)
+    np.testing.assert_array_equal(np.asarray(full.depth), np.asarray(comp.depth))
+    np.testing.assert_array_equal(np.asarray(full.silhouette),
+                                  np.asarray(comp.silhouette))
+    np.testing.assert_array_equal(np.asarray(full.rgb), np.asarray(comp.rgb))
+
+    def loss(v, act):
+        out = renderer(act).render(
+            meshes.update_padded(v), R, t, with_silhouette=True,
+            with_rgb=True, soft_rgb=True,
+        )
+        return (jnp.sum(out.rgb ** 2) + jnp.sum(out.silhouette ** 2)
+                + jnp.sum(out.depth ** 2))
+
+    g_full = jax.grad(loss)(meshes.verts, None)
+    g_comp = jax.grad(loss)(meshes.verts, act)
+    scale = float(jnp.abs(g_full).max())
+    assert float(jnp.abs(g_full - g_comp).max()) <= 1e-6 * scale

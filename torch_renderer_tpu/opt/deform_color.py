@@ -76,6 +76,11 @@ class JointFitConfig:
     # icosphere at 128^2 already peaks at ~490 faces/tile).
     bin_size: Optional[int] = 16
     max_faces_per_bin: Optional[int] = None
+    # Active-tile compaction budget (RasterizationSettings.active_tiles).
+    # None = auto-size from the concrete scene with 1.5x headroom (like
+    # max_faces_per_bin; ~44% of tiles are empty at the reference's 128^2
+    # joint-fit scale and every binned stage skips them); 0 = disable.
+    active_tiles: Optional[int] = None
 
 
 class JointShapeTextureFitter:
@@ -96,9 +101,11 @@ class JointShapeTextureFitter:
             faces_per_pixel=cfg.faces_per_pixel,
             bin_size=cfg.bin_size, max_faces_per_bin=mfb,
             shade_k=cfg.shade_k,
+            active_tiles=cfg.active_tiles if cfg.active_tiles else None,
             **renderer_kw,
         )
         self._auto_mfb = mfb
+        self._auto_act = 0  # grows monotonically, like _auto_mfb
         self._fit_cache: dict = {}
 
     def _ensure_bin_capacity(self, meshes: Meshes, Rs, ts) -> None:
@@ -109,24 +116,43 @@ class JointShapeTextureFitter:
         import math
 
         cfg = self.config
-        if cfg.bin_size is None or cfg.max_faces_per_bin is not None:
+        if cfg.bin_size is None:
             return
-        from ..rasterize.binning import count_overflow
+        from ..rasterize.binning import (
+            count_active_tiles,
+            count_overflow,
+            tile_grid,
+        )
         from ..rasterize.geometry import setup_faces
 
         st = self.renderer.settings
         cam = self.renderer.camera_with_pose(Rs, ts)
         fd = setup_faces(meshes, cam)
         pad = math.sqrt(st.blur_radius) if st.blur_radius > 0 else 0.0
-        mx, _ = count_overflow(
-            fd, self.renderer.image_size, cfg.bin_size, 0, pad
-        )
-        need = max(128, int(math.ceil(float(mx) * 1.5 / 128.0)) * 128)
-        if need > self._auto_mfb:
-            self._auto_mfb = need
-            self.renderer.settings = dataclasses.replace(
-                st, max_faces_per_bin=need
+        changed = {}
+        if cfg.max_faces_per_bin is None:
+            mx, _ = count_overflow(
+                fd, self.renderer.image_size, cfg.bin_size, 0, pad
             )
+            need = max(128, int(math.ceil(float(mx) * 1.5 / 128.0)) * 128)
+            if need > self._auto_mfb:
+                self._auto_mfb = need
+                changed["max_faces_per_bin"] = need
+        if cfg.active_tiles is None:
+            # same auto contract as max_faces_per_bin: 1.5x headroom
+            # absorbs footprint drift as the mesh deforms toward the target
+            na = int(count_active_tiles(
+                fd, self.renderer.image_size, cfg.bin_size, pad
+            ))
+            TH, TW, _ = tile_grid(self.renderer.image_size, cfg.bin_size)
+            need_a = min(TH * TW, int(math.ceil(na * 1.5 / 8.0)) * 8)
+            if need_a > self._auto_act:
+                self._auto_act = need_a
+                changed["active_tiles"] = (
+                    need_a if need_a < TH * TW else None
+                )
+        if changed:
+            self.renderer.settings = dataclasses.replace(st, **changed)
             self._fit_cache.clear()  # cached jits traced the old capacity
 
     # -- dataset generation (reference :114-209) -----------------------------

@@ -497,6 +497,7 @@ class ActiveBins(NamedTuple):
     slot: jax.Array         # (B, A, F) int32
     count: jax.Array        # (B, A) int32
     invrank: jax.Array      # (B, A) int32
+    rank: jax.Array         # (B, T) int32 active index of tile t (>=A: none)
     origin: jax.Array       # (B, A, 2) float32
     n_active: jax.Array     # (B,) int32 true non-empty count (diagnostics)
     tile_origin: jax.Array  # (T, 2)
@@ -555,8 +556,9 @@ def bin_ranks_active(
     invrank = jnp.where(used, inv, T + 1)  # unused slots scatter nowhere
 
     return ActiveBins(
-        slot=slot, count=rankf[..., -1], invrank=invrank, origin=origin_c,
-        n_active=n_active, tile_origin=origin, n_tiles_hw=(TH, TW),
+        slot=slot, count=rankf[..., -1], invrank=invrank, rank=rank,
+        origin=origin_c, n_active=n_active, tile_origin=origin,
+        n_tiles_hw=(TH, TW),
     )
 
 
@@ -595,6 +597,34 @@ def scatter_active(values: jax.Array, bins: ActiveBins) -> jax.Array:
     residual-light custom VJP) with the inverse rank as the slot map."""
     T = bins.tile_origin.shape[0]
     return _slot_gather(bins.invrank[:, None, :], values, T)[:, 0]
+
+
+def compact_rows(values: jax.Array, rank: jax.Array, A: int) -> jax.Array:
+    """(B, T, ...) -> (B, A, ...) rows reordered by active rank (exact
+    one-hot contraction; slots with no source tile come back 0). The
+    inverse of scatter_active. int inputs ride f32 (exact below 2^24)."""
+    B, T = values.shape[:2]
+    trail = values.shape[2:]
+    dtype = values.dtype
+    flat = values.reshape(B, T, -1)
+    if dtype in (jnp.int32, jnp.bool_):
+        flat = flat.astype(jnp.float32)
+    out = _slot_gather(rank[:, None, :], flat, A)[:, 0]
+    if dtype == jnp.int32:
+        out = jnp.round(out).astype(jnp.int32)
+    elif dtype == jnp.bool_:
+        out = out > 0.5
+    return out.reshape((B, A) + trail)
+
+
+def scatter_rows(values: jax.Array, invrank: jax.Array, T: int) -> jax.Array:
+    """(B, A, ...) -> (B, T, ...) by the inverse rank (exact; tiles with no
+    active slot come back 0). scatter_active without the ActiveBins."""
+    B, A = values.shape[:2]
+    trail = values.shape[2:]
+    flat = values.reshape(B, A, -1)
+    out = _slot_gather(invrank[:, None, :], flat, T)[:, 0]
+    return out.reshape((B, T) + trail)
 
 
 def active_indicator(bins: ActiveBins) -> jax.Array:

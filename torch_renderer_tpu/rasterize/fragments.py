@@ -34,7 +34,12 @@ class BinnedAttributes:
                (garbage where pix_to_face < 0 — always mask).
     channels:  (B, T, Fmax, CE) bin-gathered attribute channels,
                corner-major per attribute (corner0 c0..cn, corner1 ...).
+               With active-tile compaction the first axis is A (the active
+               budget) instead of T, and rank/invrank are set.
     layout:    static ((name, start, c_per_corner), ...) slices into CE/3.
+    rank:      (B, T) int32 active slot of each tile (>= A: empty/dropped),
+               or None when channels cover the full tile grid.
+    invrank:   (B, A) int32 tile of each active slot (>= T: unused slot).
     """
 
     lane: jax.Array
@@ -44,6 +49,8 @@ class BinnedAttributes:
     layout: Tuple[Tuple[str, int, int], ...] = dataclasses.field(
         metadata=dict(static=True)
     )
+    rank: Optional[jax.Array] = None
+    invrank: Optional[jax.Array] = None
 
     def names(self):
         return tuple(n for n, _, _ in self.layout)
@@ -136,17 +143,27 @@ def interpolate_binned(
     B, H, W, K = ba.lane.shape
     if k_slots is not None:
         K = min(k_slots, K)
-    T, Fmax, CE = ba.channels.shape[1:]
+    T, Fmax, CE = ba.channels.shape[1:]   # T = A under active-tile compaction
     Ctot = CE // 3
     tp = tile * tile
     tpk = tp * K
+    T_full = nthw[0] * nthw[1]
 
     live = fragments.pix_to_face[..., :K] >= 0
     idx = jnp.where(live, ba.lane[..., :K], -1)  # -1 matches no lane
-    idx_t = tile_image(idx, tile, nthw).reshape(B, T, tpk)
+    idx_t = tile_image(idx, tile, nthw).reshape(B, T_full, tpk)
     bar_t = tile_image(fragments.bary[..., :K, :], tile, nthw).reshape(
-        B, T, tpk, 3
+        B, T_full, tpk, 3
     )
+    if ba.rank is not None:
+        # compact the per-pixel rows to the active tiles: the interpolation
+        # loop (and, in flat mode, the whole downstream shading chain) then
+        # runs on A instead of T tiles. idx rides as idx+1 so slots with no
+        # source tile come back -1 (dead), not lane 0.
+        from .binning import compact_rows, scatter_rows
+
+        idx_t = compact_rows(idx_t + 1, ba.rank, T) - 1
+        bar_t = compact_rows(bar_t, ba.rank, T)
 
     tc = max(1, min(T, 1 + 16_000_000 // max(1, tpk * Fmax)))
     n_chunks = -(-T // tc)
@@ -186,11 +203,16 @@ def interpolate_binned(
         # severs the backward path, so NaN cotangents from downstream
         # shading math evaluated at the zero attributes (e.g. the vjp of
         # normalize at a zero normal) never reach the interpolation.
-        live_flat = tile_image(live, tile, nthw).reshape(B, T * tpk)
+        if ba.rank is not None:
+            live_flat = (idx_t >= 0).reshape(B, T * tpk)
+        else:
+            live_flat = tile_image(live, tile, nthw).reshape(B, T * tpk)
         out_flat = jnp.where(live_flat[..., None], out_flat, 0.0)
 
         def finalize(x: jax.Array) -> jax.Array:
             x = x.reshape(B, T, tp, K, x.shape[-1])
+            if ba.rank is not None:
+                x = scatter_rows(x, ba.invrank, T_full)
             img = untile_image(x, (H, W), tile, nthw)
             return jnp.where(live[..., None], img, 0.0)
 
@@ -200,6 +222,8 @@ def interpolate_binned(
         )
 
     out = out.swapaxes(0, 1).reshape(B, n_chunks * tc, tp, K, Ctot)[:, :T]
+    if ba.rank is not None:
+        out = scatter_rows(out, ba.invrank, T_full)
     img = untile_image(out, (H, W), tile, nthw)  # (B, H, W, K, Ctot)
     img = jnp.where(live[..., None], img, 0.0)
     return {n: img[..., s:s + c] for n, s, c in ba.layout}

@@ -520,12 +520,6 @@ def rasterize_binned_pallas(
 
     fd_sel = jax.lax.stop_gradient(fd)
     compact = settings.active_tiles is not None
-    if compact and extra is not None:
-        raise ValueError(
-            "active_tiles is not yet supported together with "
-            "extra_face_attrs (bin-local interpolation indexes channels "
-            "by tile); drop one of the two"
-        )
     # rank binning (prefix-count slots, no top_k); the global face id rides
     # the one-hot contraction as one extra f32 channel (exact below 2^24).
     # active_tiles compacts the tile axis to the non-empty tiles first —
@@ -629,6 +623,10 @@ def rasterize_binned_pallas(
         binned = BinnedAttributes(
             lane=lane, channels=extra_bin, tile=tile,
             n_tiles_hw=bins.n_tiles_hw, layout=tuple(extra_layout),
+            # under compaction the channels' first axis is A; hand
+            # interpolate_binned the rank maps so it runs compact too
+            rank=bins.rank if compact else None,
+            invrank=bins.invrank if compact else None,
         )
     return Fragments(
         pix_to_face=p2f, zbuf=zbuf, bary=bary, dists=dists, binned=binned

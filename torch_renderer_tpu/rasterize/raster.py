@@ -75,8 +75,10 @@ class RasterizationSettings:
     # everywhere a tile was empty). At 720p ~80% of tiles are empty and the
     # XLA tile path computes them all — size with
     # binning.suggest_active_tiles_fd (tiles beyond the budget are DROPPED,
-    # like overflowing face bins). Not yet supported together with
-    # extra_face_attrs (the bin-local interpolation path).
+    # like overflowing face bins). Composes with extra_face_attrs: the
+    # bin-local attribute channels stay compacted and
+    # fragments.interpolate_binned (and flat shading chains on top of it)
+    # run on the active tiles only, scattering back at the final image.
     active_tiles: Optional[int] = None
 
     @property
