@@ -119,17 +119,25 @@ class CameraPoseFitter:
         blur_radius: Optional[float] = None,
         silhouette_impl: str = "fragments",
         faces_per_tile: int = 128,
+        sil_active_tiles: Optional[int] = None,
         **renderer_kw,
     ):
         """silhouette_impl='pallas' renders the silhouette with the exact
         fused kernel over ALL faces (rasterize/pallas_soft) and drops the
         fragment count to K=1 hard hits for depth/RGB — faster and closer to
-        the true SoftRas coverage than the K-fragment approximation."""
+        the true SoftRas coverage than the K-fragment approximation.
+
+        sil_active_tiles: optional active-tile compaction budget for the
+        pallas silhouette (pallas_soft.suggest_active_tiles; size it from
+        the GT pose with headroom — the footprint moves during the fit and
+        tiles beyond the budget are dropped). renderer_kw accepts
+        active_tiles= for the depth/RGB rasterization the same way."""
         import math
 
         self.silhouette_impl = silhouette_impl
         self.sigma = sigma
         self.faces_per_tile = faces_per_tile
+        self.sil_active_tiles = sil_active_tiles
         if silhouette_impl == "pallas":
             blur_radius = 0.0
             faces_per_pixel = min(faces_per_pixel, 1)
@@ -157,6 +165,7 @@ class CameraPoseFitter:
             sil = soft_silhouette_pallas(
                 meshes, cam, sigma=self.sigma,
                 faces_per_tile=self.faces_per_tile,
+                active_tiles=self.sil_active_tiles,
             )
             return _dc.replace(out, silhouette=sil)
         return self.renderer.render(

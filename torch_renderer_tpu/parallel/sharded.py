@@ -50,6 +50,7 @@ def soft_silhouette_sharded(
     model_axis: str = MODEL_AXIS,
     impl: str = "streaming",
     faces_per_tile: int = 128,
+    active_tiles: Optional[int] = None,
 ) -> jax.Array:
     """Soft silhouette (B, H, W) with faces sharded over `model_axis` and the
     batch over `data_axis`. Exact (same sum as the dense streaming oracle);
@@ -60,7 +61,9 @@ def soft_silhouette_sharded(
     0) and the batch axis over the data axis (padded batch rows are all-
     invalid and are sliced off the returned silhouette).
     impl='pallas' runs each shard's coverage sum through the fused TPU kernel
-    (rasterize/pallas_soft) — size faces_per_tile for the LOCAL face count.
+    (rasterize/pallas_soft) — size faces_per_tile for the LOCAL face count,
+    and active_tiles (optional tile compaction) for the LOCAL shard's
+    non-empty tile count (each shard sees only its face slice).
     """
     msize = device_mesh.shape[model_axis]
     dsize = device_mesh.shape[data_axis]
@@ -81,6 +84,7 @@ def soft_silhouette_sharded(
             S = soft_silhouette_pallas_fd(
                 fd_local, image_size, sigma=sigma,
                 faces_per_tile=faces_per_tile, return_sum=True,
+                active_tiles=active_tiles,
             )
         else:
             S = soft_coverage_sum(

@@ -691,11 +691,11 @@ def _soft_silhouette_pallas_t(
 
 def soft_silhouette_pallas(
     meshes, camera, sigma: float = 1e-4, tile: int = 16,
-    faces_per_tile: int = 128,
+    faces_per_tile: int = 128, active_tiles: int | None = None,
 ) -> jax.Array:
     """Public entry: meshes + camera -> soft silhouette via the Pallas path."""
     fd = setup_faces(meshes, camera)
     return soft_silhouette_pallas_fd(
         fd, camera.image_size, sigma=sigma, tile=tile,
-        faces_per_tile=faces_per_tile,
+        faces_per_tile=faces_per_tile, active_tiles=active_tiles,
     )
