@@ -1,0 +1,61 @@
+"""CLI app smoke tests: every workload entry point must run end to end.
+
+The reference's entry points are plain scripts (SURVEY.md L5); ours are the
+12 CLI apps in apps/. These tests run a representative subset as real
+subprocesses (fresh interpreter, --cpu, tiny settings) so argument plumbing,
+platform setup and end-of-run reporting stay exercised — several historical
+breakages (batched K handling, fixture ingestion, auto-sizing) were only
+visible at the CLI layer. The heavier apps (batch bench, joint fit, datagen)
+are covered by their library-level tests; running everything here would
+double the suite's wall-clock for little extra signal.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(app, *args, timeout=420):
+    proc = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "apps", app), "--cpu", *args],
+        capture_output=True, text=True, timeout=timeout, cwd=ROOT,
+        env={**os.environ, "JAX_TRACEBACK_FILTERING": "off"},
+    )
+    assert proc.returncode == 0, (
+        f"{app} failed (rc={proc.returncode})\n"
+        f"stdout:\n{proc.stdout[-3000:]}\nstderr:\n{proc.stderr[-3000:]}"
+    )
+    return proc.stdout
+
+
+def test_quick_render_smoke(tmp_path):
+    out = _run(
+        "quick_render.py", "--image-size", "64",
+        "--out-dir", str(tmp_path),
+    )
+    assert "saved" in out.lower() or "render" in out.lower()
+
+
+def test_camera_pose_optimizer_smoke():
+    out = _run(
+        "camera_pose_optimizer.py", "--iters", "10", "--image-size", "48",
+    )
+    assert "translation error" in out
+
+
+def test_render_compare_smoke():
+    out = _run("render_compare.py", "--image-size", "48")
+    assert "cross-renderer gate" in out
+    # the self-check scene must agree with the independent oracle
+    worst = float(out.rsplit("worst interior |diff|", 1)[1].split()[0])
+    assert worst < 2e-3
+
+
+def test_icp_registration_smoke():
+    out = _run("icp_registration.py", "--objects", "4", "--points", "64",
+               "--icp-iters", "8")
+    assert "err" in out.lower() or "converged" in out.lower()
