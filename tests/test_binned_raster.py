@@ -252,3 +252,35 @@ def test_active_tiles_composes_with_binned_shading():
     g_comp = jax.grad(loss)(meshes.verts, act)
     scale = float(jnp.abs(g_full).max())
     assert float(jnp.abs(g_full - g_comp).max()) <= 1e-6 * scale
+
+
+def test_active_tiles_all_empty_batch_element():
+    """A batch element with NOTHING on screen (mesh behind the camera) must
+    come back all-background through the compacted path — the zero-active
+    corner of the scatter/indicator machinery."""
+    import math
+
+    verts, faces = icosphere(1)
+    meshes = Meshes.from_single(verts, faces).extend(2)
+    img = 64
+    f = 0.8 * img
+    Km = np.array([[f, 0, img / 2], [0, f, img / 2], [0, 0, 1]], np.float32)
+    R = np.broadcast_to(np.eye(3, dtype=np.float32), (2, 3, 3))
+    t = np.stack([
+        np.array([0.0, 0.0, 2.8], np.float32),
+        np.array([0.0, 0.0, -5.0], np.float32),  # behind the camera
+    ])
+    cam = PerspectiveCamera.from_K(Km, (img, img), R=R, t=t)
+    st = RasterizationSettings(
+        image_size=(img, img), faces_per_pixel=1, bin_size=16,
+        max_faces_per_bin=128, active_tiles=16,
+    )
+    fr = rasterize_meshes(meshes, cam, st)
+    full = rasterize_meshes(
+        meshes, cam, dataclasses.replace(st, active_tiles=None)
+    )
+    np.testing.assert_array_equal(np.asarray(fr.pix_to_face),
+                                  np.asarray(full.pix_to_face))
+    assert int(jnp.sum(fr.pix_to_face[1] >= 0)) == 0
+    assert float(jnp.max(jnp.abs(fr.zbuf[1] + 1.0))) == 0.0  # all -1 sentinel
+    assert int(jnp.sum(fr.pix_to_face[0] >= 0)) > 0  # element 0 unaffected
