@@ -34,6 +34,11 @@ def main():
                    default="fragments",
                    help="'pallas' = exact all-faces fused-kernel silhouette "
                         "+ K=1 fragments (~6x faster steps on TPU)")
+    p.add_argument("--active-tiles", type=int, default=-1,
+                   help="tile-compaction budget for the binned rasterizer "
+                        "and pallas silhouette; -1 = auto-size from GT and "
+                        "start poses with 2x margin (the footprint moves "
+                        "during the fit), 0 = off")
     args = p.parse_args()
     setup_platform(args)
 
@@ -51,17 +56,45 @@ def main():
     R_gt, t_gt = look_at_view_transform(2.7, 15.0, 40.0)
     R_gt, t_gt = np.asarray(R_gt)[0], np.asarray(t_gt)[0]
 
+    rng = np.random.default_rng(args.seed)
+    t0_ = t_gt + args.perturb_t * rng.standard_normal(3).astype(np.float32)
+
+    act = None if args.active_tiles == 0 else args.active_tiles
+    sil_act = act if act and act > 0 else None
+    if act is not None and act < 0:
+        # auto: the footprint moves between the start pose and GT; budget
+        # from both with 2x margin (dropped tiles would silently zero
+        # their pixels' gradients)
+        import math
+
+        from torch_renderer_tpu.cameras.perspective import PerspectiveCamera
+        from torch_renderer_tpu.rasterize.binning import (
+            suggest_active_tiles_fd, tile_grid,
+        )
+        from torch_renderer_tpu.rasterize.geometry import setup_faces
+
+        need = 0
+        for Rp, tp_ in ((R_gt, t_gt), (R_gt, t0_)):
+            cam = PerspectiveCamera.from_K(K, (H, W), R=Rp[None], t=tp_[None])
+            need = max(need, suggest_active_tiles_fd(
+                setup_faces(meshes, cam), (H, W),
+                args.bin_size or 16, 0.0, margin=2.0,
+            ))
+        TH, TW, _ = tile_grid((H, W), args.bin_size or 16)
+        act = need if need < TH * TW else None
+        sil_act = act
+        print(f"auto active_tiles = {act}")
+
     cfg = PoseFitConfig(lr=args.lr, n_steps=args.iters, use_rgb=not args.no_rgb)
     fitter = CameraPoseFitter(
         K, (H, W), cfg,
         bin_size=args.bin_size, max_faces_per_bin=args.max_faces_per_bin,
         silhouette_impl=args.silhouette_impl,
+        sil_active_tiles=sil_act,
+        active_tiles=act if args.bin_size else None,
     )
     occ_key = jax.random.PRNGKey(args.seed) if args.occlusion else None
     refs = fitter.make_references(meshes, R_gt, t_gt, occlusion_key=occ_key)
-
-    rng = np.random.default_rng(args.seed)
-    t0_ = t_gt + args.perturb_t * rng.standard_normal(3).astype(np.float32)
     params0 = pose_params_from_Rt(R_gt, t0_)
 
     t_start = time.perf_counter()
