@@ -49,7 +49,7 @@ def tpu_fps() -> float:
     import jax.numpy as jnp
 
     from torch_renderer_tpu.cameras.perspective import PerspectiveCamera
-    from torch_renderer_tpu.rasterize.geometry import setup_faces
+    from torch_renderer_tpu.rasterize.geometry import setup_face_planes
     from torch_renderer_tpu.rasterize.pallas_soft import (
         soft_silhouette_pallas_fd,
         suggest_active_tiles,
@@ -66,15 +66,17 @@ def tpu_fps() -> float:
 
     # size the tile bins + active-tile budget for this scene once (static
     # kernel parameters); exactness vs the streaming oracle is covered by
-    # tests/test_pallas_soft and tests/test_rank_binning
-    fd0 = setup_faces(meshes, cam)
-    fpt = suggest_faces_per_tile(fd0, (IMAGE, IMAGE))
-    act = suggest_active_tiles(fd0, (IMAGE, IMAGE))
+    # tests/test_pallas_soft and tests/test_rank_binning. setup_face_planes
+    # (channel planes, no tiny-trailing-dim corner tensors) is bit-exact vs
+    # setup_faces through this path (tests/test_rank_binning).
+    fp0 = setup_face_planes(meshes, cam)
+    fpt = suggest_faces_per_tile(fp0, (IMAGE, IMAGE))
+    act = suggest_active_tiles(fp0, (IMAGE, IMAGE))
 
     def loss_fn(v):
-        fd = setup_faces(meshes.update_padded(v), cam)
+        fp = setup_face_planes(meshes.update_padded(v), cam)
         alpha = soft_silhouette_pallas_fd(
-            fd, (IMAGE, IMAGE), sigma=SIGMA, faces_per_tile=fpt,
+            fp, (IMAGE, IMAGE), sigma=SIGMA, faces_per_tile=fpt,
             active_tiles=act,
         )
         return jnp.sum(alpha)

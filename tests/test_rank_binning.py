@@ -298,3 +298,47 @@ def test_sublane_layout_matches_lane_layout():
     g_sub = jax.grad(lambda v: loss(v, "sublane"))(meshes.verts)
     scale = float(jnp.abs(g_lane).max())
     assert float(jnp.abs(g_lane - g_sub).max()) < 1e-5 * scale
+
+
+def test_setup_face_planes_matches_setup_faces():
+    """setup_face_planes (channel planes, corner-major one-hot take) is
+    bit-exact vs setup_faces through the whole Pallas soft path — values
+    and gradients — including under active-tile compaction."""
+    from torch_renderer_tpu.rasterize.geometry import setup_face_planes
+    from torch_renderer_tpu.rasterize.pallas_soft import (
+        soft_silhouette_pallas_fd,
+        suggest_active_tiles,
+        suggest_faces_per_tile,
+    )
+
+    meshes, cam, img = _multi_pose_scene()
+    fd = setup_faces(meshes, cam)
+    fp = setup_face_planes(meshes, cam)
+
+    # the plane channels themselves match the fd slices exactly
+    np.testing.assert_array_equal(np.asarray(fp.x0), np.asarray(fd.q[:, :, 0, 0]))
+    np.testing.assert_array_equal(np.asarray(fp.y2), np.asarray(fd.q[:, :, 2, 1]))
+    np.testing.assert_array_equal(np.asarray(fp.z1), np.asarray(fd.z[:, :, 1]))
+    np.testing.assert_array_equal(np.asarray(fp.valid), np.asarray(fd.valid))
+
+    fpt = suggest_faces_per_tile(fp, img)
+    act = suggest_active_tiles(fp, img)
+    assert fpt == suggest_faces_per_tile(fd, img)
+    assert act == suggest_active_tiles(fd, img)
+
+    a = soft_silhouette_pallas_fd(fd, img, faces_per_tile=fpt, active_tiles=act)
+    b = soft_silhouette_pallas_fd(fp, img, faces_per_tile=fpt, active_tiles=act)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def loss(v, use_planes):
+        setup = setup_face_planes if use_planes else setup_faces
+        x = setup(meshes.update_padded(v), cam)
+        return jnp.sum(
+            soft_silhouette_pallas_fd(x, img, faces_per_tile=fpt,
+                                      active_tiles=act) ** 2
+        )
+
+    g0 = jax.grad(lambda v: loss(v, False))(meshes.verts)
+    g1 = jax.grad(lambda v: loss(v, True))(meshes.verts)
+    scale = float(jnp.abs(g0).max())
+    assert float(jnp.abs(g0 - g1).max()) < 1e-6 * scale

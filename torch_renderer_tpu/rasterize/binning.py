@@ -126,6 +126,41 @@ def bin_bboxes(
     )
 
 
+
+def _bbox_min_max(fd, pad_radius):
+    """Blur-expanded screen bboxes (B, F, 2) from FaceRasterData OR
+    geometry.FacePlanes (duck-typed on .q)."""
+    if hasattr(fd, "q"):
+        return (jnp.min(fd.q, axis=2) - pad_radius,
+                jnp.max(fd.q, axis=2) + pad_radius)
+    fminx = jnp.minimum(jnp.minimum(fd.x0, fd.x1), fd.x2) - pad_radius
+    fmaxx = jnp.maximum(jnp.maximum(fd.x0, fd.x1), fd.x2) + pad_radius
+    fminy = jnp.minimum(jnp.minimum(fd.y0, fd.y1), fd.y2) - pad_radius
+    fmaxy = jnp.maximum(jnp.maximum(fd.y0, fd.y1), fd.y2) + pad_radius
+    return jnp.stack([fminx, fminy], -1), jnp.stack([fmaxx, fmaxy], -1)
+
+
+def _channel_sources(fd, znear: float = 1e-5):
+    """Per-face scalar channel planes from FaceRasterData OR FacePlanes."""
+    if hasattr(fd, "q"):
+        return {
+            "qx0": fd.q[:, :, 0, 0], "qx1": fd.q[:, :, 1, 0],
+            "qx2": fd.q[:, :, 2, 0],
+            "qy0": fd.q[:, :, 0, 1], "qy1": fd.q[:, :, 1, 1],
+            "qy2": fd.q[:, :, 2, 1],
+            "z0": fd.z[:, :, 0], "z1": fd.z[:, :, 1], "z2": fd.z[:, :, 2],
+            "invz0": fd.invz[:, :, 0], "invz1": fd.invz[:, :, 1],
+            "invz2": fd.invz[:, :, 2],
+        }
+    inv = lambda z: 1.0 / jnp.clip(z, znear, None)
+    return {
+        "qx0": fd.x0, "qx1": fd.x1, "qx2": fd.x2,
+        "qy0": fd.y0, "qy1": fd.y1, "qy2": fd.y2,
+        "z0": fd.z0, "z1": fd.z1, "z2": fd.z2,
+        "invz0": inv(fd.z0), "invz1": inv(fd.z1), "invz2": inv(fd.z2),
+    }
+
+
 def bin_faces(
     fd: FaceRasterData,
     image_size,
@@ -139,8 +174,7 @@ def bin_faces(
     pad_radius: extra margin in raster (NDC) units — sqrt(blur_radius) for
     soft rasterization, 0 for hard.
     """
-    fmin = jnp.min(fd.q, axis=2) - pad_radius  # (B, F, 2)
-    fmax = jnp.max(fd.q, axis=2) + pad_radius
+    fmin, fmax = _bbox_min_max(fd, pad_radius)
     return bin_bboxes(
         fmin, fmax, fd.valid, image_size, tile, faces_per_tile,
         item_chunk=face_chunk,
@@ -154,8 +188,7 @@ def count_overflow(fd: FaceRasterData, image_size, tile, faces_per_tile, pad_rad
     s = min(H, W) / 2.0
     TH, TW, origin = tile_grid(image_size, tile)
     tile_extent = tile / s
-    fmin = jnp.min(fd.q, axis=2) - pad_radius
-    fmax = jnp.max(fd.q, axis=2) + pad_radius
+    fmin, fmax = _bbox_min_max(fd, pad_radius)
     t_lo = origin[None, :, None, :]
     t_hi = t_lo + tile_extent
     overlap = jnp.all(
@@ -260,15 +293,7 @@ def gather_bin_planes(fd: FaceRasterData, bins: TileBins,
     attributes) rides the SAME one-hot einsum — the dominant cost is the
     one-hot construction, so extra channels are nearly free MXU work.
     With extra, returns (dict, extra_gathered (B, T, Fmax, CE))."""
-    sources = {
-        "qx0": fd.q[:, :, 0, 0], "qx1": fd.q[:, :, 1, 0],
-        "qx2": fd.q[:, :, 2, 0],
-        "qy0": fd.q[:, :, 0, 1], "qy1": fd.q[:, :, 1, 1],
-        "qy2": fd.q[:, :, 2, 1],
-        "z0": fd.z[:, :, 0], "z1": fd.z[:, :, 1], "z2": fd.z[:, :, 2],
-        "invz0": fd.invz[:, :, 0], "invz1": fd.invz[:, :, 1],
-        "invz2": fd.invz[:, :, 2],
-    }
+    sources = _channel_sources(fd)
     names = _PLANE_ORDER if channels is None else tuple(channels)
     planes = jnp.stack([sources[n] for n in names], axis=-1)  # (B, F, C)
     if extra is not None:
@@ -409,11 +434,11 @@ def bin_ranks(
 
 
 def bin_faces_ranked(
-    fd: FaceRasterData, image_size, tile: int, pad_radius: float,
+    fd, image_size, tile: int, pad_radius: float,
 ) -> RankBins:
-    """Rank-binning of faces by blur-expanded screen bbox (cf. bin_faces)."""
-    fmin = jnp.min(fd.q, axis=2) - pad_radius
-    fmax = jnp.max(fd.q, axis=2) + pad_radius
+    """Rank-binning of faces by blur-expanded screen bbox (cf. bin_faces).
+    fd: FaceRasterData or geometry.FacePlanes."""
+    fmin, fmax = _bbox_min_max(fd, pad_radius)
     return bin_ranks(fmin, fmax, fd.valid, image_size, tile)
 
 
@@ -448,15 +473,7 @@ def gather_rank_planes(
     """Rank-binned analogue of gather_bin_planes: same channel-plane output
     dict (+ optional extra channels riding the same one-hot contraction),
     plus the per-slot valid mask derived from the tile counts."""
-    sources = {
-        "qx0": fd.q[:, :, 0, 0], "qx1": fd.q[:, :, 1, 0],
-        "qx2": fd.q[:, :, 2, 0],
-        "qy0": fd.q[:, :, 0, 1], "qy1": fd.q[:, :, 1, 1],
-        "qy2": fd.q[:, :, 2, 1],
-        "z0": fd.z[:, :, 0], "z1": fd.z[:, :, 1], "z2": fd.z[:, :, 2],
-        "invz0": fd.invz[:, :, 0], "invz1": fd.invz[:, :, 1],
-        "invz2": fd.invz[:, :, 2],
-    }
+    sources = _channel_sources(fd)
     names = _PLANE_ORDER if channels is None else tuple(channels)
     planes = jnp.stack([sources[n] for n in names], axis=-1)
     if extra is not None:
@@ -563,25 +580,25 @@ def bin_ranks_active(
 
 
 def bin_faces_active(
-    fd: FaceRasterData, image_size, tile: int, pad_radius: float,
+    fd, image_size, tile: int, pad_radius: float,
     max_active: int,
 ) -> ActiveBins:
-    """Active-tile rank-binning of faces (cf. bin_faces_ranked)."""
-    fmin = jnp.min(fd.q, axis=2) - pad_radius
-    fmax = jnp.max(fd.q, axis=2) + pad_radius
+    """Active-tile rank-binning of faces (cf. bin_faces_ranked).
+    fd: FaceRasterData or geometry.FacePlanes."""
+    fmin, fmax = _bbox_min_max(fd, pad_radius)
     return bin_ranks_active(fmin, fmax, fd.valid, image_size, tile,
                             max_active)
 
 
-def count_active_tiles(fd: FaceRasterData, image_size, tile, pad_radius):
+def count_active_tiles(fd, image_size, tile, pad_radius):
     """Max over the batch of the non-empty tile count (sizing helper for
-    bin_faces_active; call with concrete data, like count_overflow)."""
+    bin_faces_active; call with concrete data, like count_overflow).
+    fd: FaceRasterData or geometry.FacePlanes."""
     H, W = image_size
     s = min(H, W) / 2.0
     TH, TW, origin = tile_grid(image_size, tile)
     tile_extent = tile / s
-    fmin = jnp.min(fd.q, axis=2) - pad_radius
-    fmax = jnp.max(fd.q, axis=2) + pad_radius
+    fmin, fmax = _bbox_min_max(fd, pad_radius)
     t_lo = origin[None, :, None, :]
     t_hi = t_lo + tile_extent
     overlap = jnp.all(

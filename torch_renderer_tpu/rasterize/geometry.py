@@ -15,6 +15,7 @@ reference (e.g. sigma=1e-4 at camera_pose_optimizer.py:109) transfer directly.
 from __future__ import annotations
 
 import dataclasses
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -99,6 +100,125 @@ def _onehot_take_bwd(res, g):
 
 
 _onehot_take.defvjp(_onehot_take_fwd, _onehot_take_bwd)
+
+
+@jax.custom_vjp
+def _onehot_take_cm(idx: jax.Array, arr: jax.Array) -> jax.Array:
+    """Channel-major one-hot take: out[b, c, n] = arr[b, c, idx[b, n]].
+
+    idx (B, N) int32 in [0, V); arr (B, C, V) f32. Same exact bf16 3-pass
+    contraction as _onehot_take, but the output keeps channels on the
+    SUBLANE axis and the item axis on lanes: a (B, C, N) result with small
+    C tiles to (8, 128)-aligned (C->8, N->128k) instead of the (B, N, C)
+    form whose trailing C pads to 128 lanes (up to 42x HBM/write
+    amplification at face-corner channel counts — the reason
+    setup_face_planes exists)."""
+    from .binning import _split3
+
+    V = arr.shape[-1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, V), 2)
+    onehot = (idx[:, :, None] == iota).astype(jnp.bfloat16)  # (B, N, V)
+    out = None
+    for part in _split3(arr):
+        y = jax.lax.dot_general(
+            part.astype(jnp.bfloat16), onehot,
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (B, C, N)
+        out = y if out is None else out + y
+    return out
+
+
+def _onehot_take_cm_fwd(idx, arr):
+    return _onehot_take_cm(idx, arr), (idx, arr.shape[-1])
+
+
+def _onehot_take_cm_bwd(res, g):
+    from .binning import _split3
+
+    idx, V = res
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, V), 2)
+    onehot = (idx[:, :, None] == iota).astype(jnp.bfloat16)  # (B, N, V)
+    d_arr = None
+    for part in _split3(g):
+        y = jax.lax.dot_general(
+            part.astype(jnp.bfloat16), onehot,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (B, C, V)
+        d_arr = y if d_arr is None else d_arr + y
+    d_idx = np.zeros(idx.shape, dtype=jax.dtypes.float0)
+    return d_idx, d_arr
+
+
+_onehot_take_cm.defvjp(_onehot_take_cm_fwd, _onehot_take_cm_bwd)
+
+
+class FacePlanes(NamedTuple):
+    """Per-face screen-space channel planes, each (B, F) — the
+    tile-padding-free alternative to FaceRasterData for consumers that read
+    scalar channels (the binned soft/hard paths). x/y are raster coords of
+    corners 0-2; z is camera-space depth; valid as FaceRasterData.valid."""
+
+    x0: jax.Array
+    y0: jax.Array
+    x1: jax.Array
+    y1: jax.Array
+    x2: jax.Array
+    y2: jax.Array
+    z0: jax.Array
+    z1: jax.Array
+    z2: jax.Array
+    valid: jax.Array
+
+    @property
+    def num_faces(self) -> int:
+        return self.x0.shape[1]
+
+
+def setup_face_planes(
+    meshes: Meshes, camera: PerspectiveCamera, znear: float = 1e-5,
+    eps_area: float = 1e-12,
+) -> FacePlanes:
+    """setup_faces, restated in channel planes (see FacePlanes).
+
+    Same projection/validity math as setup_faces (same reference contract,
+    torch_renderer.py:61-80), but corners are assembled CORNER-MAJOR
+    through one channel-major one-hot contraction whose (B, 3, 3F) output
+    slices into clean (B, F) planes — no (B, F, 3, 2)/(B, F, 3) arrays
+    whose tiny trailing dims tile-pad up to 42x are ever materialized.
+    """
+    H, W = camera.image_size
+    s = camera.ndc_scale
+
+    verts_cam = camera.world_to_camera(meshes.verts)  # (B, V, 3)
+    uv, z = camera.project(verts_cam)
+    x = (uv[..., 0] - W / 2.0) / s
+    y = (uv[..., 1] - H / 2.0) / s
+
+    B, V = x.shape
+    F = meshes.faces.shape[1]
+    # corner-major index layout: idx[:, k*F:(k+1)*F] = corner k of all faces
+    idx = jnp.swapaxes(meshes.faces, 1, 2).reshape(B, 3 * F)
+    if jax.default_backend() == "tpu" and 3 * F * V <= _ONEHOT_TAKE_MAX_ELEMS:
+        arr = jnp.stack([x, y, z], axis=1)                 # (B, 3, V)
+        out = _onehot_take_cm(idx, arr)                    # (B, 3, 3F)
+        xs = [out[:, 0, k * F:(k + 1) * F] for k in range(3)]
+        ys = [out[:, 1, k * F:(k + 1) * F] for k in range(3)]
+        zs = [out[:, 2, k * F:(k + 1) * F] for k in range(3)]
+    else:
+        take = jax.vmap(lambda a, i: a[i])
+        xs = [take(x, meshes.faces[:, :, k]) for k in range(3)]
+        ys = [take(y, meshes.faces[:, :, k]) for k in range(3)]
+        zs = [take(z, meshes.faces[:, :, k]) for k in range(3)]
+
+    front = (zs[0] > znear) & (zs[1] > znear) & (zs[2] > znear)
+    area2 = (xs[1] - xs[0]) * (ys[2] - ys[0]) - (ys[1] - ys[0]) * (xs[2] - xs[0])
+    valid = (meshes.face_mask() > 0) & front & (jnp.abs(area2) > eps_area)
+    return FacePlanes(
+        x0=xs[0], y0=ys[0], x1=xs[1], y1=ys[1], x2=xs[2], y2=ys[2],
+        z0=zs[0], z1=zs[1], z2=zs[2], valid=valid,
+    )
 
 
 def setup_faces(

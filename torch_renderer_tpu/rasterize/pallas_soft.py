@@ -518,6 +518,11 @@ def soft_silhouette_pallas_fd(
 ) -> jax.Array:
     """Tile-binned soft coverage (B, H, W) through the fused Pallas kernel.
 
+    fd: FaceRasterData (setup_faces) or geometry.FacePlanes
+    (setup_face_planes — skips the tiny-trailing-dim corner tensors whose
+    TPU tile padding costs ~40x; preferred when only this path consumes
+    the projection).
+
     Exact (same sum as the streaming oracle) provided no bin overflows —
     size faces_per_tile with suggest_faces_per_tile().
 
@@ -543,7 +548,7 @@ def soft_silhouette_pallas_fd(
         scatter_active,
     )
 
-    B = fd.q.shape[0]
+    B = fd.valid.shape[0]
     pad = math.sqrt(SOFT_CUTOFF * sigma)
     if layout == "sublane":
         return _soft_silhouette_pallas_t(
@@ -643,19 +648,21 @@ def _soft_silhouette_pallas_t(
     (N, 128) per-tile meta array, run the transposed kernels."""
     from .binning import bin_faces_ranked, gather_rank_channels
 
-    B = fd.q.shape[0]
+    B = fd.valid.shape[0]
     bins = bin_faces_ranked(fd, image_size, tile, pad)
     TH, TW = bins.n_tiles_hw
     T = TH * TW
     S = min(faces_per_tile, fd.num_faces)
     S += (-S) % _GF  # sublane granule
 
-    ones = jnp.ones_like(fd.q[:, :, 0, 0])
+    from .binning import _channel_sources
+
+    src = _channel_sources(fd)
+    ones = jnp.ones_like(src["qx0"])
     planes7 = jnp.stack(
         [
-            fd.q[:, :, 0, 0], fd.q[:, :, 0, 1],
-            fd.q[:, :, 1, 0], fd.q[:, :, 1, 1],
-            fd.q[:, :, 2, 0], fd.q[:, :, 2, 1],
+            src["qx0"], src["qy0"], src["qx1"], src["qy1"],
+            src["qx2"], src["qy2"],
             ones,  # lane 6: gathers to 1 exactly where the slot is filled
         ],
         axis=-1,
@@ -694,8 +701,10 @@ def soft_silhouette_pallas(
     faces_per_tile: int = 128, active_tiles: int | None = None,
 ) -> jax.Array:
     """Public entry: meshes + camera -> soft silhouette via the Pallas path."""
-    fd = setup_faces(meshes, camera)
+    from .geometry import setup_face_planes
+
+    fp = setup_face_planes(meshes, camera)
     return soft_silhouette_pallas_fd(
-        fd, camera.image_size, sigma=sigma, tile=tile,
+        fp, camera.image_size, sigma=sigma, tile=tile,
         faces_per_tile=faces_per_tile, active_tiles=active_tiles,
     )
