@@ -535,7 +535,7 @@ def rasterize_binned_pallas(
     else:
         bins = bin_faces_ranked(fd_sel, (H, W), tile, pad_radius)
         origins = None
-    B = fd.q.shape[0]
+    B = fd.valid.shape[0]
     F = fd.num_faces
     fid = jnp.broadcast_to(
         jax.lax.broadcasted_iota(jnp.float32, (1, F, 1), 1), (B, F, 1)

@@ -318,7 +318,7 @@ def _rasterize_binned(fd: FaceRasterData, settings: RasterizationSettings) -> Fr
     else:
         bins = bin_faces_ranked(fd_sel, (H, W), tile, pad_radius)
         origins = None
-    B = fd.q.shape[0]
+    B = fd.valid.shape[0]
     F = fd.num_faces
     fid = jnp.broadcast_to(
         jax.lax.broadcasted_iota(jnp.float32, (1, F, 1), 1), (B, F, 1)
@@ -468,7 +468,7 @@ def rasterize_face_data(
             extra = None
             layout = ()
             if extra_face_attrs:
-                B, F = fd.q.shape[:2]
+                B, F = fd.valid.shape[:2]
                 parts, start = [], 0
                 for name, a in extra_face_attrs.items():
                     parts.append(a)
@@ -515,5 +515,14 @@ def rasterize_meshes(
     settings: RasterizationSettings, extra_face_attrs=None,
 ) -> Fragments:
     """End-to-end: meshes + camera -> Fragments (the MeshRasterizer call)."""
-    fd = setup_faces(meshes, camera, znear=settings.znear)
+    if settings.bin_size is not None:
+        # the binned paths read only scalar channel planes — the
+        # channel-plane setup skips the tiny-trailing-dim corner tensors
+        # (up to 42x TPU tile-padding); bit-exact vs setup_faces
+        # (tests/test_rank_binning, test_binned_raster)
+        from .geometry import setup_face_planes
+
+        fd = setup_face_planes(meshes, camera, znear=settings.znear)
+    else:
+        fd = setup_faces(meshes, camera, znear=settings.znear)
     return rasterize_face_data(fd, settings, extra_face_attrs)
