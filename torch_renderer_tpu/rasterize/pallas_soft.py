@@ -628,15 +628,13 @@ def suggest_active_tiles(
     """Smallest safe active-tile budget for this scene (max non-empty tile
     count over the batch, with headroom). Call OUTSIDE jit with concrete
     data; pass the result as soft_silhouette_pallas_fd(active_tiles=...).
-    Returns the full tile count when compaction would not help."""
-    from .binning import count_active_tiles, tile_grid
+    Returns the full tile count when compaction would not help. Soft-path
+    flavor of binning.suggest_active_tiles_fd (pad from sigma)."""
+    from .binning import suggest_active_tiles_fd
 
     pad = math.sqrt(SOFT_CUTOFF * sigma)
-    n = int(count_active_tiles(fd, image_size, tile, pad))
-    TH, TW, _ = tile_grid(image_size, tile)
-    T = TH * TW
-    want = int(math.ceil(n * margin / multiple)) * multiple
-    return max(multiple, min(want, T))
+    return suggest_active_tiles_fd(fd, image_size, tile, pad,
+                                   margin=margin, multiple=multiple)
 
 
 def _soft_silhouette_pallas_t(
