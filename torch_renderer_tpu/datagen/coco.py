@@ -65,6 +65,12 @@ class DataGenConfig:
     view_chunk: int = 8                # views rendered per device call
     bin_size: int = 32                 # coarse-to-fine rasterizer tile
     max_faces_per_bin: int = 128
+    # optional active-tile compaction budget (RasterizationSettings.
+    # active_tiles). Off by default: scenes are re-sampled per call and the
+    # compiled budget must cover the WORST scene; size it manually from a
+    # representative batch (binning.suggest_active_tiles_fd) if the scene
+    # family leaves most tiles empty.
+    active_tiles: int = 0
     normal_maps: bool = True           # render+write the normals pass
                                        # (False skips its transfer entirely)
     # Pack outputs to compact dtypes ON DEVICE before the host transfer:
@@ -131,6 +137,7 @@ class COCODataGenerator:
         self.renderer = MeshRenderer(
             self.K, (H, W), faces_per_pixel=1,
             bin_size=config.bin_size, max_faces_per_bin=config.max_faces_per_bin,
+            active_tiles=config.active_tiles or None,
             # large selection chunks: the binned select otherwise degrades
             # into hundreds of tiny sequential lax.map steps at 480x640
             pixel_chunk=131072,
