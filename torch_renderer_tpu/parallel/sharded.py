@@ -67,8 +67,17 @@ def soft_silhouette_sharded(
     """
     msize = device_mesh.shape[model_axis]
     dsize = device_mesh.shape[data_axis]
-    fd = setup_faces(meshes, camera)
-    batch = fd.q.shape[0]
+    if impl == "pallas":
+        # channel planes shard as clean (B, F) arrays and skip the
+        # tiny-trailing-dim corner tensors (geometry.setup_face_planes);
+        # the streaming oracle path keeps FaceRasterData (its math reads
+        # the (B, F, 3, 2) corners directly)
+        from ..rasterize.geometry import setup_face_planes
+
+        fd = setup_face_planes(meshes, camera)
+    else:
+        fd = setup_faces(meshes, camera)
+    batch = fd.valid.shape[0]
     fd = jax.tree_util.tree_map(
         lambda x: pad_axis_to_multiple(
             pad_axis_to_multiple(x, 1, msize), 0, dsize
