@@ -171,15 +171,35 @@ def main():
     # from the compile helper, UNAVAILABLE device errors, hangs that clear
     # on retry — see CLAUDE.md). Retry so one flake doesn't record a bogus
     # benchmark for the round.
+    # The tunnel's other failure mode is a silent HANG (device calls block
+    # forever inside a C call, so in-process watchdogs never fire) — run
+    # the measurement in a subprocess with a hard timeout and retry.
+    import subprocess
+
+    def _measure_once(timeout_s: float) -> float:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--_measure"]
+            + (["--quick"] if quick else []),
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"measure subprocess rc={proc.returncode}: "
+                f"{proc.stderr[-500:]}"
+            )
+        return float(proc.stdout.strip().splitlines()[-1])
+
     last_err = None
-    for attempt in range(3):
+    waits = (10, 30, 60) if not quick else (10, 10)
+    for attempt, wait in enumerate(waits + (0,)):
         try:
-            fps = tpu_fps()
+            fps = _measure_once(120 if quick else 420)
             break
         except Exception as e:  # noqa: BLE001 - infra flakiness, retried
             last_err = e
             print(f"bench attempt {attempt + 1} failed: {e}", file=sys.stderr)
-            time.sleep(10)
+            if wait:
+                time.sleep(wait)
     else:
         raise last_err
     try:
@@ -200,4 +220,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--_measure" in sys.argv:  # watchdog subprocess: one raw measurement
+        print(tpu_fps())
+    else:
+        main()
