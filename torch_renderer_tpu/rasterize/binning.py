@@ -362,15 +362,19 @@ def _slot_gather(slot: jax.Array, planes: jax.Array, n_slots: int):
     recompute of the forward einsum)."""
     onehot = _slot_onehot(slot, n_slots)
     hi, mid, lo = _split3(planes)
-    out = None
-    for part in (hi, mid, lo):
-        y = jax.lax.dot_general(
-            onehot, part.astype(jnp.bfloat16),
-            (((3,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
-        out = y if out is None else out + y
-    return out
+    # one dot with the 3 split parts PACKED along the channel axis: the
+    # one-hot is constructed/read once instead of three times, and the
+    # result is bit-identical (each output channel of the single dot IS
+    # the corresponding per-part dot; the final adds are the same three
+    # f32 values in the same order)
+    C = planes.shape[-1]
+    packed = jnp.concatenate([hi, mid, lo], axis=-1).astype(jnp.bfloat16)
+    y = jax.lax.dot_general(
+        onehot, packed,
+        (((3,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    return (y[..., :C] + y[..., C:2 * C]) + y[..., 2 * C:]
 
 
 def _slot_gather_fwd(slot, planes, n_slots):
@@ -379,15 +383,17 @@ def _slot_gather_fwd(slot, planes, n_slots):
 
 def _slot_gather_bwd(n_slots, slot, g):
     onehot = _slot_onehot(slot, n_slots)
-    # d_planes[b,f,c] = sum_{t,k} onehot[b,t,k,f] * g[b,t,k,c]
-    d_planes = None
-    for part in _split3(g):
-        y = jax.lax.dot_general(
-            onehot, part.astype(jnp.bfloat16),
-            (((1, 2), (1, 2)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
-        d_planes = y if d_planes is None else d_planes + y
+    # d_planes[b,f,c] = sum_{t,k} onehot[b,t,k,f] * g[b,t,k,c]; single
+    # packed dot as in the forward (bit-identical to the 3-pass form)
+    hi, mid, lo = _split3(g)
+    C = g.shape[-1]
+    packed = jnp.concatenate([hi, mid, lo], axis=-1).astype(jnp.bfloat16)
+    y = jax.lax.dot_general(
+        onehot, packed,
+        (((1, 2), (1, 2)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    d_planes = (y[..., :C] + y[..., C:2 * C]) + y[..., 2 * C:]
     d_slot = np.zeros(slot.shape, dtype=jax.dtypes.float0)
     return d_slot, d_planes
 

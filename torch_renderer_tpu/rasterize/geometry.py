@@ -66,15 +66,15 @@ def _onehot_take(idx: jax.Array, arr: jax.Array) -> jax.Array:
     V = arr.shape[1]
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, V), 2)
     onehot = (idx[:, :, None] == iota).astype(jnp.bfloat16)  # (B, N, V)
-    out = None
-    for part in _split3(arr):
-        y = jax.lax.dot_general(
-            onehot, part.astype(jnp.bfloat16),
-            (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
-        out = y if out is None else out + y
-    return out
+    hi, mid, lo = _split3(arr)
+    C = arr.shape[-1]
+    packed = jnp.concatenate([hi, mid, lo], axis=-1).astype(jnp.bfloat16)
+    y = jax.lax.dot_general(  # one dot; bit-identical to the 3-pass form
+        onehot, packed,
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    return (y[..., :C] + y[..., C:2 * C]) + y[..., 2 * C:]
 
 
 def _onehot_take_fwd(idx, arr):
@@ -87,14 +87,15 @@ def _onehot_take_bwd(res, g):
     idx, V = res
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, V), 2)
     onehot = (idx[:, :, None] == iota).astype(jnp.bfloat16)  # (B, N, V)
-    d_arr = None
-    for part in _split3(g):
-        y = jax.lax.dot_general(
-            onehot, part.astype(jnp.bfloat16),
-            (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # (B, V, C)
-        d_arr = y if d_arr is None else d_arr + y
+    hi, mid, lo = _split3(g)
+    C = g.shape[-1]
+    packed = jnp.concatenate([hi, mid, lo], axis=-1).astype(jnp.bfloat16)
+    y = jax.lax.dot_general(
+        onehot, packed,
+        (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (B, V, 3C)
+    d_arr = (y[..., :C] + y[..., C:2 * C]) + y[..., 2 * C:]
     d_idx = np.zeros(idx.shape, dtype=jax.dtypes.float0)
     return d_idx, d_arr
 
@@ -118,15 +119,15 @@ def _onehot_take_cm(idx: jax.Array, arr: jax.Array) -> jax.Array:
     V = arr.shape[-1]
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, V), 2)
     onehot = (idx[:, :, None] == iota).astype(jnp.bfloat16)  # (B, N, V)
-    out = None
-    for part in _split3(arr):
-        y = jax.lax.dot_general(
-            part.astype(jnp.bfloat16), onehot,
-            (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # (B, C, N)
-        out = y if out is None else out + y
-    return out
+    hi, mid, lo = _split3(arr)
+    C = arr.shape[1]
+    packed = jnp.concatenate([hi, mid, lo], axis=1).astype(jnp.bfloat16)
+    y = jax.lax.dot_general(  # one dot; bit-identical to the 3-pass form
+        packed, onehot,
+        (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (B, 3C, N)
+    return (y[:, :C] + y[:, C:2 * C]) + y[:, 2 * C:]
 
 
 def _onehot_take_cm_fwd(idx, arr):
@@ -139,14 +140,15 @@ def _onehot_take_cm_bwd(res, g):
     idx, V = res
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, V), 2)
     onehot = (idx[:, :, None] == iota).astype(jnp.bfloat16)  # (B, N, V)
-    d_arr = None
-    for part in _split3(g):
-        y = jax.lax.dot_general(
-            part.astype(jnp.bfloat16), onehot,
-            (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # (B, C, V)
-        d_arr = y if d_arr is None else d_arr + y
+    hi, mid, lo = _split3(g)
+    C = g.shape[1]
+    packed = jnp.concatenate([hi, mid, lo], axis=1).astype(jnp.bfloat16)
+    y = jax.lax.dot_general(
+        packed, onehot,
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (B, 3C, V)
+    d_arr = (y[:, :C] + y[:, C:2 * C]) + y[:, 2 * C:]
     d_idx = np.zeros(idx.shape, dtype=jax.dtypes.float0)
     return d_idx, d_arr
 
