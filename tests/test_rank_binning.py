@@ -342,3 +342,27 @@ def test_setup_face_planes_matches_setup_faces():
     g1 = jax.grad(lambda v: loss(v, True))(meshes.verts)
     scale = float(jnp.abs(g0).max())
     assert float(jnp.abs(g0 - g1).max()) < 1e-6 * scale
+
+
+def test_onehot_take_cm_matches_gather_values_and_grads():
+    """_onehot_take_cm (channel-major single packed dot) == plain gather,
+    values and gradients — covers the TPU branch of setup_face_planes off
+    TPU (where setup falls back to vmap gathers and would hide a bug)."""
+    from torch_renderer_tpu.rasterize.geometry import _onehot_take_cm
+
+    rng = np.random.default_rng(3)
+    B, C, V, N = 2, 3, 37, 50
+    arr = jnp.asarray(rng.standard_normal((B, C, V)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, V, size=(B, N)).astype(np.int32))
+
+    got = _onehot_take_cm(idx, arr)
+    want = jnp.stack([a[:, i] for a, i in zip(arr, idx)])  # (B, C, N)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    w = jnp.asarray(rng.standard_normal((B, C, N)).astype(np.float32))
+    g_got = jax.grad(lambda a: jnp.sum(_onehot_take_cm(idx, a) * w))(arr)
+    g_want = jax.grad(
+        lambda a: jnp.sum(jnp.stack([x[:, i] for x, i in zip(a, idx)]) * w)
+    )(arr)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want),
+                               atol=1e-6)
