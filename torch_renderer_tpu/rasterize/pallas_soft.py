@@ -193,13 +193,17 @@ def _bwd_kernel(tile, inv_s, inv_sigma, fc, n_fc, planes_ref,
 def _bwd_row_chunk(inv_sigma, fc, xoff, yoff, planes_ref, g_ref, dq_ref, i,
                    f0):
         q, valid, px, py = _row_inputs(planes_ref, i, f0, fc, xoff, yoff)
+        ox = planes_ref[i, 7, 0]
+        oy = planes_ref[i, 7, 1]
         signed, d2, inside, edges = _signed_d2(px, py, q, valid)
 
         g = g_ref[i, :][:, None]  # (TP, 1)
         # dL/d(d2): softplus'(u) = sigmoid(u), u = -signed/sigma,
-        # d(signed)/d(d2) = -1 inside else +1.
+        # d(signed)/d(d2) = -1 inside else +1. The factor 2 of d(dd)/dq is
+        # folded in here once for the whole chunk.
         sgn = jnp.where(inside, -1.0, 1.0)
-        alpha = g * jax.nn.sigmoid(-signed * inv_sigma) * (-inv_sigma) * sgn
+        alpha = g * jax.nn.sigmoid(-signed * inv_sigma) * (
+            -2.0 * inv_sigma) * sgn
         alpha = jnp.where(valid > 0.0, alpha, 0.0)
 
         # split min ties evenly (jnp.minimum's subgradient convention);
@@ -212,24 +216,46 @@ def _bwd_row_chunk(inv_sigma, fc, xoff, yoff, planes_ref, g_ref, dq_ref, i,
         inv_norm = jnp.where(
             norm <= 1.0, 1.0, jnp.where(norm <= 2.0, 0.5, 1.0 / 3.0)
         )
+        an = alpha * inv_norm  # shared across the three edges
 
-        def edge_grads(e, m):
-            _, t, wx, wy, gx, gy = e
-            beta = alpha * (m * inv_norm)  # (TP, F)
-            ca = 2.0 * beta * (t - 1.0)
-            cg = 2.0 * beta * t * (1.0 - t)
-            cb_w = -2.0 * beta * t
-            cb_g = 2.0 * beta * t * t
-            # d/dqa = -(d/dw) - (d/dg); d/dqb = d/dg  (w = p - qa, g = qb - qa)
-            dqa_x = jnp.sum(ca * wx + cg * gx, axis=0)
-            dqa_y = jnp.sum(ca * wy + cg * gy, axis=0)
-            dqb_x = jnp.sum(cb_w * wx + cb_g * gx, axis=0)
-            dqb_y = jnp.sum(cb_w * wy + cb_g * gy, axis=0)
+        def edge_grads(e, m, qxa, qya):
+            # Moment-form gradient: dd = |r|^2 with r = w - t*g, so
+            # d(dd)/da = -2(1-t) r and d(dd)/db = -2t r (t fixed by the
+            # envelope theorem, as in the product form this replaces).
+            # With u = 2*beta, s = u*t, r2 = s*t and wx = xoff - (qxa-ox):
+            #   dqa_x = (Ssx - Sux) + (qxa-ox)(Su - Ss) + gx (Ss - Sr2)
+            #   dqb_x = (qxa-ox) Ss - Ssx + gx Sr2
+            # i.e. 7 pixel-axis reductions of 1-product integrands instead
+            # of 12 reductions of 3-op integrands — ~40% fewer VPU ops per
+            # (pixel, face) pair in this kernel's dominant block. Moments
+            # are taken against the WITHIN-TILE offsets (xoff, not px) so
+            # the nearly-cancelling pairs share the tile's small coordinate
+            # scale instead of the global NDC scale.
+            _, t, _, _, gx, gy = e
+            u = an * m          # == 2*beta of the product form
+            s = u * t
+            r2 = s * t
+            Su = jnp.sum(u, axis=0)
+            Ss = jnp.sum(s, axis=0)
+            Sr2 = jnp.sum(r2, axis=0)
+            Sux = jnp.sum(u * xoff, axis=0)
+            Suy = jnp.sum(u * yoff, axis=0)
+            Ssx = jnp.sum(s * xoff, axis=0)
+            Ssy = jnp.sum(s * yoff, axis=0)
+            ax = qxa[0] - ox    # (F,) per-face epilogue, amortized over TP
+            ay = qya[0] - oy
+            dsu = Su - Ss
+            dab = Ss - Sr2
+            dqa_x = (Ssx - Sux) + ax * dsu + gx[0] * dab
+            dqa_y = (Ssy - Suy) + ay * dsu + gy[0] * dab
+            dqb_x = ax * Ss - Ssx + gx[0] * Sr2
+            dqb_y = ay * Ss - Ssy + gy[0] * Sr2
             return dqa_x, dqa_y, dqb_x, dqb_y
 
-        a0x, a0y, b0x, b0y = edge_grads(edges[0], m0)  # edge (q0, q1)
-        a1x, a1y, b1x, b1y = edge_grads(edges[1], m1)  # edge (q1, q2)
-        a2x, a2y, b2x, b2y = edge_grads(edges[2], m2)  # edge (q2, q0)
+        qx0, qy0, qx1, qy1, qx2, qy2 = q
+        a0x, a0y, b0x, b0y = edge_grads(edges[0], m0, qx0, qy0)  # (q0, q1)
+        a1x, a1y, b1x, b1y = edge_grads(edges[1], m1, qx1, qy1)  # (q1, q2)
+        a2x, a2y, b2x, b2y = edge_grads(edges[2], m2, qx2, qy2)  # (q2, q0)
 
         sl = pl.ds(pl.multiple_of(f0, fc), fc)
         dq_ref[i, 0, sl] = a0x + b2x  # q0
