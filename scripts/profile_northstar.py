@@ -101,23 +101,44 @@ def main() -> None:
         )
         return jnp.sum(alpha)
 
+    def cut_grad(v):
+        return jnp.sum(jax.grad(cut_fwd)(v) ** 2)
+
     cuts = [
-        ("setup", jax.jit(cut_setup)),
-        ("bin", jax.jit(cut_bin)),
-        ("gather", jax.jit(cut_gather)),
-        ("fwd", jax.jit(cut_fwd)),
-        ("grad", jax.jit(jax.grad(cut_fwd))),
+        ("setup", cut_setup),
+        ("bin", cut_bin),
+        ("gather", cut_gather),
+        ("fwd", cut_fwd),
+        ("grad", cut_grad),
     ]
+
+    # Each cut runs as ONE jitted lax.scan whose carry depends on the cut's
+    # output (v + 1e-30 * scalar: numerically a no-op, but a real data
+    # dependence so XLA cannot hoist the loop-invariant body — measured:
+    # an independent-body scan "ran" 4x faster because the body was CSE'd
+    # to a single iteration). One dispatch per measurement also keeps the
+    # tunnel's ~1.3 ms per-call host cost out of the numbers entirely.
+    def scanned(fn):
+        @jax.jit
+        def run(v):
+            def body(c, _):
+                out = fn(c)
+                leaves = jax.tree.leaves(out)
+                dep = sum(jnp.sum(l).astype(jnp.float32) for l in leaves)
+                return c + 1e-30 * dep, ()
+            vf, _ = jax.lax.scan(body, v, None, length=args.steps)
+            return vf
+        return run
 
     v0 = meshes.verts
     times = {}
     for name, fn in cuts:
         print(f"compiling {name}...", file=sys.stderr, flush=True)
-        out = fn(v0)
+        run = scanned(fn)
+        out = run(v0)
         jax.block_until_ready(out)  # compile + warm
         t0 = time.perf_counter()
-        for _ in range(args.steps):
-            out = fn(v0)
+        out = run(v0)
         jax.block_until_ready(out)
         times[name] = (time.perf_counter() - t0) / args.steps * 1e3
 
