@@ -75,6 +75,18 @@ def main() -> None:
     pad = math.sqrt(SOFT_CUTOFF * SIGMA)
     print(f"faces_per_tile={fpt} active_tiles={act}", file=sys.stderr)
 
+    def cut_floor(v):
+        # Calibrates the per-iteration cost of the dependent-carry scan
+        # harness itself (carry add + dependence sum), so stage deltas can
+        # be read net of the harness floor.
+        return jnp.sum(v)
+
+    def cut_w2c(v):
+        # World->camera alone: the (B,V,3)x(B,3,3) einsum + translation.
+        m = meshes.update_padded(v)
+        Xc = jnp.einsum("bij,bvj->bvi", cam.R, m.verts) + cam.t[:, None, :]
+        return jnp.sum(Xc)
+
     def cut_setup(v):
         fp = setup_face_planes(meshes.update_padded(v), cam)
         return jax.tree.map(jnp.sum, fp)
@@ -105,6 +117,8 @@ def main() -> None:
         return jnp.sum(jax.grad(cut_fwd)(v) ** 2)
 
     cuts = [
+        ("floor", cut_floor),
+        ("w2c", cut_w2c),
         ("setup", cut_setup),
         ("bin", cut_bin),
         ("gather", cut_gather),
