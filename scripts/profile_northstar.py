@@ -32,6 +32,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--image", type=int, default=256)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--level", type=int, default=3)
@@ -151,10 +152,13 @@ def main() -> None:
         run = scanned(fn)
         out = run(v0)
         jax.block_until_ready(out)  # compile + warm
-        t0 = time.perf_counter()
-        out = run(v0)
-        jax.block_until_ready(out)
-        times[name] = (time.perf_counter() - t0) / args.steps * 1e3
+        best = float("inf")
+        for _ in range(args.repeats):  # min-of-N: tunnel hiccups inflate
+            t0 = time.perf_counter()   # single-shot readings by >10x
+            out = run(v0)
+            jax.block_until_ready(out)
+            best = min(best, time.perf_counter() - t0)
+        times[name] = best / args.steps * 1e3
 
     prev = 0.0
     for name, _ in cuts:
