@@ -54,6 +54,7 @@ def tpu_fps() -> float:
         soft_silhouette_pallas_fd,
         suggest_active_tiles,
         suggest_faces_per_tile,
+        suggest_group_lanes,
     )
     from torch_renderer_tpu.structures.meshes import Meshes
 
@@ -72,12 +73,14 @@ def tpu_fps() -> float:
     fp0 = setup_face_planes(meshes, cam)
     fpt = suggest_faces_per_tile(fp0, (IMAGE, IMAGE))
     act = suggest_active_tiles(fp0, (IMAGE, IMAGE))
+    gl = suggest_group_lanes(fp0, (IMAGE, IMAGE), active_tiles=act,
+                             faces_per_tile=fpt)
 
     def loss_fn(v):
         fp = setup_face_planes(meshes.update_padded(v), cam)
         alpha = soft_silhouette_pallas_fd(
             fp, (IMAGE, IMAGE), sigma=SIGMA, faces_per_tile=fpt,
-            active_tiles=act,
+            active_tiles=act, layout="packed", group_lanes=gl,
         )
         return jnp.sum(alpha)
 

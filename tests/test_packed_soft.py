@@ -1,0 +1,154 @@
+"""Group-packed Pallas soft-silhouette layout vs the streaming oracle.
+
+The packed layout shares one lane axis across the 8 tiles of a kernel
+program (faces pre-translated into their tile frame; per-tile segmentation
+via a one-hot MXU contraction) — see pallas_soft layout="packed" and
+binning.pack_groups. Runs in pallas interpret mode on the CPU backend
+(conftest); the TPU A/B for this layout is recorded in docs/BENCHMARKS.md.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torch_renderer_tpu.cameras.perspective import PerspectiveCamera
+from torch_renderer_tpu.ops.icosphere import icosphere
+from torch_renderer_tpu.rasterize.binning import pack_groups
+from torch_renderer_tpu.rasterize.geometry import setup_face_planes
+from torch_renderer_tpu.rasterize.pallas_soft import (
+    soft_silhouette_pallas,
+    suggest_group_lanes,
+)
+from torch_renderer_tpu.rasterize.soft import soft_silhouette_streaming
+from torch_renderer_tpu.structures.meshes import Meshes
+
+IMG = 32
+B = 2
+
+
+@pytest.fixture(scope="module")
+def scene():
+    verts, faces = icosphere(1)  # 80 faces
+    meshes = Meshes.from_single(verts, faces).extend(B)
+    f = 0.8 * IMG
+    K = np.array([[f, 0, IMG / 2], [0, f, IMG / 2], [0, 0, 1]], np.float32)
+    R = np.broadcast_to(np.eye(3, dtype=np.float32), (B, 3, 3))
+    t = np.stack([
+        np.array([0.0, 0.0, 3.0], np.float32),
+        np.array([0.15, -0.1, 2.6], np.float32),
+    ])
+    cam = PerspectiveCamera.from_K(K, (IMG, IMG), R=R, t=t)
+    return meshes, cam
+
+
+# active_tiles=4 covers A < 8 (single partially-empty pack group);
+# active_tiles=9 covers A not a multiple of 8 (internal pad to 16, second
+# group fully empty -> zero trip count path). group_lanes=None exercises
+# the always-safe 8*faces_per_tile default.
+@pytest.mark.parametrize("active_tiles,group_lanes", [
+    (4, None),
+    (4, 256),
+    (9, 256),
+])
+def test_packed_values_match_streaming(scene, active_tiles, group_lanes):
+    meshes, cam = scene
+    want = np.asarray(soft_silhouette_streaming(meshes, cam))
+    got = np.asarray(
+        soft_silhouette_pallas(
+            meshes, cam, tile=16, faces_per_tile=80,
+            active_tiles=active_tiles, layout="packed",
+            group_lanes=group_lanes,
+        )
+    )
+    assert got.shape == want.shape == (B, IMG, IMG)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+    assert want.max() > 0.9
+
+
+def test_packed_gradients_match_streaming(scene):
+    meshes, cam = scene
+
+    def loss_packed(v):
+        return jnp.sum(
+            soft_silhouette_pallas(
+                meshes.update_padded(v), cam, tile=16, faces_per_tile=80,
+                active_tiles=4, layout="packed", group_lanes=256,
+            )
+        )
+
+    def loss_ref(v):
+        return jnp.sum(soft_silhouette_streaming(meshes.update_padded(v), cam))
+
+    g1 = np.asarray(jax.grad(loss_packed)(meshes.verts))
+    g2 = np.asarray(jax.grad(loss_ref)(meshes.verts))
+    assert np.all(np.isfinite(g1))
+    assert np.abs(g1).sum() > 0
+    np.testing.assert_allclose(g1, g2, atol=5e-3, rtol=5e-3)
+
+
+def test_packed_requires_active_tiles(scene):
+    meshes, cam = scene
+    with pytest.raises(ValueError, match="active_tiles"):
+        soft_silhouette_pallas(meshes, cam, layout="packed")
+
+
+def test_suggest_group_lanes(scene):
+    meshes, cam = scene
+    fp = setup_face_planes(meshes, cam)
+    gl = suggest_group_lanes(fp, (IMG, IMG), tile=16, active_tiles=8,
+                             faces_per_tile=80)
+    # 128-aligned, positive, bounded by the 8 * faces_per_tile ceiling
+    assert gl % 128 == 0
+    assert 128 <= gl <= 8 * 80
+    # and it is safe: packed coverage with the suggested budget matches
+    want = np.asarray(soft_silhouette_streaming(meshes, cam))
+    got = np.asarray(
+        soft_silhouette_pallas(
+            meshes, cam, tile=16, faces_per_tile=80, active_tiles=8,
+            layout="packed", group_lanes=gl,
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_group_overflow_drops_like_face_bins(scene):
+    """Candidates beyond group_lanes are dropped (documented), never
+    corrupted: coverage with an under-sized budget is <= the full result
+    everywhere and exact where tiles fit."""
+    meshes, cam = scene
+    full = np.asarray(
+        soft_silhouette_pallas(
+            meshes, cam, tile=16, faces_per_tile=80, active_tiles=4,
+            layout="packed", group_lanes=None,
+        )
+    )
+    clipped = np.asarray(
+        soft_silhouette_pallas(
+            meshes, cam, tile=16, faces_per_tile=80, active_tiles=4,
+            layout="packed", group_lanes=128,
+        )
+    )
+    assert (clipped <= full + 1e-6).all()
+
+
+def test_pack_groups_exact():
+    """Unit test of the pack contraction: known per-tile slabs concatenate
+    in tile order at exclusive-cumsum offsets, exactly (f32 through the
+    bf16-split one-hot)."""
+    B_, A, K, C = 1, 8, 4, 2
+    rng = np.random.RandomState(0)
+    slabs = rng.randn(B_, A, K, C).astype(np.float32)
+    capped = np.array([[2, 0, 4, 1, 0, 3, 0, 2]], np.int32)
+    n_slots = 16
+    packed, n_valid = pack_groups(
+        jnp.asarray(slabs), jnp.asarray(capped), n_slots)
+    packed = np.asarray(packed)
+    assert int(n_valid[0, 0]) == capped.sum()
+    want = np.zeros((n_slots, C), np.float32)
+    s = 0
+    for a in range(A):
+        for k in range(capped[0, a]):
+            want[s] = slabs[0, a, k]
+            s += 1
+    np.testing.assert_array_equal(packed[0], want)

@@ -672,6 +672,80 @@ def scatter_active_bg(values: jax.Array, bins: ActiveBins, bg,
     return jnp.where(ind, s, jnp.asarray(bg, values.dtype))
 
 
+# ---------------------------------------------------------------------------
+# Group packing (for the group-packed Pallas kernels)
+# ---------------------------------------------------------------------------
+#
+# One level below active-tile compaction: even over non-empty tiles, the
+# kernels' 128-lane chunk quantum means a tile with 27 candidates pays a
+# full 128-lane chunk (the north-star mean occupancy is ~61/128). Packing
+# the candidates of the 8 tiles a program owns into ONE shared lane axis
+# (each face pre-translated into its own tile's pixel frame — the coverage
+# math only ever uses px - qx differences, so it is translation-invariant)
+# drops the padded-lane total 98304 -> 55296 on the north-star scene. The
+# per-tile segmentation of the coverage sums moves into the kernel as a
+# tiny one-hot MXU contraction (see pallas_soft._fwd_kernel_packed).
+
+_GROUP = 8  # tiles per pack group == tiles per kernel program
+
+
+def pack_groups(slabs: jax.Array, capped: jax.Array, n_slots: int):
+    """Per-tile slot slabs -> group-packed slabs.
+
+    slabs:  (B, A, K, C) per-tile candidate channels (slot-major, valid
+            candidates contiguous from slot 0 — rank binning's layout)
+    capped: (B, A) int32 valid candidates per tile (= min(count, K))
+    n_slots: packed lane budget per group of 8 tiles (static; group
+            candidates beyond it are dropped, like overflowing face bins)
+
+    Returns (packed, n_valid):
+      packed  (B * A//8, n_slots, C) — the 8 tiles' candidates concatenated
+              in tile order (offset = exclusive cumsum of capped within the
+              group); exact (3-pass bf16 one-hot contraction, _slot_gather)
+              and differentiable w.r.t. slabs.
+      n_valid (B, A//8) int32 — packed candidates per group (post-cap).
+    """
+    B, A, K, C = slabs.shape
+    if A % _GROUP:
+        raise ValueError(f"active-tile count {A} not a multiple of {_GROUP}")
+    G = A // _GROUP
+    cg = jnp.minimum(capped, K).reshape(B, G, _GROUP)
+    off = jnp.cumsum(cg, axis=-1) - cg                       # exclusive
+    k = jnp.arange(K, dtype=jnp.int32)
+    spack = off[..., None] + k[None, None, None, :]          # (B, G, 8, K)
+    fill = (k[None, None, None, :] < cg[..., None]) & (spack < n_slots)
+    spack = jnp.where(fill, spack, n_slots + 1)
+    slot = spack.reshape(B * G, 1, _GROUP * K)
+    planes = slabs.reshape(B * G, _GROUP * K, C)
+    packed = _slot_gather(slot, planes, n_slots)[:, 0]
+    n_valid = jnp.minimum(jnp.sum(cg, axis=-1), n_slots)
+    return packed, n_valid
+
+
+def suggest_group_lanes_fd(
+    fd: FaceRasterData, image_size, tile: int, pad_radius: float,
+    max_active: int, faces_per_tile: int,
+    margin: float = 1.3, multiple: int = 128,
+) -> int:
+    """Smallest safe packed-lane budget per 8-tile group for this scene
+    (max over (batch, group) of the summed per-tile candidate counts, with
+    headroom, 128-lane aligned). Call OUTSIDE jit with concrete data; pass
+    as soft_silhouette_pallas_fd(group_lanes=...). Groups follow active-
+    compaction order (bin_ranks_active), matching the kernel's grouping."""
+    import math as _math
+
+    bins = bin_faces_active(fd, image_size, tile, pad_radius, max_active)
+    capped = jnp.minimum(bins.count, faces_per_tile)        # (B, A)
+    B, A = capped.shape
+    pad = (-A) % _GROUP
+    if pad:
+        capped = jnp.pad(capped, ((0, 0), (0, pad)))
+    gsum = capped.reshape(B, -1, _GROUP).sum(-1)
+    n = int(jnp.max(gsum))
+    want = int(_math.ceil(n * margin / multiple)) * multiple
+    return max(multiple, min(want, _GROUP * faces_per_tile))
+
+
 def suggest_active_tiles_fd(
     fd: FaceRasterData, image_size, tile: int, pad_radius: float,
     margin: float = 1.3, multiple: int = 8,

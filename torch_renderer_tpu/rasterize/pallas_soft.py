@@ -190,6 +190,77 @@ def _bwd_kernel(tile, inv_s, inv_sigma, fc, n_fc, planes_ref,
         jax.lax.fori_loop(0, _TN, row, 0)
 
 
+def _moment_dq(inv_sigma, xoff, yoff, q, valid, signed, d2, inside, edges,
+               gcot, ox, oy):
+    """Shared moment-form backward core: 6 per-face gradient rows.
+
+    gcot broadcasts against (TP, F) — (TP, 1) for the per-tile kernels
+    (one cotangent row per tile), (TP, F) for the packed kernel (each
+    face selects its own tile's cotangent).
+
+    dL/d(d2): softplus'(u) = sigmoid(u), u = -signed/sigma,
+    d(signed)/d(d2) = -1 inside else +1. The factor 2 of d(dd)/dq is
+    folded in once for the whole chunk."""
+    sgn = jnp.where(inside, -1.0, 1.0)
+    alpha = gcot * jax.nn.sigmoid(-signed * inv_sigma) * (
+        -2.0 * inv_sigma) * sgn
+    alpha = jnp.where(valid > 0.0, alpha, 0.0)
+
+    # split min ties evenly (jnp.minimum's subgradient convention);
+    # norm is only ever 1, 2 or 3 — a two-select reciprocal beats three
+    # per-pair f32 divides
+    m0 = (edges[0][0] <= d2).astype(jnp.float32)
+    m1 = (edges[1][0] <= d2).astype(jnp.float32)
+    m2 = (edges[2][0] <= d2).astype(jnp.float32)
+    norm = m0 + m1 + m2
+    inv_norm = jnp.where(
+        norm <= 1.0, 1.0, jnp.where(norm <= 2.0, 0.5, 1.0 / 3.0)
+    )
+    an = alpha * inv_norm  # shared across the three edges
+
+    def edge_grads(e, m, qxa, qya):
+        # Moment-form gradient: dd = |r|^2 with r = w - t*g, so
+        # d(dd)/da = -2(1-t) r and d(dd)/db = -2t r (t fixed by the
+        # envelope theorem, as in the product form this replaces).
+        # With u = 2*beta, s = u*t, r2 = s*t and wx = xoff - (qxa-ox):
+        #   dqa_x = (Ssx - Sux) + (qxa-ox)(Su - Ss) + gx (Ss - Sr2)
+        #   dqb_x = (qxa-ox) Ss - Ssx + gx Sr2
+        # i.e. 7 pixel-axis reductions of 1-product integrands instead
+        # of 12 reductions of 3-op integrands — ~40% fewer VPU ops per
+        # (pixel, face) pair in this kernel's dominant block. Moments
+        # are taken against the WITHIN-TILE offsets (xoff, not px) so
+        # the nearly-cancelling pairs share the tile's small coordinate
+        # scale instead of the global NDC scale.
+        _, t, _, _, gx, gy = e
+        u = an * m          # == 2*beta of the product form
+        s = u * t
+        r2 = s * t
+        Su = jnp.sum(u, axis=0)
+        Ss = jnp.sum(s, axis=0)
+        Sr2 = jnp.sum(r2, axis=0)
+        Sux = jnp.sum(u * xoff, axis=0)
+        Suy = jnp.sum(u * yoff, axis=0)
+        Ssx = jnp.sum(s * xoff, axis=0)
+        Ssy = jnp.sum(s * yoff, axis=0)
+        ax = qxa[0] - ox    # (F,) per-face epilogue, amortized over TP
+        ay = qya[0] - oy
+        dsu = Su - Ss
+        dab = Ss - Sr2
+        dqa_x = (Ssx - Sux) + ax * dsu + gx[0] * dab
+        dqa_y = (Ssy - Suy) + ay * dsu + gy[0] * dab
+        dqb_x = ax * Ss - Ssx + gx[0] * Sr2
+        dqb_y = ay * Ss - Ssy + gy[0] * Sr2
+        return dqa_x, dqa_y, dqb_x, dqb_y
+
+    qx0, qy0, qx1, qy1, qx2, qy2 = q
+    a0x, a0y, b0x, b0y = edge_grads(edges[0], m0, qx0, qy0)  # (q0, q1)
+    a1x, a1y, b1x, b1y = edge_grads(edges[1], m1, qx1, qy1)  # (q1, q2)
+    a2x, a2y, b2x, b2y = edge_grads(edges[2], m2, qx2, qy2)  # (q2, q0)
+    return (a0x + b2x, a0y + b2y,    # q0
+            b0x + a1x, b0y + a1y,    # q1
+            b1x + a2x, b1y + a2y)    # q2
+
+
 def _bwd_row_chunk(inv_sigma, fc, xoff, yoff, planes_ref, g_ref, dq_ref, i,
                    f0):
         q, valid, px, py = _row_inputs(planes_ref, i, f0, fc, xoff, yoff)
@@ -198,74 +269,14 @@ def _bwd_row_chunk(inv_sigma, fc, xoff, yoff, planes_ref, g_ref, dq_ref, i,
         signed, d2, inside, edges = _signed_d2(px, py, q, valid)
 
         g = g_ref[i, :][:, None]  # (TP, 1)
-        # dL/d(d2): softplus'(u) = sigmoid(u), u = -signed/sigma,
-        # d(signed)/d(d2) = -1 inside else +1. The factor 2 of d(dd)/dq is
-        # folded in here once for the whole chunk.
-        sgn = jnp.where(inside, -1.0, 1.0)
-        alpha = g * jax.nn.sigmoid(-signed * inv_sigma) * (
-            -2.0 * inv_sigma) * sgn
-        alpha = jnp.where(valid > 0.0, alpha, 0.0)
-
-        # split min ties evenly (jnp.minimum's subgradient convention);
-        # norm is only ever 1, 2 or 3 — a two-select reciprocal beats three
-        # per-pair f32 divides
-        m0 = (edges[0][0] <= d2).astype(jnp.float32)
-        m1 = (edges[1][0] <= d2).astype(jnp.float32)
-        m2 = (edges[2][0] <= d2).astype(jnp.float32)
-        norm = m0 + m1 + m2
-        inv_norm = jnp.where(
-            norm <= 1.0, 1.0, jnp.where(norm <= 2.0, 0.5, 1.0 / 3.0)
-        )
-        an = alpha * inv_norm  # shared across the three edges
-
-        def edge_grads(e, m, qxa, qya):
-            # Moment-form gradient: dd = |r|^2 with r = w - t*g, so
-            # d(dd)/da = -2(1-t) r and d(dd)/db = -2t r (t fixed by the
-            # envelope theorem, as in the product form this replaces).
-            # With u = 2*beta, s = u*t, r2 = s*t and wx = xoff - (qxa-ox):
-            #   dqa_x = (Ssx - Sux) + (qxa-ox)(Su - Ss) + gx (Ss - Sr2)
-            #   dqb_x = (qxa-ox) Ss - Ssx + gx Sr2
-            # i.e. 7 pixel-axis reductions of 1-product integrands instead
-            # of 12 reductions of 3-op integrands — ~40% fewer VPU ops per
-            # (pixel, face) pair in this kernel's dominant block. Moments
-            # are taken against the WITHIN-TILE offsets (xoff, not px) so
-            # the nearly-cancelling pairs share the tile's small coordinate
-            # scale instead of the global NDC scale.
-            _, t, _, _, gx, gy = e
-            u = an * m          # == 2*beta of the product form
-            s = u * t
-            r2 = s * t
-            Su = jnp.sum(u, axis=0)
-            Ss = jnp.sum(s, axis=0)
-            Sr2 = jnp.sum(r2, axis=0)
-            Sux = jnp.sum(u * xoff, axis=0)
-            Suy = jnp.sum(u * yoff, axis=0)
-            Ssx = jnp.sum(s * xoff, axis=0)
-            Ssy = jnp.sum(s * yoff, axis=0)
-            ax = qxa[0] - ox    # (F,) per-face epilogue, amortized over TP
-            ay = qya[0] - oy
-            dsu = Su - Ss
-            dab = Ss - Sr2
-            dqa_x = (Ssx - Sux) + ax * dsu + gx[0] * dab
-            dqa_y = (Ssy - Suy) + ay * dsu + gy[0] * dab
-            dqb_x = ax * Ss - Ssx + gx[0] * Sr2
-            dqb_y = ay * Ss - Ssy + gy[0] * Sr2
-            return dqa_x, dqa_y, dqb_x, dqb_y
-
-        qx0, qy0, qx1, qy1, qx2, qy2 = q
-        a0x, a0y, b0x, b0y = edge_grads(edges[0], m0, qx0, qy0)  # (q0, q1)
-        a1x, a1y, b1x, b1y = edge_grads(edges[1], m1, qx1, qy1)  # (q1, q2)
-        a2x, a2y, b2x, b2y = edge_grads(edges[2], m2, qx2, qy2)  # (q2, q0)
+        rows = _moment_dq(inv_sigma, xoff, yoff, q, valid, signed, d2,
+                          inside, edges, g, ox, oy)
 
         sl = pl.ds(pl.multiple_of(f0, fc), fc)
-        dq_ref[i, 0, sl] = a0x + b2x  # q0
-        dq_ref[i, 1, sl] = a0y + b2y
-        dq_ref[i, 2, sl] = b0x + a1x  # q1
-        dq_ref[i, 3, sl] = b0y + a1y
-        dq_ref[i, 4, sl] = b1x + a2x  # q2
-        dq_ref[i, 5, sl] = b1y + a2y
-        dq_ref[i, 6, sl] = jnp.zeros_like(a0x)
-        dq_ref[i, 7, sl] = jnp.zeros_like(a0x)
+        for r in range(6):
+            dq_ref[i, r, sl] = rows[r]
+        dq_ref[i, 6, sl] = jnp.zeros_like(rows[0])
+        dq_ref[i, 7, sl] = jnp.zeros_like(rows[0])
 
 
 def _interpret() -> bool:
@@ -517,6 +528,152 @@ def _tile_coverage_bwd(tile, inv_s, sigma, res, g):
 _tile_coverage.defvjp(_tile_coverage_fwd, _tile_coverage_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Group-packed kernels: the candidates of all 8 tiles a program owns share
+# ONE lane axis. The per-tile layout pays ceil(count/128)*128 lanes per tile
+# (north-star mean occupancy ~61/128 -> ~2x padding waste); packing the
+# group's candidates contiguously pays ceil(group_total/128)*128 per GROUP
+# (768 -> 432 chunk evaluations on the north-star scene). Two ingredients:
+#
+#   * translation invariance: the coverage math only uses px - qx
+#     differences, so each face's corners are pre-translated into its own
+#     tile's pixel frame (binning.pack_groups packs the translated
+#     channels) and the kernel rasterizes every face against the SAME
+#     within-tile pixel offsets (px = xoff, no origins).
+#   * MXU segmentation: per-tile coverage sums come from a tiny one-hot
+#     contraction. Row 6 carries ev = (tile_slot + 1) * valid (0 = padding);
+#     oh = (ev == 1..8) is (8, FC) and S_rows = oh @ contrib^T — an NT
+#     dot_general contracting the lane axes of both operands, f32
+#     precision=HIGHEST (probe-verified on v5e: abs err ~1.5e-5; see
+#     scripts/probe_packed_ops.py). The backward selects each face's
+#     cotangent row the same way: g_sel = g_rows^T @ oh (TN dot_general).
+#
+# Layout: planes (N_g, 8, S) f32 — rows 0-5 tile-frame corner channels
+# qx0..qy2, row 6 ev, row 7 meta (lane 0 = face-chunk trip count). Output
+# (8 * N_g, tp): program i writes its 8 tiles' coverage rows — identical
+# downstream interface to the per-tile kernel.
+# ---------------------------------------------------------------------------
+
+
+def _packed_oh(ev):
+    """(1, FC) ev row -> (8, FC) f32 one-hot of the owning tile slot."""
+    j = jax.lax.broadcasted_iota(jnp.int32, (_TN, 1), 0).astype(jnp.float32)
+    return (ev == j + 1.0).astype(jnp.float32)
+
+
+def _fwd_kernel_packed(tile, inv_s, inv_sigma, fc, planes_ref, out_ref):
+    tp = tile * tile
+    xoff, yoff = _pixel_offsets(tile, inv_s)
+
+    def face_chunk(c, acc):
+        sl = pl.ds(pl.multiple_of(c * fc, fc), fc)
+        q = tuple(planes_ref[0, r, sl][None, :] for r in range(6))
+        ev = planes_ref[0, 6, sl][None, :]
+        valid = (ev > 0.0).astype(jnp.float32)
+        signed, _, _, _ = _signed_d2(xoff, yoff, q, valid)
+        contrib = jax.nn.softplus(-signed * inv_sigma)       # (TP, FC)
+        oh = _packed_oh(ev)                                  # (8, FC)
+        return acc + jax.lax.dot_general(
+            oh, contrib, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    nc = planes_ref[0, 7, 0].astype(jnp.int32)
+    acc = jax.lax.fori_loop(0, nc, face_chunk,
+                            jnp.zeros((_TN, tp), jnp.float32))
+    out_ref[...] = acc
+
+
+def _bwd_kernel_packed(tile, inv_s, inv_sigma, fc, n_fc, planes_ref, g_ref,
+                       dq_ref):
+    xoff, yoff = _pixel_offsets(tile, inv_s)
+    g_rows = g_ref[...]                                      # (8, TP)
+
+    def face_chunk(c, _):
+        sl = pl.ds(pl.multiple_of(c * fc, fc), fc)
+        q = tuple(planes_ref[0, r, sl][None, :] for r in range(6))
+        ev = planes_ref[0, 6, sl][None, :]
+        valid = (ev > 0.0).astype(jnp.float32)
+        signed, d2, inside, edges = _signed_d2(xoff, yoff, q, valid)
+
+        oh = _packed_oh(ev)                                  # (8, FC)
+        g_sel = jax.lax.dot_general(                         # (TP, FC)
+            g_rows, oh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        rows = _moment_dq(inv_sigma, xoff, yoff, q, valid, signed, d2,
+                          inside, edges, g_sel, 0.0, 0.0)
+        for r in range(6):
+            dq_ref[0, r, sl] = rows[r]
+        dq_ref[0, 6, sl] = jnp.zeros_like(rows[0])
+        dq_ref[0, 7, sl] = jnp.zeros_like(rows[0])
+        return 0
+
+    def zero_chunk(c, _):
+        sl = pl.ds(pl.multiple_of(c * fc, fc), fc)
+        z = jnp.zeros((fc,), jnp.float32)
+        for r in range(8):
+            dq_ref[0, r, sl] = z
+        return 0
+
+    nc = planes_ref[0, 7, 0].astype(jnp.int32)
+    jax.lax.fori_loop(0, nc, face_chunk, 0)
+    jax.lax.fori_loop(nc, n_fc, zero_chunk, 0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _tile_coverage_packed(planes, tile, inv_s, sigma):
+    """Group-packed planes (N_g, 8, S) -> coverage sums (8 * N_g, tile^2)
+    (see layout block comment above)."""
+    return _tile_coverage_packed_fwd(planes, tile, inv_s, sigma)[0]
+
+
+def _tile_coverage_packed_fwd(planes, tile, inv_s, sigma):
+    Ng, _, S = planes.shape
+    tp = tile * tile
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel_packed, tile, inv_s, 1.0 / sigma, _FC),
+        grid=(Ng,),
+        in_specs=[
+            pl.BlockSpec((1, 8, S), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_TN, tp), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Ng * _TN, tp), jnp.float32),
+        interpret=_interpret(),
+    )(planes)
+    return out, (planes,)
+
+
+def _tile_coverage_packed_bwd(tile, inv_s, sigma, res, g):
+    (planes,) = res
+    Ng, _, S = planes.shape
+    tp = tile * tile
+    dplanes = pl.pallas_call(
+        functools.partial(_bwd_kernel_packed, tile, inv_s, 1.0 / sigma, _FC,
+                          S // _FC),
+        grid=(Ng,),
+        in_specs=[
+            pl.BlockSpec((1, 8, S), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TN, tp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, S), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Ng, 8, S), jnp.float32),
+        interpret=_interpret(),
+    )(planes, g)
+    return (dplanes,)
+
+
+_tile_coverage_packed.defvjp(_tile_coverage_packed_fwd,
+                             _tile_coverage_packed_bwd)
+
+
 def suggest_faces_per_tile(
     fd: FaceRasterData, image_size, tile: int = 16, sigma: float = 1e-4,
     margin: float = 1.3, multiple: int = 128,
@@ -541,6 +698,7 @@ def soft_silhouette_pallas_fd(
     return_sum: bool = False,
     layout: str = "lane",
     active_tiles: int | None = None,
+    group_lanes: int | None = None,
 ) -> jax.Array:
     """Tile-binned soft coverage (B, H, W) through the fused Pallas kernel.
 
@@ -560,13 +718,21 @@ def soft_silhouette_pallas_fd(
     (tiles beyond the budget are dropped, like overflowing face bins).
 
     layout: "lane" (default) — faces on the lane axis, chunk granularity
-    128. "sublane" runs the transposed kernels (faces on sublanes,
-    granularity 8) — measured SLOWER at the north-star scale (grad 9.1 vs
-    5.9 ms): the per-group fixed costs (6 lane-column extracts + broadcasts,
-    12 lane reductions per 8-face group in the backward) outweigh the
-    2x occupancy win when each group is only two (8, 128) vregs of math.
-    Kept (exact, tested) for documentation and for shapes where wide pixel
-    rows might amortize the overheads."""
+    128. "packed" — group-packed kernels: the candidates of the 8 tiles a
+    program owns share one lane axis (faces pre-translated into their tile
+    frame; per-tile segmentation via a tiny one-hot MXU contraction), so a
+    group pays ceil(group_total/128) chunks instead of 8 * ceil(count/128)
+    — the measured occupancy lever (768 -> 432 chunk evaluations on the
+    north-star scene). Requires active_tiles; size group_lanes with
+    suggest_group_lanes() (default 8 * faces_per_tile is always safe — the
+    kernel-math win is independent of group_lanes, which only trims the
+    pack contraction + DMA). "sublane" runs the transposed kernels (faces
+    on sublanes, granularity 8) — measured SLOWER at the north-star scale
+    (grad 9.1 vs 5.9 ms): the per-group fixed costs (6 lane-column
+    extracts + broadcasts, 12 lane reductions per 8-face group in the
+    backward) outweigh the 2x occupancy win when each group is only two
+    (8, 128) vregs of math. Kept (exact, tested) for documentation and for
+    shapes where wide pixel rows might amortize the overheads."""
     from .binning import (
         bin_faces_active,
         bin_faces_ranked,
@@ -579,6 +745,17 @@ def soft_silhouette_pallas_fd(
     if layout == "sublane":
         return _soft_silhouette_pallas_t(
             fd, image_size, sigma, tile, faces_per_tile, return_sum, pad
+        )
+    if layout == "packed":
+        if active_tiles is None:
+            raise ValueError(
+                "layout='packed' requires active_tiles (the pack groups "
+                "follow active-compaction order); size it with "
+                "suggest_active_tiles()"
+            )
+        return _soft_silhouette_pallas_packed(
+            fd, image_size, sigma, tile, faces_per_tile, active_tiles,
+            group_lanes, return_sum, pad,
         )
     # rank-binning: candidate slots come from a prefix count of the overlap
     # mask (no top_k sort) and the slot one-hot feeds the gather contraction
@@ -663,6 +840,84 @@ def suggest_active_tiles(
                                    margin=margin, multiple=multiple)
 
 
+def suggest_group_lanes(
+    fd: FaceRasterData, image_size, tile: int = 16, sigma: float = 1e-4,
+    active_tiles: int = 128, faces_per_tile: int = 128,
+    margin: float = 1.3,
+) -> int:
+    """Smallest safe packed-lane budget per 8-tile group for this scene
+    (soft-path flavor of binning.suggest_group_lanes_fd: pad from sigma).
+    Call OUTSIDE jit with concrete data; pass as
+    soft_silhouette_pallas_fd(layout="packed", group_lanes=...)."""
+    from .binning import suggest_group_lanes_fd
+
+    pad = math.sqrt(SOFT_CUTOFF * sigma)
+    return suggest_group_lanes_fd(fd, image_size, tile, pad, active_tiles,
+                                  faces_per_tile, margin=margin)
+
+
+def _soft_silhouette_pallas_packed(
+    fd: FaceRasterData, image_size, sigma, tile, faces_per_tile,
+    active_tiles, group_lanes, return_sum, pad,
+) -> jax.Array:
+    """Group-packed assembly: active-compact, gather per-tile corner
+    channels (the usual one-hot MXU gather), translate each tile's
+    candidates into its own pixel frame, pack the 8 tiles of every kernel
+    program into one shared lane axis (binning.pack_groups), run the
+    packed kernels, scatter coverage back to the full tile grid."""
+    from .binning import bin_faces_active, gather_rank_planes, pack_groups, \
+        scatter_active
+
+    B = fd.valid.shape[0]
+    bins = bin_faces_active(fd, image_size, tile, pad, active_tiles)
+    A = bins.slot.shape[1]
+    Fmax = min(faces_per_tile, fd.num_faces)
+
+    ch, mask = gather_rank_planes(
+        fd, bins, Fmax,
+        channels=("qx0", "qy0", "qx1", "qy1", "qx2", "qy2"),
+    )
+    valid = mask.astype(jnp.float32)                    # (B, A, Fmax)
+    ox = bins.origin[..., 0:1]                          # (B, A, 1)
+    oy = bins.origin[..., 1:2]
+    # ev = (within-group tile slot + 1) * valid; 0 marks padding lanes.
+    # Small-int values survive the pack's bf16-split contraction exactly.
+    e = (jnp.arange(A, dtype=jnp.int32) % 8 + 1).astype(jnp.float32)
+    ev = e[None, :, None] * valid
+    slabs = jnp.stack(
+        [ch["qx0"] - ox, ch["qy0"] - oy, ch["qx1"] - ox, ch["qy1"] - oy,
+         ch["qx2"] - ox, ch["qy2"] - oy, ev],
+        axis=-1,
+    )                                                   # (B, A, Fmax, 7)
+    capped = jnp.minimum(bins.count, Fmax)              # (B, A)
+
+    a_pad = (-A) % _TN
+    if a_pad:
+        slabs = jnp.pad(slabs, ((0, 0), (0, a_pad), (0, 0), (0, 0)))
+        capped = jnp.pad(capped, ((0, 0), (0, a_pad)))
+    A8 = A + a_pad
+    G = A8 // _TN
+
+    S_g = 8 * Fmax if group_lanes is None else group_lanes
+    S_g += (-S_g) % _FC
+    packed, n_valid = pack_groups(slabs, capped, S_g)   # (B*G, S_g, 7)
+    n_chunks = -(-n_valid // _FC)                       # (B, G)
+    meta = jnp.zeros((B * G, 1, S_g), jnp.float32)
+    meta = meta.at[:, 0, 0].set(
+        n_chunks.reshape(-1).astype(jnp.float32))
+    planes = jnp.concatenate(
+        [jnp.swapaxes(packed, 1, 2), meta], axis=1)     # (B*G, 8, S_g)
+
+    H, W = image_size
+    inv_s = 1.0 / (min(H, W) / 2.0)
+    S = _tile_coverage_packed(planes, tile, inv_s, sigma)  # (8*B*G, tp)
+    per_tile = S.reshape(B, A8, tile * tile)[:, :A]
+    per_tile = scatter_active(per_tile, bins)           # (B, T, tp)
+    if not return_sum:
+        per_tile = 1.0 - jnp.exp(-per_tile)
+    return untile_image(per_tile, image_size, tile, bins.n_tiles_hw)
+
+
 def _soft_silhouette_pallas_t(
     fd: FaceRasterData, image_size, sigma, tile, faces_per_tile,
     return_sum, pad,
@@ -723,6 +978,7 @@ def _soft_silhouette_pallas_t(
 def soft_silhouette_pallas(
     meshes, camera, sigma: float = 1e-4, tile: int = 16,
     faces_per_tile: int = 128, active_tiles: int | None = None,
+    layout: str = "lane", group_lanes: int | None = None,
 ) -> jax.Array:
     """Public entry: meshes + camera -> soft silhouette via the Pallas path."""
     from .geometry import setup_face_planes
@@ -731,4 +987,5 @@ def soft_silhouette_pallas(
     return soft_silhouette_pallas_fd(
         fp, camera.image_size, sigma=sigma, tile=tile,
         faces_per_tile=faces_per_tile, active_tiles=active_tiles,
+        layout=layout, group_lanes=group_lanes,
     )
