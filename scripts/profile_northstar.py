@@ -36,6 +36,7 @@ def main() -> None:
     ap.add_argument("--image", type=int, default=256)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--level", type=int, default=3)
+    ap.add_argument("--layout", default="packed", choices=["lane", "packed"])
     args = ap.parse_args()
 
     import jax
@@ -52,6 +53,7 @@ def main() -> None:
         soft_silhouette_pallas_fd,
         suggest_active_tiles,
         suggest_faces_per_tile,
+        suggest_group_lanes,
     )
     from torch_renderer_tpu.rasterize.soft import SOFT_CUTOFF
     from torch_renderer_tpu.structures.meshes import Meshes
@@ -74,7 +76,14 @@ def main() -> None:
     fpt = suggest_faces_per_tile(fp0, (IMAGE, IMAGE))
     act = suggest_active_tiles(fp0, (IMAGE, IMAGE))
     pad = math.sqrt(SOFT_CUTOFF * SIGMA)
-    print(f"faces_per_tile={fpt} active_tiles={act}", file=sys.stderr)
+    gl = None
+    kernel_kw = {}
+    if args.layout == "packed":
+        gl = suggest_group_lanes(fp0, (IMAGE, IMAGE), active_tiles=act,
+                                 faces_per_tile=fpt)
+        kernel_kw = dict(layout="packed", group_lanes=gl)
+    print(f"faces_per_tile={fpt} active_tiles={act} "
+          f"layout={args.layout} group_lanes={gl}", file=sys.stderr)
 
     def cut_floor(v):
         # Calibrates the per-iteration cost of the dependent-carry scan
@@ -106,11 +115,35 @@ def main() -> None:
         )
         return sum(jnp.sum(c) for c in ch.values()) + mask.sum()
 
+    def cut_pack(v):
+        # gather + translate + pack_groups (the packed layout's extra
+        # contraction), stopping short of the kernel
+        fp = setup_face_planes(meshes.update_padded(v), cam)
+        bins = binning.bin_faces_active(fp, (IMAGE, IMAGE), 16, pad, act)
+        Fmax = min(fpt, fp.num_faces)
+        ch, mask = binning.gather_rank_planes(
+            fp, bins, Fmax,
+            channels=("qx0", "qy0", "qx1", "qy1", "qx2", "qy2"),
+        )
+        valid = mask.astype(jnp.float32)
+        ox = bins.origin[..., 0:1]
+        oy = bins.origin[..., 1:2]
+        A = bins.slot.shape[1]
+        e = (jnp.arange(A, dtype=jnp.int32) % 8 + 1).astype(jnp.float32)
+        slabs = jnp.stack(
+            [ch["qx0"] - ox, ch["qy0"] - oy, ch["qx1"] - ox, ch["qy1"] - oy,
+             ch["qx2"] - ox, ch["qy2"] - oy, e[None, :, None] * valid],
+            axis=-1,
+        )
+        packed, n_valid = binning.pack_groups(
+            slabs, jnp.minimum(bins.count, Fmax), gl)
+        return jnp.sum(packed) + jnp.sum(n_valid)
+
     def cut_fwd(v):
         fp = setup_face_planes(meshes.update_padded(v), cam)
         alpha = soft_silhouette_pallas_fd(
             fp, (IMAGE, IMAGE), sigma=SIGMA, faces_per_tile=fpt,
-            active_tiles=act,
+            active_tiles=act, **kernel_kw,
         )
         return jnp.sum(alpha)
 
@@ -126,6 +159,8 @@ def main() -> None:
         ("fwd", cut_fwd),
         ("grad", cut_grad),
     ]
+    if args.layout == "packed":
+        cuts.insert(5, ("pack", cut_pack))
 
     # Each cut runs as ONE jitted lax.scan whose carry depends on the cut's
     # output (v + 1e-30 * scalar: numerically a no-op, but a real data

@@ -198,6 +198,13 @@ def _moment_dq(inv_sigma, xoff, yoff, q, valid, signed, d2, inside, edges,
     (one cotangent row per tile), (TP, F) for the packed kernel (each
     face selects its own tile's cotangent).
 
+    MEASURED NEGATIVE RESULT (kept as a note, code removed): running the
+    7 pixel-axis moment reductions per edge as (3, TP) @ (TP, F)
+    dot_generals on the MXU was NOT faster — 0.90 ms VPU sums vs 1.15 ms
+    at f32 HIGHEST and 0.92 ms at DEFAULT precision (north-star packed
+    backward, same-session A/B): M=3 leaves the MXU 2% utilized and the
+    dots serialize against the VPU work instead of hiding behind it.
+
     dL/d(d2): softplus'(u) = sigmoid(u), u = -signed/sigma,
     d(signed)/d(d2) = -1 inside else +1. The factor 2 of d(dd)/dq is
     folded in once for the whole chunk."""
