@@ -140,6 +140,29 @@ def test_sharded_pallas_active_tiles_matches_streaming(scene, device_mesh):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
 
 
+def test_sharded_pallas_packed_matches_streaming(scene, device_mesh):
+    """Group-packed kernel layout inside shard_map == streaming oracle
+    (the per-shard pack composes with the model-axis psum unchanged)."""
+    import math
+
+    from torch_renderer_tpu.rasterize.binning import suggest_active_tiles_fd
+    from torch_renderer_tpu.rasterize.geometry import setup_faces
+    from torch_renderer_tpu.rasterize.soft import SOFT_CUTOFF
+
+    meshes, cam, _ = scene
+    want = soft_silhouette_streaming(meshes, cam)
+    act = suggest_active_tiles_fd(
+        setup_faces(meshes, cam), cam.image_size, 16,
+        math.sqrt(SOFT_CUTOFF * 1e-4),
+    )
+    got = soft_silhouette_sharded(
+        shard_batch(meshes, device_mesh), cam, device_mesh,
+        impl="pallas", faces_per_tile=40, active_tiles=act,
+        layout="packed", group_lanes=256,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
 @pytest.mark.parametrize("shape", [(2, 4), (8, 1), (1, 8)])
 def test_sharded_silhouette_other_mesh_shapes(scene, eight_devices, shape):
     """dp/tp ratios beyond the default (4,2): pure-tp, pure-dp, tall-tp.

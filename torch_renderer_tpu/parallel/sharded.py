@@ -51,6 +51,8 @@ def soft_silhouette_sharded(
     impl: str = "streaming",
     faces_per_tile: int = 128,
     active_tiles: Optional[int] = None,
+    layout: str = "lane",
+    group_lanes: Optional[int] = None,
 ) -> jax.Array:
     """Soft silhouette (B, H, W) with faces sharded over `model_axis` and the
     batch over `data_axis`. Exact (same sum as the dense streaming oracle);
@@ -64,6 +66,9 @@ def soft_silhouette_sharded(
     (rasterize/pallas_soft) — size faces_per_tile for the LOCAL face count,
     and active_tiles (optional tile compaction) for the LOCAL shard's
     non-empty tile count (each shard sees only its face slice).
+    layout/group_lanes select the kernel layout per shard (the group-packed
+    kernels compose with sharding exactly like the lane layout: the psum
+    over model_axis sums per-shard coverage; see pallas_soft layout docs).
     """
     msize = device_mesh.shape[model_axis]
     dsize = device_mesh.shape[data_axis]
@@ -93,7 +98,8 @@ def soft_silhouette_sharded(
             S = soft_silhouette_pallas_fd(
                 fd_local, image_size, sigma=sigma,
                 faces_per_tile=faces_per_tile, return_sum=True,
-                active_tiles=active_tiles,
+                active_tiles=active_tiles, layout=layout,
+                group_lanes=group_lanes,
             )
         else:
             S = soft_coverage_sum(
