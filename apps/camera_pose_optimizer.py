@@ -39,6 +39,11 @@ def main():
                         "and pallas silhouette; -1 = auto-size from GT and "
                         "start poses with 2x margin (the footprint moves "
                         "during the fit), 0 = off")
+    p.add_argument("--sil-layout", choices=["lane", "packed"], default="lane",
+                   help="pallas silhouette kernel layout; 'packed' shares "
+                        "one lane axis across the 8 tiles of a program "
+                        "(fastest; needs active tiles on — group budget is "
+                        "auto-sized from GT and start poses with 2x margin)")
     args = p.parse_args()
     setup_platform(args)
 
@@ -85,12 +90,39 @@ def main():
         sil_act = act
         print(f"auto active_tiles = {act}")
 
+    sil_group_lanes = None
+    if args.sil_layout == "packed":
+        if sil_act is None:
+            # packed needs the active-compacted bin order; every tile
+            # active (= no drop risk) still gets the lane-packing win
+            from torch_renderer_tpu.rasterize.binning import tile_grid as _tg
+
+            TH, TW, _ = _tg((H, W), 16)
+            sil_act = TH * TW
+        from torch_renderer_tpu.cameras.perspective import PerspectiveCamera
+        from torch_renderer_tpu.rasterize.geometry import setup_faces
+        from torch_renderer_tpu.rasterize.pallas_soft import (
+            suggest_group_lanes,
+        )
+
+        # same moving-footprint protocol as active tiles: size from both
+        # poses with 2x margin (group overflow drops candidates)
+        for Rp, tp_ in ((R_gt, t_gt), (R_gt, t0_)):
+            cam = PerspectiveCamera.from_K(K, (H, W), R=Rp[None], t=tp_[None])
+            sil_group_lanes = max(sil_group_lanes or 0, suggest_group_lanes(
+                setup_faces(meshes, cam), (H, W), tile=16,
+                active_tiles=sil_act, margin=2.0,
+            ))
+        print(f"auto sil_group_lanes = {sil_group_lanes}")
+
     cfg = PoseFitConfig(lr=args.lr, n_steps=args.iters, use_rgb=not args.no_rgb)
     fitter = CameraPoseFitter(
         K, (H, W), cfg,
         bin_size=args.bin_size, max_faces_per_bin=args.max_faces_per_bin,
         silhouette_impl=args.silhouette_impl,
         sil_active_tiles=sil_act,
+        sil_layout=args.sil_layout,
+        sil_group_lanes=sil_group_lanes,
         active_tiles=act if args.bin_size else None,
     )
     occ_key = jax.random.PRNGKey(args.seed) if args.occlusion else None

@@ -120,6 +120,8 @@ class CameraPoseFitter:
         silhouette_impl: str = "fragments",
         faces_per_tile: int = 128,
         sil_active_tiles: Optional[int] = None,
+        sil_layout: str = "lane",
+        sil_group_lanes: Optional[int] = None,
         **renderer_kw,
     ):
         """silhouette_impl='pallas' renders the silhouette with the exact
@@ -131,13 +133,20 @@ class CameraPoseFitter:
         pallas silhouette (pallas_soft.suggest_active_tiles; size it from
         the GT pose with headroom — the footprint moves during the fit and
         tiles beyond the budget are dropped). renderer_kw accepts
-        active_tiles= for the depth/RGB rasterization the same way."""
+        active_tiles= for the depth/RGB rasterization the same way.
+        sil_layout='packed' runs the group-packed kernels (requires
+        sil_active_tiles); size sil_group_lanes with
+        pallas_soft.suggest_group_lanes from the GT pose with the same
+        headroom caveat (group overflow drops candidates like bin
+        overflow)."""
         import math
 
         self.silhouette_impl = silhouette_impl
         self.sigma = sigma
         self.faces_per_tile = faces_per_tile
         self.sil_active_tiles = sil_active_tiles
+        self.sil_layout = sil_layout
+        self.sil_group_lanes = sil_group_lanes
         if silhouette_impl == "pallas":
             blur_radius = 0.0
             faces_per_pixel = min(faces_per_pixel, 1)
@@ -166,6 +175,8 @@ class CameraPoseFitter:
                 meshes, cam, sigma=self.sigma,
                 faces_per_tile=self.faces_per_tile,
                 active_tiles=self.sil_active_tiles,
+                layout=self.sil_layout,
+                group_lanes=self.sil_group_lanes,
             )
             return _dc.replace(out, silhouette=sil)
         return self.renderer.render(
