@@ -132,6 +132,37 @@ def test_group_overflow_drops_like_face_bins(scene):
     assert (clipped <= full + 1e-6).all()
 
 
+def test_packed_non_square_image():
+    """Tile-frame translation + untile must hold on H != W grids (the tile
+    grid is (TH, TW) with right/bottom crop)."""
+    from torch_renderer_tpu.rasterize.soft import soft_silhouette_streaming
+
+    verts, faces = icosphere(1)
+    meshes = Meshes.from_single(verts, faces).extend(B)
+    H, W = 48, 96
+    f = 0.8 * min(H, W)
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
+    R = np.broadcast_to(np.eye(3, dtype=np.float32), (B, 3, 3))
+    t = np.tile(np.array([0.0, 0.0, 3.0], np.float32), (B, 1))
+    cam = PerspectiveCamera.from_K(K, (H, W), R=R, t=t)
+    want = np.asarray(soft_silhouette_streaming(meshes, cam))
+    got = np.asarray(
+        soft_silhouette_pallas(
+            meshes, cam, tile=16, faces_per_tile=80, active_tiles=16,
+            layout="packed", group_lanes=256,
+        )
+    )
+    assert got.shape == want.shape == (B, H, W)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_suggest_layout_rule():
+    from torch_renderer_tpu.rasterize.pallas_soft import suggest_layout
+
+    assert suggest_layout(128) == "packed"
+    assert suggest_layout(512) == "lane"
+
+
 def test_pack_groups_exact():
     """Unit test of the pack contraction: known per-tile slabs concatenate
     in tile order at exclusive-cumsum offsets, exactly (f32 through the

@@ -847,6 +847,17 @@ def suggest_active_tiles(
                                    margin=margin, multiple=multiple)
 
 
+def suggest_layout(faces_per_tile: int) -> str:
+    """Pick the kernel layout from the scene's bin budget (the output of
+    suggest_faces_per_tile). Measured rule (same-session TPU A/Bs): the
+    group-packed layout's win is the per-tile 128-lane quantization waste,
+    so it pays when bins are THIN and the pack contraction is small —
+    1.42x at fpt=128 (north-star), +5% at fpt=256, -8% at fpt=512 (the
+    pack one-hot grows with group_lanes ~ 8*fpt while the quantization
+    waste stays <= 127 lanes/tile)."""
+    return "packed" if faces_per_tile <= 128 else "lane"
+
+
 def suggest_group_lanes(
     fd: FaceRasterData, image_size, tile: int = 16, sigma: float = 1e-4,
     active_tiles: int = 128, faces_per_tile: int = 128,
