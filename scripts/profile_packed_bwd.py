@@ -1,0 +1,322 @@
+"""Fine-grained profile of the packed soft kernel's BACKWARD.
+
+The floor-calibrated north-star profile (docs/ROUND2_NOTES.md) reads the
+grad delta as one 0.90 ms lump: bwd kernel + pack transpose + gather
+transpose. This script splits that lump and sizes the bwd kernel's
+internal blocks with variant kernels (same grid/blockspecs, reduced body):
+
+  kfwd       isolated _tile_coverage_packed forward on PREBUILT planes
+  kgrad      isolated fwd+bwd kernels (grad w.r.t. planes; custom_vjp)
+  bwd_nosd2  variant: no _signed_d2 recompute (alpha := g_sel)
+  bwd_su     variant: only the 3 Su moments per edge (no x/y/r2 moments)
+  bwd_nogsel variant: g_sel MXU dot replaced by a broadcast constant row
+  asm_fwd    full pipeline forward (setup + bin + gather + pack + kernel)
+  asm_grad   full pipeline grad w.r.t. verts (adds all transposes)
+
+Same dependent-carry scan harness as profile_northstar.py (min-of-N
+repeats; floor printed for calibration). Same-session A/B only.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import math
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--repeats", type=int, default=5)
+    ap.add_argument("--image", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--level", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from torch_renderer_tpu.cameras.perspective import PerspectiveCamera
+    from torch_renderer_tpu.ops.icosphere import icosphere
+    from torch_renderer_tpu.rasterize import binning
+    from torch_renderer_tpu.rasterize import pallas_soft as ps
+    from torch_renderer_tpu.rasterize.geometry import setup_face_planes
+    from torch_renderer_tpu.rasterize.soft import SOFT_CUTOFF
+    from torch_renderer_tpu.structures.meshes import Meshes
+
+    B, IMAGE, SIGMA, TILE = args.batch, args.image, 1e-4, 16
+    verts, faces = icosphere(args.level)
+    f = 0.8 * IMAGE
+    K = np.array(
+        [[f, 0, IMAGE / 2.0], [0, f, IMAGE / 2.0], [0, 0, 1.0]], np.float32
+    )
+    t = np.array([0.0, 0.0, 3.0], np.float32)
+    meshes = Meshes.from_single(verts, faces).extend(B)
+    cam = PerspectiveCamera.from_K(
+        K, (IMAGE, IMAGE),
+        R=np.broadcast_to(np.eye(3, dtype=np.float32), (B, 3, 3)),
+        t=np.tile(t, (B, 1)),
+    )
+
+    fp0 = setup_face_planes(meshes, cam)
+    fpt = ps.suggest_faces_per_tile(fp0, (IMAGE, IMAGE))
+    act = ps.suggest_active_tiles(fp0, (IMAGE, IMAGE))
+    gl = ps.suggest_group_lanes(fp0, (IMAGE, IMAGE), active_tiles=act,
+                                faces_per_tile=fpt)
+    pad = math.sqrt(SOFT_CUTOFF * SIGMA)
+    print(f"fpt={fpt} act={act} gl={gl}", file=sys.stderr)
+
+    # ---- prebuild the packed planes once (static input to kernel cuts) ----
+    def build_planes(v):
+        fd = setup_face_planes(meshes.update_padded(v), cam)
+        bins = binning.bin_faces_active(fd, (IMAGE, IMAGE), TILE, pad, act)
+        A = bins.slot.shape[1]
+        Fmax = min(fpt, fd.num_faces)
+        ch, mask = binning.gather_rank_planes(
+            fd, bins, Fmax,
+            channels=("qx0", "qy0", "qx1", "qy1", "qx2", "qy2"),
+        )
+        valid = mask.astype(jnp.float32)
+        ox = bins.origin[..., 0:1]
+        oy = bins.origin[..., 1:2]
+        e = (jnp.arange(A, dtype=jnp.int32) % 8 + 1).astype(jnp.float32)
+        ev = e[None, :, None] * valid
+        slabs = jnp.stack(
+            [ch["qx0"] - ox, ch["qy0"] - oy, ch["qx1"] - ox, ch["qy1"] - oy,
+             ch["qx2"] - ox, ch["qy2"] - oy, ev],
+            axis=-1,
+        )
+        capped = jnp.minimum(bins.count, Fmax)
+        a_pad = (-A) % ps._TN
+        if a_pad:
+            slabs = jnp.pad(slabs, ((0, 0), (0, a_pad), (0, 0), (0, 0)))
+            capped = jnp.pad(capped, ((0, 0), (0, a_pad)))
+        G = (A + a_pad) // ps._TN
+        S_g = gl + ((-gl) % ps._FC)
+        packed, n_valid = binning.pack_groups(slabs, capped, S_g)
+        n_chunks = -(-n_valid // ps._FC)
+        meta = jnp.zeros((B * G, 1, S_g), jnp.float32)
+        meta = meta.at[:, 0, 0].set(n_chunks.reshape(-1).astype(jnp.float32))
+        return jnp.concatenate([jnp.swapaxes(packed, 1, 2), meta], axis=1)
+
+    planes0 = jax.jit(build_planes)(meshes.verts)
+    planes0 = jax.block_until_ready(planes0)
+    Ng, _, S_g = planes0.shape
+    tp = TILE * TILE
+    inv_s = 1.0 / (min(IMAGE, IMAGE) / 2.0)
+    print(f"planes {planes0.shape}", file=sys.stderr)
+
+    # ---- variant backward kernels (same specs, reduced bodies) ----
+    def make_bwd_variant(body_kind):
+        inv_sigma = 1.0 / SIGMA
+        fc = ps._FC
+        n_fc = S_g // fc
+
+        def kern(planes_ref, g_ref, dq_ref):
+            xoff, yoff = ps._pixel_offsets(TILE, inv_s)
+            g_rows = g_ref[...]
+
+            def face_chunk(c, _):
+                sl = pl.ds(pl.multiple_of(c * fc, fc), fc)
+                q = tuple(planes_ref[0, r, sl][None, :] for r in range(6))
+                ev = planes_ref[0, 6, sl][None, :]
+                valid = (ev > 0.0).astype(jnp.float32)
+
+                oh = ps._packed_oh(ev)
+                if body_kind == "nogsel":
+                    g_sel = jnp.ones((tp, fc), jnp.float32) * g_rows[0, 0]
+                else:
+                    g_sel = jax.lax.dot_general(
+                        g_rows, oh, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+
+                if body_kind == "nosd2":
+                    # no recompute: rows from g_sel directly
+                    r0 = jnp.sum(g_sel * xoff, axis=0)
+                    rows = (r0, r0, r0, r0, r0, r0)
+                else:
+                    signed, d2, inside, edges = ps._signed_d2(
+                        xoff, yoff, q, valid)
+                    if body_kind == "su_only":
+                        sgn = jnp.where(inside, -1.0, 1.0)
+                        alpha = g_sel * jax.nn.sigmoid(
+                            -signed * inv_sigma) * (-2.0 * inv_sigma) * sgn
+                        alpha = jnp.where(valid > 0.0, alpha, 0.0)
+                        m0 = (edges[0][0] <= d2).astype(jnp.float32)
+                        m1 = (edges[1][0] <= d2).astype(jnp.float32)
+                        m2 = (edges[2][0] <= d2).astype(jnp.float32)
+                        rows = []
+                        for e_, m_ in ((edges[0], m0), (edges[1], m1),
+                                       (edges[2], m2)):
+                            u = alpha * m_
+                            s = u * e_[1]
+                            rows.append(jnp.sum(u, axis=0))
+                            rows.append(jnp.sum(s, axis=0))
+                        rows = tuple(rows)
+                    else:  # full
+                        rows = ps._moment_dq(
+                            inv_sigma, xoff, yoff, q, valid, signed, d2,
+                            inside, edges, g_sel, 0.0, 0.0)
+                for r in range(6):
+                    dq_ref[0, r, sl] = rows[r]
+                dq_ref[0, 6, sl] = jnp.zeros_like(rows[0])
+                dq_ref[0, 7, sl] = jnp.zeros_like(rows[0])
+                return 0
+
+            def zero_chunk(c, _):
+                sl = pl.ds(pl.multiple_of(c * fc, fc), fc)
+                z = jnp.zeros((fc,), jnp.float32)
+                for r in range(8):
+                    dq_ref[0, r, sl] = z
+                return 0
+
+            nc = planes_ref[0, 7, 0].astype(jnp.int32)
+            jax.lax.fori_loop(0, nc, face_chunk, 0)
+            jax.lax.fori_loop(nc, n_fc, zero_chunk, 0)
+
+        def call(planes, g):
+            return pl.pallas_call(
+                kern,
+                grid=(Ng,),
+                in_specs=[
+                    pl.BlockSpec((1, 8, S_g), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((ps._TN, tp), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((1, 8, S_g), lambda i: (i, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((Ng, 8, S_g), jnp.float32),
+                interpret=ps._interpret(),
+            )(planes, g)
+
+        return call
+
+    g0 = jnp.ones((Ng * ps._TN, tp), jnp.float32)
+
+    # ---- cuts ----
+    def cut_floor(p):
+        return jnp.sum(p)
+
+    def cut_kfwd(p):
+        return jnp.sum(ps._tile_coverage_packed(p, TILE, inv_s, SIGMA))
+
+    def cut_kgrad(p):
+        return jnp.sum(jax.grad(cut_kfwd)(p) ** 2)
+
+    def make_variant_cut(kind):
+        call = make_bwd_variant(kind)
+
+        def cut(p):
+            return jnp.sum(call(p, g0) ** 2)
+
+        return cut
+
+    # ---- transpose-chain isolation: grad through assembly prefixes ----
+    def _setup_out(v):
+        fd = setup_face_planes(meshes.update_padded(v), cam)
+        return sum(jnp.sum(l) for l in jax.tree.leaves(fd)
+                   if hasattr(l, "dtype") and l.dtype == jnp.float32)
+
+    def cut_setup_grad(v):
+        return jnp.sum(jax.grad(_setup_out)(v) ** 2)
+
+    def _gather_out(v):
+        fd = setup_face_planes(meshes.update_padded(v), cam)
+        bins = binning.bin_faces_active(fd, (IMAGE, IMAGE), TILE, pad, act)
+        Fmax = min(fpt, fd.num_faces)
+        ch, mask = binning.gather_rank_planes(
+            fd, bins, Fmax,
+            channels=("qx0", "qy0", "qx1", "qy1", "qx2", "qy2"),
+        )
+        return sum(jnp.sum(c) for c in ch.values())
+
+    def cut_gather_grad(v):
+        return jnp.sum(jax.grad(_gather_out)(v) ** 2)
+
+    def _planes_out(v):
+        return jnp.sum(build_planes(v))
+
+    def cut_planes_grad(v):
+        return jnp.sum(jax.grad(_planes_out)(v) ** 2)
+
+    def cut_asm_fwd(v):
+        fd = setup_face_planes(meshes.update_padded(v), cam)
+        alpha = ps.soft_silhouette_pallas_fd(
+            fd, (IMAGE, IMAGE), sigma=SIGMA, faces_per_tile=fpt,
+            active_tiles=act, layout="packed", group_lanes=gl,
+        )
+        return jnp.sum(alpha)
+
+    def cut_asm_grad(v):
+        return jnp.sum(jax.grad(cut_asm_fwd)(v) ** 2)
+
+    kernel_cuts = [
+        ("floor", cut_floor, planes0),
+        ("kfwd", cut_kfwd, planes0),
+        ("kgrad", cut_kgrad, planes0),
+        ("bwd_full", make_variant_cut("full"), planes0),
+        ("bwd_su", make_variant_cut("su_only"), planes0),
+        ("bwd_nosd2", make_variant_cut("nosd2"), planes0),
+        ("bwd_nogsel", make_variant_cut("nogsel"), planes0),
+        ("asm_fwd", cut_asm_fwd, meshes.verts),
+        ("asm_grad", cut_asm_grad, meshes.verts),
+        ("setup_g", cut_setup_grad, meshes.verts),
+        ("gather_g", cut_gather_grad, meshes.verts),
+        ("planes_g", cut_planes_grad, meshes.verts),
+    ]
+
+    def scanned(fn):
+        @jax.jit
+        def run(v):
+            def body(c, _):
+                out = fn(c)
+                dep = sum(jnp.sum(l).astype(jnp.float32)
+                          for l in jax.tree.leaves(out))
+                return c + 1e-30 * dep, ()
+            vf, _ = jax.lax.scan(body, v, None, length=args.steps)
+            return vf
+        return run
+
+    times = {}
+    for name, fn, v0 in kernel_cuts:
+        print(f"compiling {name}...", file=sys.stderr, flush=True)
+        run = scanned(fn)
+        out = jax.block_until_ready(run(v0))
+        best = float("inf")
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            out = jax.block_until_ready(run(v0))
+            best = min(best, time.perf_counter() - t0)
+        times[name] = best / args.steps * 1e3
+        print(f"{name:10s} {times[name]:7.3f} ms", flush=True)
+
+    fl = times["floor"]
+    print("\n--- net of floor ---")
+    for name in times:
+        if name != "floor":
+            print(f"{name:10s} {times[name] - fl:7.3f} ms")
+    print("\nderived:")
+    print(f"  bwd kernel (kgrad - kfwd)      {times['kgrad'] - times['kfwd']:7.3f} ms")
+    print(f"  asm grad total                  {times['asm_grad'] - fl:7.3f} ms")
+    print(f"  transposes ((asm_g-asm_f)-(kg-kf)) "
+          f"{(times['asm_grad'] - times['asm_fwd']) - (times['kgrad'] - times['kfwd']):7.3f} ms")
+
+
+if __name__ == "__main__":
+    main()
