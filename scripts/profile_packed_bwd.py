@@ -39,6 +39,8 @@ def main() -> None:
     ap.add_argument("--image", type=int, default=256)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--level", type=int, default=3)
+    ap.add_argument("--only", type=str, default=None,
+                    help="comma-separated cut names (floor always runs)")
     args = ap.parse_args()
 
     import jax
@@ -255,6 +257,37 @@ def main() -> None:
     def cut_planes_grad(v):
         return jnp.sum(jax.grad(_planes_out)(v) ** 2)
 
+    # WEIGHTED variants: grad-of-plain-sum has a CONSTANT cotangent, which
+    # lets XLA fold the one-hot transpose contractions into cheap row sums
+    # — planes_g/gather_g under-read the real transpose cost. A fixed
+    # pseudo-random weight keeps the cotangent dense and unfoldable.
+    def _weights_like(shape):
+        n = int(np.prod(shape))
+        return jnp.cos(jnp.arange(n, dtype=jnp.float32) * 0.37).reshape(shape)
+
+    def cut_planes_gw(v):
+        w = _weights_like(planes0.shape)
+
+        def out(vv):
+            return jnp.sum(build_planes(vv) * w)
+
+        return jnp.sum(jax.grad(out)(v) ** 2)
+
+    def cut_gather_gw(v):
+        def out(vv):
+            fd = setup_face_planes(meshes.update_padded(vv), cam)
+            bins = binning.bin_faces_active(fd, (IMAGE, IMAGE), TILE, pad,
+                                            act)
+            Fmax = min(fpt, fd.num_faces)
+            ch, _ = binning.gather_rank_planes(
+                fd, bins, Fmax,
+                channels=("qx0", "qy0", "qx1", "qy1", "qx2", "qy2"),
+            )
+            s = jnp.stack(list(ch.values()), axis=-1)
+            return jnp.sum(s * _weights_like(s.shape))
+
+        return jnp.sum(jax.grad(out)(v) ** 2)
+
     def cut_asm_fwd(v):
         fd = setup_face_planes(meshes.update_padded(v), cam)
         alpha = ps.soft_silhouette_pallas_fd(
@@ -266,6 +299,75 @@ def main() -> None:
     def cut_asm_grad(v):
         return jnp.sum(jax.grad(cut_asm_fwd)(v) ** 2)
 
+    # value_and_grad keeps the fwd kernel LIVE: asm_vg - asm_grad tells
+    # whether grad-only DCEs the fwd pallas_call (cotangent of sum is
+    # constant, residual is the planes array).
+    def cut_asm_vg(v):
+        val, g = jax.value_and_grad(cut_asm_fwd)(v)
+        return val + jnp.sum(g ** 2)
+
+    # grad of the packed-kernel output SUM taken at the planes boundary but
+    # reached THROUGH the full assembly: isolates the image epilogue
+    # (untile + scatter_active_bg) fwd + cotangent from asm_grad.
+    def _asm_nosum(v):
+        fd = setup_face_planes(meshes.update_padded(v), cam)
+        bins = binning.bin_faces_active(fd, (IMAGE, IMAGE), TILE, pad, act)
+        return jnp.sum(_asm_kernel_out(v, fd, bins, bins.slot.shape[1]))
+
+    def cut_asm_grad_nosum(v):
+        return jnp.sum(jax.grad(_asm_nosum)(v) ** 2)
+
+    # epilogue attribution, staged on the raw kernel output:
+    #   exp cost     = asm_g_exp - asm_g_nosum
+    #   scatter cost = asm_g_scat - asm_g_exp
+    #   untile cost  = asm_grad - asm_g_scat
+    def _asm_stage(v, stage):
+        fd = setup_face_planes(meshes.update_padded(v), cam)
+        bins = binning.bin_faces_active(fd, (IMAGE, IMAGE), TILE, pad, act)
+        A = bins.slot.shape[1]
+        Sk = _asm_kernel_out(v, fd, bins, A)
+        if stage == "exp":
+            return jnp.sum(1.0 - jnp.exp(-Sk))
+        per_tile = Sk.reshape(B, -1, tp)[:, :A]
+        per_tile = binning.scatter_active(per_tile, bins)
+        return jnp.sum(1.0 - jnp.exp(-per_tile))
+
+    def _asm_kernel_out(v, fd, bins, A):
+        Fmax = min(fpt, fd.num_faces)
+        ch, mask = binning.gather_rank_planes(
+            fd, bins, Fmax,
+            channels=("qx0", "qy0", "qx1", "qy1", "qx2", "qy2"),
+        )
+        valid = mask.astype(jnp.float32)
+        ox = bins.origin[..., 0:1]
+        oy = bins.origin[..., 1:2]
+        e = (jnp.arange(A, dtype=jnp.int32) % 8 + 1).astype(jnp.float32)
+        ev = e[None, :, None] * valid
+        slabs = jnp.stack(
+            [ch["qx0"] - ox, ch["qy0"] - oy, ch["qx1"] - ox, ch["qy1"] - oy,
+             ch["qx2"] - ox, ch["qy2"] - oy, ev],
+            axis=-1,
+        )
+        capped = jnp.minimum(bins.count, Fmax)
+        a_pad = (-A) % ps._TN
+        if a_pad:
+            slabs = jnp.pad(slabs, ((0, 0), (0, a_pad), (0, 0), (0, 0)))
+            capped = jnp.pad(capped, ((0, 0), (0, a_pad)))
+        G = (A + a_pad) // ps._TN
+        S_g = gl + ((-gl) % ps._FC)
+        packed, n_valid = binning.pack_groups(slabs, capped, S_g)
+        n_chunks = -(-n_valid // ps._FC)
+        meta = jnp.zeros((B * G, 1, S_g), jnp.float32)
+        meta = meta.at[:, 0, 0].set(n_chunks.reshape(-1).astype(jnp.float32))
+        planes = jnp.concatenate([jnp.swapaxes(packed, 1, 2), meta], axis=1)
+        return ps._tile_coverage_packed(planes, TILE, inv_s, SIGMA)
+
+    def cut_asm_g_exp(v):
+        return jnp.sum(jax.grad(lambda x: _asm_stage(x, "exp"))(v) ** 2)
+
+    def cut_asm_g_scat(v):
+        return jnp.sum(jax.grad(lambda x: _asm_stage(x, "scat"))(v) ** 2)
+
     kernel_cuts = [
         ("floor", cut_floor, planes0),
         ("kfwd", cut_kfwd, planes0),
@@ -276,9 +378,15 @@ def main() -> None:
         ("bwd_nogsel", make_variant_cut("nogsel"), planes0),
         ("asm_fwd", cut_asm_fwd, meshes.verts),
         ("asm_grad", cut_asm_grad, meshes.verts),
+        ("asm_vg", cut_asm_vg, meshes.verts),
+        ("asm_g_nosum", cut_asm_grad_nosum, meshes.verts),
+        ("asm_g_exp", cut_asm_g_exp, meshes.verts),
+        ("asm_g_scat", cut_asm_g_scat, meshes.verts),
         ("setup_g", cut_setup_grad, meshes.verts),
         ("gather_g", cut_gather_grad, meshes.verts),
         ("planes_g", cut_planes_grad, meshes.verts),
+        ("gather_gw", cut_gather_gw, meshes.verts),
+        ("planes_gw", cut_planes_gw, meshes.verts),
     ]
 
     def scanned(fn):
@@ -292,6 +400,10 @@ def main() -> None:
             vf, _ = jax.lax.scan(body, v, None, length=args.steps)
             return vf
         return run
+
+    if args.only:
+        keep = {"floor"} | set(args.only.split(","))
+        kernel_cuts = [c for c in kernel_cuts if c[0] in keep]
 
     times = {}
     for name, fn, v0 in kernel_cuts:
@@ -311,11 +423,15 @@ def main() -> None:
     for name in times:
         if name != "floor":
             print(f"{name:10s} {times[name] - fl:7.3f} ms")
-    print("\nderived:")
-    print(f"  bwd kernel (kgrad - kfwd)      {times['kgrad'] - times['kfwd']:7.3f} ms")
-    print(f"  asm grad total                  {times['asm_grad'] - fl:7.3f} ms")
-    print(f"  transposes ((asm_g-asm_f)-(kg-kf)) "
-          f"{(times['asm_grad'] - times['asm_fwd']) - (times['kgrad'] - times['kfwd']):7.3f} ms")
+    if {"kgrad", "kfwd", "asm_fwd", "asm_grad"} <= set(times):
+        # NOTE: kgrad's forward kernel is DCE'd (custom_vjp residual is the
+        # planes array, the fwd VALUE is unused by grad-of-sum), so kgrad
+        # measures the bwd kernel alone — consistent with bwd_full.
+        print("\nderived:")
+        print(f"  bwd kernel (kgrad, fwd DCE'd)   {times['kgrad'] - fl:7.3f} ms")
+        print(f"  asm grad total                  {times['asm_grad'] - fl:7.3f} ms")
+        print(f"  transposes (asm_g-asm_f-kgrad)  "
+              f"{times['asm_grad'] - times['asm_fwd'] - (times['kgrad'] - fl):7.3f} ms")
 
 
 if __name__ == "__main__":

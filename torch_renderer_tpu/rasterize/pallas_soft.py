@@ -574,8 +574,9 @@ def _fwd_kernel_packed(tile, inv_s, inv_sigma, fc, planes_ref, out_ref):
 
     def face_chunk(c, acc):
         sl = pl.ds(pl.multiple_of(c * fc, fc), fc)
-        q = tuple(planes_ref[0, r, sl][None, :] for r in range(6))
-        ev = planes_ref[0, 6, sl][None, :]
+        blk = planes_ref[0, :, sl]                           # (8, fc)
+        q = tuple(blk[r][None, :] for r in range(6))
+        ev = blk[6][None, :]
         valid = (ev > 0.0).astype(jnp.float32)
         signed, _, _, _ = _signed_d2(xoff, yoff, q, valid)
         contrib = jax.nn.softplus(-signed * inv_sigma)       # (TP, FC)
@@ -596,11 +597,19 @@ def _bwd_kernel_packed(tile, inv_s, inv_sigma, fc, n_fc, planes_ref, g_ref,
                        dq_ref):
     xoff, yoff = _pixel_offsets(tile, inv_s)
     g_rows = g_ref[...]                                      # (8, TP)
+    # Zero the whole output block once (one vectorized store): the face
+    # chunks overwrite their slices and the slack beyond the trip count
+    # stays zero — replaces a per-chunk zero loop plus per-chunk zero
+    # stores of the ev/meta rows. Perf-neutral on the north-star (0.59 ->
+    # 0.57 ms, within tunnel noise) but one loop and 3 stores simpler;
+    # the kernel is VPU-bound on _signed_d2 + moments, not on stores.
+    dq_ref[...] = jnp.zeros((1, 8, n_fc * fc), jnp.float32)
 
     def face_chunk(c, _):
         sl = pl.ds(pl.multiple_of(c * fc, fc), fc)
-        q = tuple(planes_ref[0, r, sl][None, :] for r in range(6))
-        ev = planes_ref[0, 6, sl][None, :]
+        blk = planes_ref[0, :, sl]                           # (8, fc)
+        q = tuple(blk[r][None, :] for r in range(6))
+        ev = blk[6][None, :]
         valid = (ev > 0.0).astype(jnp.float32)
         signed, d2, inside, edges = _signed_d2(xoff, yoff, q, valid)
 
@@ -612,22 +621,12 @@ def _bwd_kernel_packed(tile, inv_s, inv_sigma, fc, n_fc, planes_ref, g_ref,
         )
         rows = _moment_dq(inv_sigma, xoff, yoff, q, valid, signed, d2,
                           inside, edges, g_sel, 0.0, 0.0)
-        for r in range(6):
-            dq_ref[0, r, sl] = rows[r]
-        dq_ref[0, 6, sl] = jnp.zeros_like(rows[0])
-        dq_ref[0, 7, sl] = jnp.zeros_like(rows[0])
-        return 0
-
-    def zero_chunk(c, _):
-        sl = pl.ds(pl.multiple_of(c * fc, fc), fc)
-        z = jnp.zeros((fc,), jnp.float32)
-        for r in range(8):
-            dq_ref[0, r, sl] = z
+        z = jnp.zeros_like(rows[0])
+        dq_ref[0, :, sl] = jnp.stack(rows + (z, z))          # one (8, fc) store
         return 0
 
     nc = planes_ref[0, 7, 0].astype(jnp.int32)
     jax.lax.fori_loop(0, nc, face_chunk, 0)
-    jax.lax.fori_loop(nc, n_fc, zero_chunk, 0)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
