@@ -890,22 +890,17 @@ def _soft_silhouette_pallas_packed(
     A = bins.slot.shape[1]
     Fmax = min(faces_per_tile, fd.num_faces)
 
-    ch, mask = gather_rank_planes(
+    ch, _ = gather_rank_planes(
         fd, bins, Fmax,
         channels=("qx0", "qy0", "qx1", "qy1", "qx2", "qy2"),
     )
-    valid = mask.astype(jnp.float32)                    # (B, A, Fmax)
     ox = bins.origin[..., 0:1]                          # (B, A, 1)
     oy = bins.origin[..., 1:2]
-    # ev = (within-group tile slot + 1) * valid; 0 marks padding lanes.
-    # Small-int values survive the pack's bf16-split contraction exactly.
-    e = (jnp.arange(A, dtype=jnp.int32) % 8 + 1).astype(jnp.float32)
-    ev = e[None, :, None] * valid
     slabs = jnp.stack(
         [ch["qx0"] - ox, ch["qy0"] - oy, ch["qx1"] - ox, ch["qy1"] - oy,
-         ch["qx2"] - ox, ch["qy2"] - oy, ev],
+         ch["qx2"] - ox, ch["qy2"] - oy],
         axis=-1,
-    )                                                   # (B, A, Fmax, 7)
+    )                                                   # (B, A, Fmax, 6)
     capped = jnp.minimum(bins.count, Fmax)              # (B, A)
 
     a_pad = (-A) % _TN
@@ -917,13 +912,26 @@ def _soft_silhouette_pallas_packed(
 
     S_g = 8 * Fmax if group_lanes is None else group_lanes
     S_g += (-S_g) % _FC
-    packed, n_valid = pack_groups(slabs, capped, S_g)   # (B*G, S_g, 7)
+    packed, n_valid = pack_groups(slabs, capped, S_g)   # (B*G, S_g, 6)
     n_chunks = -(-n_valid // _FC)                       # (B, G)
+
+    # ev row (tile slot + 1 per packed lane, 0 = padding) built from the
+    # pack offsets directly instead of riding the pack contraction: lane s
+    # of a group belongs to tile j iff off_j <= s < off_{j+1}, so
+    # ev[s] = #{j : off_j <= s} for s < n_valid. Saves 1/7 of the pack
+    # dot + its transpose, and ev never carried gradient anyway.
+    cg = jnp.minimum(capped, Fmax).reshape(B, G, _TN)
+    off = jnp.cumsum(cg, axis=-1) - cg                  # (B, G, 8) exclusive
+    s_iota = jnp.arange(S_g, dtype=jnp.int32)[None, None, None, :]
+    ev = jnp.sum((s_iota >= off[..., None]).astype(jnp.float32), axis=2)
+    ev = jnp.where(s_iota[:, :, 0] < n_valid[..., None], ev, 0.0)
+    ev = jax.lax.stop_gradient(ev).reshape(B * G, 1, S_g)
+
     meta = jnp.zeros((B * G, 1, S_g), jnp.float32)
     meta = meta.at[:, 0, 0].set(
         n_chunks.reshape(-1).astype(jnp.float32))
     planes = jnp.concatenate(
-        [jnp.swapaxes(packed, 1, 2), meta], axis=1)     # (B*G, 8, S_g)
+        [jnp.swapaxes(packed, 1, 2), ev, meta], axis=1)  # (B*G, 8, S_g)
 
     H, W = image_size
     inv_s = 1.0 / (min(H, W) / 2.0)
