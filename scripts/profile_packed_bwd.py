@@ -41,6 +41,11 @@ def main() -> None:
     ap.add_argument("--level", type=int, default=3)
     ap.add_argument("--only", type=str, default=None,
                     help="comma-separated cut names (floor always runs)")
+    ap.add_argument("--split", action="store_true",
+                    help="occupancy split in the asm cuts (suggested hi)")
+    ap.add_argument("--lo-lanes", type=int, default=32)
+    ap.add_argument("--fc", type=int, default=None,
+                    help="override pallas_soft._FC (face-chunk lane width)")
     args = ap.parse_args()
 
     import jax
@@ -55,6 +60,9 @@ def main() -> None:
     from torch_renderer_tpu.ops.icosphere import icosphere
     from torch_renderer_tpu.rasterize import binning
     from torch_renderer_tpu.rasterize import pallas_soft as ps
+
+    if args.fc:
+        ps._FC = args.fc  # experiment knob: face-chunk lane width
     from torch_renderer_tpu.rasterize.geometry import setup_face_planes
     from torch_renderer_tpu.rasterize.soft import SOFT_CUTOFF
     from torch_renderer_tpu.structures.meshes import Meshes
@@ -76,10 +84,16 @@ def main() -> None:
     fp0 = setup_face_planes(meshes, cam)
     fpt = ps.suggest_faces_per_tile(fp0, (IMAGE, IMAGE))
     act = ps.suggest_active_tiles(fp0, (IMAGE, IMAGE))
+    hi = lo = None
+    if args.split:
+        lo = args.lo_lanes
+        hi = ps.suggest_occupancy_split(fp0, (IMAGE, IMAGE),
+                                        active_tiles=act, lo_lanes=lo)
     gl = ps.suggest_group_lanes(fp0, (IMAGE, IMAGE), active_tiles=act,
-                                faces_per_tile=fpt)
+                                faces_per_tile=fpt,
+                                order="count" if hi else "tile")
     pad = math.sqrt(SOFT_CUTOFF * SIGMA)
-    print(f"fpt={fpt} act={act} gl={gl}", file=sys.stderr)
+    print(f"fpt={fpt} act={act} gl={gl} hi={hi} lo={lo}", file=sys.stderr)
 
     # ---- prebuild the packed planes once (static input to kernel cuts) ----
     def build_planes(v):
@@ -293,6 +307,7 @@ def main() -> None:
         alpha = ps.soft_silhouette_pallas_fd(
             fd, (IMAGE, IMAGE), sigma=SIGMA, faces_per_tile=fpt,
             active_tiles=act, layout="packed", group_lanes=gl,
+            hi_tiles=hi, lo_lanes=lo if lo else 32,
         )
         return jnp.sum(alpha)
 

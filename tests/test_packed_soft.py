@@ -183,3 +183,98 @@ def test_pack_groups_exact():
             want[s] = slabs[0, a, k]
             s += 1
     np.testing.assert_array_equal(packed[0], want)
+
+
+# ---------------------------------------------------------------------------
+# Occupancy split (hi_tiles / lo_lanes): count-ordered compaction, full
+# gather lanes only for the densest tiles. Needs a grid with more than a
+# handful of tiles -> its own 64x64 scene (16 tiles).
+# ---------------------------------------------------------------------------
+
+IMG_S = 64
+
+
+@pytest.fixture(scope="module")
+def split_scene():
+    verts, faces = icosphere(2)  # 320 faces
+    meshes = Meshes.from_single(verts, faces).extend(B)
+    f = 0.9 * IMG_S
+    K = np.array([[f, 0, IMG_S / 2], [0, f, IMG_S / 2], [0, 0, 1]],
+                 np.float32)
+    R = np.broadcast_to(np.eye(3, dtype=np.float32), (B, 3, 3))
+    t = np.stack([
+        np.array([0.0, 0.0, 2.2], np.float32),
+        np.array([0.25, -0.2, 2.0], np.float32),
+    ])
+    cam = PerspectiveCamera.from_K(K, (IMG_S, IMG_S), R=R, t=t)
+    return meshes, cam
+
+
+def test_occupancy_split_values_match_streaming(split_scene):
+    meshes, cam = split_scene
+    want = np.asarray(soft_silhouette_streaming(meshes, cam))
+    # lo_lanes == faces_per_tile: the split changes only the layout
+    # (count-ordered tiles + two packs), never the candidate sets, so the
+    # result must match the oracle exactly like the unsplit layout does.
+    got = np.asarray(
+        soft_silhouette_pallas(
+            meshes, cam, tile=16, faces_per_tile=320, active_tiles=16,
+            layout="packed", group_lanes=1280, hi_tiles=8, lo_lanes=320,
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=1e-4)
+    assert want.max() > 0.9
+
+    # thin lo bucket sized by the suggester (its contract: lo_lanes covers
+    # every non-hi tile's candidate count, with margin)
+    fp = setup_face_planes(meshes, cam)
+    from torch_renderer_tpu.rasterize.pallas_soft import (
+        suggest_occupancy_split,
+    )
+    hi = suggest_occupancy_split(fp, (IMG_S, IMG_S), tile=16,
+                                 active_tiles=16, lo_lanes=32)
+    if hi is not None:
+        got2 = np.asarray(
+            soft_silhouette_pallas(
+                meshes, cam, tile=16, faces_per_tile=320, active_tiles=16,
+                layout="packed", group_lanes=1280, hi_tiles=hi,
+                lo_lanes=32,
+            )
+        )
+        np.testing.assert_allclose(got2, want, atol=1e-4)
+
+
+def test_occupancy_split_gradients_match_streaming(split_scene):
+    meshes, cam = split_scene
+
+    def loss_split(v):
+        return jnp.sum(
+            soft_silhouette_pallas(
+                meshes.update_padded(v), cam, tile=16, faces_per_tile=320,
+                active_tiles=16, layout="packed", group_lanes=1280,
+                hi_tiles=8, lo_lanes=320,
+            )
+        )
+
+    def loss_ref(v):
+        return jnp.sum(
+            soft_silhouette_streaming(meshes.update_padded(v), cam))
+
+    g1 = np.asarray(jax.grad(loss_split)(meshes.verts))
+    g2 = np.asarray(jax.grad(loss_ref)(meshes.verts))
+    assert np.all(np.isfinite(g1)) and np.abs(g1).sum() > 0
+    np.testing.assert_allclose(g1, g2, atol=5e-3, rtol=5e-3)
+
+
+def test_occupancy_split_validation(split_scene):
+    meshes, cam = split_scene
+    with pytest.raises(ValueError, match="hi_tiles"):
+        soft_silhouette_pallas(
+            meshes, cam, tile=16, faces_per_tile=320, active_tiles=16,
+            layout="packed", hi_tiles=5,  # not a multiple of 8
+        )
+    with pytest.raises(ValueError, match="hi_tiles"):
+        soft_silhouette_pallas(
+            meshes, cam, tile=16, faces_per_tile=320, active_tiles=16,
+            layout="packed", hi_tiles=16,  # must be < active tiles
+        )

@@ -458,6 +458,11 @@ def gather_rank_channels(
     C = planes.shape[-1]
     t_chunk = max(1, min(T, 1 + vmem_budget // (per_tile * F)))
     n_chunks = -(-T // t_chunk)
+    # balance the chunks: ceil(T / n_chunks) keeps the same chunk count
+    # but minimizes padding (A=128 with a budget of 98 would otherwise
+    # pad to 2x98=196 tiles — 1.5x wasted one-hot compare + dot work in
+    # the hot gather; measured 0.40 -> 0.27 ms on the north-star step)
+    t_chunk = -(-T // n_chunks)
     padt = n_chunks * t_chunk - T
     slot_p = jnp.pad(bins.slot, ((0, 0), (0, padt), (0, 0)),
                      constant_values=F + 1)
@@ -534,8 +539,16 @@ def bin_ranks_active(
     image_size,
     tile: int,
     max_active: int,
+    order: str = "tile",
 ) -> ActiveBins:
-    """Rank-binning with the tile axis compacted to non-empty tiles."""
+    """Rank-binning with the tile axis compacted to non-empty tiles.
+
+    order: "tile" (default) ranks active tiles in raster order; "count"
+    ranks them by DESCENDING candidate count (ties by raster order) —
+    the layout the occupancy-split gather wants, where the first
+    `hi_tiles` slots get the full per-tile lane budget and the tail a
+    smaller one. Downstream results are order-independent (the scatter
+    restores raster positions through invrank)."""
     H, W = image_size
     s = min(H, W) / 2.0
     TH, TW, origin = tile_grid(image_size, tile)
@@ -551,8 +564,20 @@ def bin_ranks_active(
     A = min(max_active, T)
 
     nonempty = jnp.any(overlap, axis=-1)                    # (B, T)
-    trank = jnp.cumsum(nonempty.astype(jnp.int32), axis=-1)
-    rank = jnp.where(nonempty, trank - 1, A + 1)            # >= A drops
+    if order == "count":
+        # rank = position among actives sorted by (count desc, tile asc):
+        # one branchless (B, T, T) key comparison — T is a few hundred.
+        cnt = jnp.sum(overlap, axis=-1, dtype=jnp.int32)    # (B, T)
+        key = cnt * T + jnp.arange(T - 1, -1, -1, dtype=jnp.int32)[None, :]
+        key = jnp.where(nonempty, key, -1)
+        beats = (key[:, :, None] > key[:, None, :]).astype(jnp.int32)
+        srank = jnp.sum(beats, axis=1)                      # (B, T)
+        rank = jnp.where(nonempty, srank, A + 1)            # >= A drops
+    elif order == "tile":
+        trank = jnp.cumsum(nonempty.astype(jnp.int32), axis=-1)
+        rank = jnp.where(nonempty, trank - 1, A + 1)        # >= A drops
+    else:
+        raise ValueError(f"unknown active-tile order: {order!r}")
     iota_a = jnp.arange(A, dtype=jnp.int32)
     onehot = rank[:, None, :] == iota_a[None, :, None]      # (B, A, T)
 
@@ -587,13 +612,13 @@ def bin_ranks_active(
 
 def bin_faces_active(
     fd, image_size, tile: int, pad_radius: float,
-    max_active: int,
+    max_active: int, order: str = "tile",
 ) -> ActiveBins:
     """Active-tile rank-binning of faces (cf. bin_faces_ranked).
     fd: FaceRasterData or geometry.FacePlanes."""
     fmin, fmax = _bbox_min_max(fd, pad_radius)
     return bin_ranks_active(fmin, fmax, fd.valid, image_size, tile,
-                            max_active)
+                            max_active, order=order)
 
 
 def count_active_tiles(fd, image_size, tile, pad_radius):
@@ -725,16 +750,19 @@ def pack_groups(slabs: jax.Array, capped: jax.Array, n_slots: int):
 def suggest_group_lanes_fd(
     fd: FaceRasterData, image_size, tile: int, pad_radius: float,
     max_active: int, faces_per_tile: int,
-    margin: float = 1.3, multiple: int = 128,
+    margin: float = 1.3, multiple: int = 128, order: str = "tile",
 ) -> int:
     """Smallest safe packed-lane budget per 8-tile group for this scene
     (max over (batch, group) of the summed per-tile candidate counts, with
     headroom, 128-lane aligned). Call OUTSIDE jit with concrete data; pass
     as soft_silhouette_pallas_fd(group_lanes=...). Groups follow active-
-    compaction order (bin_ranks_active), matching the kernel's grouping."""
+    compaction order (bin_ranks_active), matching the kernel's grouping —
+    pass order="count" when the occupancy split is in play (it sorts tiles
+    by count, which concentrates the biggest bins into the first group)."""
     import math as _math
 
-    bins = bin_faces_active(fd, image_size, tile, pad_radius, max_active)
+    bins = bin_faces_active(fd, image_size, tile, pad_radius, max_active,
+                            order=order)
     capped = jnp.minimum(bins.count, faces_per_tile)        # (B, A)
     B, A = capped.shape
     pad = (-A) % _GROUP

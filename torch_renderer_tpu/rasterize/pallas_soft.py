@@ -705,6 +705,8 @@ def soft_silhouette_pallas_fd(
     layout: str = "lane",
     active_tiles: int | None = None,
     group_lanes: int | None = None,
+    hi_tiles: int | None = None,
+    lo_lanes: int = 32,
 ) -> jax.Array:
     """Tile-binned soft coverage (B, H, W) through the fused Pallas kernel.
 
@@ -762,6 +764,7 @@ def soft_silhouette_pallas_fd(
         return _soft_silhouette_pallas_packed(
             fd, image_size, sigma, tile, faces_per_tile, active_tiles,
             group_lanes, return_sum, pad,
+            hi_tiles=hi_tiles, lo_lanes=lo_lanes,
         )
     # rank-binning: candidate slots come from a prefix count of the overlap
     # mask (no top_k sort) and the slot one-hot feeds the gather contraction
@@ -860,59 +863,127 @@ def suggest_layout(faces_per_tile: int) -> str:
 def suggest_group_lanes(
     fd: FaceRasterData, image_size, tile: int = 16, sigma: float = 1e-4,
     active_tiles: int = 128, faces_per_tile: int = 128,
-    margin: float = 1.3,
+    margin: float = 1.3, order: str = "tile",
 ) -> int:
     """Smallest safe packed-lane budget per 8-tile group for this scene
     (soft-path flavor of binning.suggest_group_lanes_fd: pad from sigma).
     Call OUTSIDE jit with concrete data; pass as
-    soft_silhouette_pallas_fd(layout="packed", group_lanes=...)."""
+    soft_silhouette_pallas_fd(layout="packed", group_lanes=...). Pass
+    order="count" when also using hi_tiles (the occupancy split sorts
+    tiles by candidate count, which changes the group sums)."""
     from .binning import suggest_group_lanes_fd
 
     pad = math.sqrt(SOFT_CUTOFF * sigma)
     return suggest_group_lanes_fd(fd, image_size, tile, pad, active_tiles,
-                                  faces_per_tile, margin=margin)
+                                  faces_per_tile, margin=margin, order=order)
+
+
+def suggest_occupancy_split(
+    fd: FaceRasterData, image_size, tile: int = 16, sigma: float = 1e-4,
+    active_tiles: int = 128, lo_lanes: int = 32,
+    margin: float = 1.3,
+) -> int | None:
+    """Static hi-tile budget for the packed layout's occupancy split
+    (soft_silhouette_pallas_fd(hi_tiles=..., lo_lanes=...)): the number of
+    count-sorted tile slots that need more than lo_lanes gather lanes, with
+    headroom, 8-aligned. Returns None when the split would not help (most
+    tiles exceed lo_lanes, or nothing does). Call OUTSIDE jit with concrete
+    data; like all bin budgets, footprints that move during a fit need
+    margin (candidates beyond a tile's lane budget are dropped)."""
+    from .binning import bin_faces_active
+
+    pad = math.sqrt(SOFT_CUTOFF * sigma)
+    bins = bin_faces_active(fd, image_size, tile, pad, active_tiles,
+                            order="count")
+    n_hi = int(jnp.max(jnp.sum(bins.count > lo_lanes, axis=1)))
+    A = bins.slot.shape[1]
+    want = int(math.ceil(n_hi * margin / _TN)) * _TN
+    if want <= 0 or want >= A:
+        return None
+    return want
 
 
 def _soft_silhouette_pallas_packed(
     fd: FaceRasterData, image_size, sigma, tile, faces_per_tile,
     active_tiles, group_lanes, return_sum, pad,
+    hi_tiles=None, lo_lanes: int = 32,
 ) -> jax.Array:
     """Group-packed assembly: active-compact, gather per-tile corner
     channels (the usual one-hot MXU gather), translate each tile's
     candidates into its own pixel frame, pack the 8 tiles of every kernel
     program into one shared lane axis (binning.pack_groups), run the
-    packed kernels, scatter coverage back to the full tile grid."""
+    packed kernels, scatter coverage back to the full tile grid.
+
+    hi_tiles (occupancy split): with the mean tile occupancy far below
+    faces_per_tile (north-star: ~27/128), the (A, Fmax) gather wastes
+    most of its one-hot dot on empty lanes. With hi_tiles set, tiles are
+    compacted in DESCENDING candidate-count order and only the first
+    hi_tiles get Fmax gather lanes; the rest get lo_lanes. Size with
+    suggest_occupancy_split(); tiles past hi_tiles with count > lo_lanes
+    lose the excess candidates (overflow semantics, like faces_per_tile).
+    """
     from .binning import bin_faces_active, gather_rank_planes, pack_groups, \
         scatter_active
 
     B = fd.valid.shape[0]
-    bins = bin_faces_active(fd, image_size, tile, pad, active_tiles)
-    A = bins.slot.shape[1]
     Fmax = min(faces_per_tile, fd.num_faces)
+    split = hi_tiles is not None and 0 < hi_tiles
+    bins = bin_faces_active(fd, image_size, tile, pad, active_tiles,
+                            order="count" if split else "tile")
+    A = bins.slot.shape[1]
+    if split and (hi_tiles % _TN or hi_tiles >= A):
+        raise ValueError(
+            f"hi_tiles must be a multiple of {_TN} and < active tiles "
+            f"({A}); got {hi_tiles}")
 
-    ch, _ = gather_rank_planes(
-        fd, bins, Fmax,
-        channels=("qx0", "qy0", "qx1", "qy1", "qx2", "qy2"),
-    )
-    ox = bins.origin[..., 0:1]                          # (B, A, 1)
-    oy = bins.origin[..., 1:2]
-    slabs = jnp.stack(
-        [ch["qx0"] - ox, ch["qy0"] - oy, ch["qx1"] - ox, ch["qy1"] - oy,
-         ch["qx2"] - ox, ch["qy2"] - oy],
-        axis=-1,
-    )                                                   # (B, A, Fmax, 6)
-    capped = jnp.minimum(bins.count, Fmax)              # (B, A)
+    def gather_slabs(b, per_tile):
+        ch, _ = gather_rank_planes(
+            fd, b, per_tile,
+            channels=("qx0", "qy0", "qx1", "qy1", "qx2", "qy2"),
+        )
+        ox = b.origin[..., 0:1]                         # (B, A_part, 1)
+        oy = b.origin[..., 1:2]
+        return jnp.stack(
+            [ch["qx0"] - ox, ch["qy0"] - oy, ch["qx1"] - ox, ch["qy1"] - oy,
+             ch["qx2"] - ox, ch["qy2"] - oy],
+            axis=-1,
+        )                                               # (B, A_part, K, 6)
+
+    def part_bins(lo, hi):
+        return bins._replace(slot=bins.slot[:, lo:hi],
+                             count=bins.count[:, lo:hi],
+                             origin=bins.origin[:, lo:hi])
+
+    if split:
+        K_lo = min(lo_lanes, Fmax)
+        parts = [(part_bins(0, hi_tiles), Fmax),
+                 (part_bins(hi_tiles, A), K_lo)]
+    else:
+        parts = [(bins, Fmax)]
 
     a_pad = (-A) % _TN
-    if a_pad:
-        slabs = jnp.pad(slabs, ((0, 0), (0, a_pad), (0, 0), (0, 0)))
-        capped = jnp.pad(capped, ((0, 0), (0, a_pad)))
     A8 = A + a_pad
     G = A8 // _TN
 
     S_g = 8 * Fmax if group_lanes is None else group_lanes
     S_g += (-S_g) % _FC
-    packed, n_valid = pack_groups(slabs, capped, S_g)   # (B*G, S_g, 6)
+
+    packed_parts, n_valid_parts, capped_parts = [], [], []
+    for i, (pb, K) in enumerate(parts):
+        slabs = gather_slabs(pb, K)
+        capped = jnp.minimum(pb.count, K)               # (B, A_part)
+        if i == len(parts) - 1 and a_pad:
+            slabs = jnp.pad(slabs, ((0, 0), (0, a_pad), (0, 0), (0, 0)))
+            capped = jnp.pad(capped, ((0, 0), (0, a_pad)))
+        pk, nv = pack_groups(slabs, capped, S_g)        # (B*G_p, S_g, 6)
+        G_p = capped.shape[1] // _TN
+        packed_parts.append(pk.reshape(B, G_p, S_g, 6))
+        n_valid_parts.append(nv)
+        capped_parts.append(capped)
+
+    packed = jnp.concatenate(packed_parts, axis=1).reshape(B * G, S_g, 6)
+    n_valid = jnp.concatenate(n_valid_parts, axis=1)    # (B, G)
+    capped = jnp.concatenate(capped_parts, axis=1)      # (B, A8)
     n_chunks = -(-n_valid // _FC)                       # (B, G)
 
     # ev row (tile slot + 1 per packed lane, 0 = padding) built from the
@@ -1004,6 +1075,7 @@ def soft_silhouette_pallas(
     meshes, camera, sigma: float = 1e-4, tile: int = 16,
     faces_per_tile: int = 128, active_tiles: int | None = None,
     layout: str = "lane", group_lanes: int | None = None,
+    hi_tiles: int | None = None, lo_lanes: int = 32,
 ) -> jax.Array:
     """Public entry: meshes + camera -> soft silhouette via the Pallas path."""
     from .geometry import setup_face_planes
@@ -1013,4 +1085,5 @@ def soft_silhouette_pallas(
         fp, camera.image_size, sigma=sigma, tile=tile,
         faces_per_tile=faces_per_tile, active_tiles=active_tiles,
         layout=layout, group_lanes=group_lanes,
+        hi_tiles=hi_tiles, lo_lanes=lo_lanes,
     )
