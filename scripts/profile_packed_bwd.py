@@ -45,7 +45,11 @@ def main() -> None:
                     help="occupancy split in the asm cuts (suggested hi)")
     ap.add_argument("--lo-lanes", type=int, default=32)
     ap.add_argument("--fc", type=int, default=None,
-                    help="override pallas_soft._FC (face-chunk lane width)")
+                    help="override pallas_soft._FC (face-chunk lane width)."
+                         " MEASURED NEGATIVE at 256 on the north-star:"
+                         " kfwd 0.32->0.35, kgrad 0.57->0.59, asm_grad"
+                         " 1.455->1.471 ms — the kernels are math-bound,"
+                         " not chunk-trip-bound")
     args = ap.parse_args()
 
     import jax

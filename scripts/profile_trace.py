@@ -1,0 +1,196 @@
+"""Device op-profile for a workload step via jax.profiler + xprof.
+
+Captures a trace of N repetitions of a jitted step and prints the
+per-step self time of every HLO op category and the top ops inside each,
+with their HLO expressions — the tool that pinned the north-star grad
+step's hidden 1.5x gather-chunk padding (docs/ROUND2_NOTES.md). Works
+through the axon tunnel (the trace is host-assembled).
+
+Usage:
+  python scripts/profile_trace.py --workload northstar [--steps 10]
+  python scripts/profile_trace.py --workload posefit
+
+Notes:
+  * run from the repo root (or with the repo on PYTHONPATH — do NOT
+    overwrite PYTHONPATH wholesale: the axon plugin lives on it).
+  * rawTime units in the xprof op_profile JSON are picoseconds.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import shutil
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _northstar():
+    import jax
+    import jax.numpy as jnp
+
+    from torch_renderer_tpu.cameras.perspective import PerspectiveCamera
+    from torch_renderer_tpu.ops.icosphere import icosphere
+    from torch_renderer_tpu.rasterize import pallas_soft as ps
+    from torch_renderer_tpu.rasterize.geometry import setup_face_planes
+    from torch_renderer_tpu.structures.meshes import Meshes
+
+    B, IMAGE, SIGMA = 8, 256, 1e-4
+    verts, faces = icosphere(3)
+    f = 0.8 * IMAGE
+    K = np.array(
+        [[f, 0, IMAGE / 2.0], [0, f, IMAGE / 2.0], [0, 0, 1.0]], np.float32
+    )
+    meshes = Meshes.from_single(verts, faces).extend(B)
+    cam = PerspectiveCamera.from_K(
+        K, (IMAGE, IMAGE),
+        R=np.broadcast_to(np.eye(3, dtype=np.float32), (B, 3, 3)),
+        t=np.tile(np.array([0.0, 0.0, 3.0], np.float32), (B, 1)),
+    )
+    fp0 = setup_face_planes(meshes, cam)
+    fpt = ps.suggest_faces_per_tile(fp0, (IMAGE, IMAGE))
+    act = ps.suggest_active_tiles(fp0, (IMAGE, IMAGE))
+    gl = ps.suggest_group_lanes(fp0, (IMAGE, IMAGE), active_tiles=act,
+                                faces_per_tile=fpt)
+
+    def loss(v):
+        fp = setup_face_planes(meshes.update_padded(v), cam)
+        a = ps.soft_silhouette_pallas_fd(
+            fp, (IMAGE, IMAGE), sigma=SIGMA, faces_per_tile=fpt,
+            active_tiles=act, layout="packed", group_lanes=gl,
+        )
+        return jnp.sum(a)
+
+    import jax as _j
+    return _j.jit(_j.grad(loss)), (meshes.verts,)
+
+
+def _posefit():
+    """One CameraPoseFitter grad step, app-equivalent TPU config
+    (pallas silhouette, packed layout, auto budgets)."""
+    import jax
+    import jax.numpy as jnp
+
+    from torch_renderer_tpu.ops.icosphere import icosphere
+    from torch_renderer_tpu.opt.pose_fit import (
+        CameraPoseFitter, PoseFitConfig, pose_params_from_Rt,
+    )
+    from torch_renderer_tpu.rasterize.geometry import setup_face_planes
+    from torch_renderer_tpu.rasterize.pallas_soft import (
+        suggest_active_tiles, suggest_group_lanes,
+    )
+    from torch_renderer_tpu.cameras.perspective import PerspectiveCamera
+    from torch_renderer_tpu.structures.meshes import Meshes
+
+    IMAGE = 256
+    verts, faces = icosphere(3)
+    meshes = Meshes.from_single(verts, faces)
+    f = 0.8 * IMAGE
+    K = np.array(
+        [[f, 0, IMAGE / 2.0], [0, f, IMAGE / 2.0], [0, 0, 1.0]], np.float32
+    )
+    R = np.eye(3, dtype=np.float32)[None]
+    t = np.array([[0.0, 0.0, 3.0]], np.float32)
+    cam = PerspectiveCamera.from_K(K, (IMAGE, IMAGE), R=R, t=t)
+    fp = setup_face_planes(meshes, cam)
+    act = suggest_active_tiles(fp, (IMAGE, IMAGE), margin=2.0)
+    gl = suggest_group_lanes(fp, (IMAGE, IMAGE), active_tiles=act,
+                             margin=2.0)
+    fitter = CameraPoseFitter(
+        K, (IMAGE, IMAGE), config=PoseFitConfig(),
+        silhouette_impl="pallas", sil_active_tiles=act,
+        sil_layout="packed", sil_group_lanes=gl,
+    )
+    refs = fitter.make_references(meshes, R, t)
+    params = pose_params_from_Rt(
+        R, t + np.array([[0.05, -0.04, 0.1]], np.float32))
+
+    def one_step(p):
+        (loss_v, _), grads = jax.value_and_grad(
+            fitter.loss, has_aux=True)(p, meshes, refs)
+        return loss_v, grads
+
+    return jax.jit(one_step), (params,)
+
+
+WORKLOADS = {
+    "northstar": _northstar,
+    "posefit": _posefit,
+}
+
+
+def capture(step, args, steps: int, log_dir: str):
+    import jax
+
+    out = jax.block_until_ready(step(*args))  # compile + warm
+    jax.profiler.start_trace(log_dir)
+    for _ in range(steps):
+        out = step(*args)
+    jax.block_until_ready(out)
+    jax.profiler.stop_trace()
+    return out
+
+
+def report(log_dir: str, steps: int, top: int = 12):
+    from xprof.convert import raw_to_tool_data as rtd
+
+    files = glob.glob(os.path.join(log_dir, "plugins/profile/*/*.xplane.pb"))
+    data, _ = rtd.xspace_to_tool_data(files, "op_profile", {})
+    if isinstance(data, bytes):
+        try:
+            data = gzip.decompress(data)
+        except OSError:
+            pass
+    j = json.loads(data)
+
+    def t_ps(node):
+        m = node.get("metrics", {})
+        return m.get("rawTime", 0) or m.get("time", 0)
+
+    for prog in j["byProgramExcludeIdle"].get("children", []):
+        total = t_ps(prog) / 1e9 / steps
+        print(f"\n== {prog['name']}  total {total:.3f} ms/step")
+        for cat in sorted(prog.get("children", []), key=t_ps, reverse=True):
+            ct = t_ps(cat) / 1e9 / steps
+            if ct < total * 0.005:
+                continue
+            print(f"  {cat['name']:<28s} {ct:8.3f} ms/step")
+            for op in sorted(cat.get("children", []), key=t_ps,
+                             reverse=True)[:top]:
+                ot = t_ps(op) / 1e9 / steps
+                if ot < total * 0.005:
+                    continue
+                expr = (op.get("xla", {}) or {}).get("expression", "")
+                expr = expr.split(" = ", 1)[-1][:110]
+                print(f"    {op['name']:<40s} {ot:8.3f}  {expr}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workload", choices=sorted(WORKLOADS), required=True)
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--keep", action="store_true",
+                    help="keep the trace dir (printed) for manual digging")
+    args = ap.parse_args()
+
+    step, step_args = WORKLOADS[args.workload]()
+    log_dir = tempfile.mkdtemp(prefix="trt_trace_")
+    try:
+        capture(step, step_args, args.steps, log_dir)
+        report(log_dir, args.steps)
+        if args.keep:
+            print(f"\ntrace kept at {log_dir}")
+    finally:
+        if not args.keep:
+            shutil.rmtree(log_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
