@@ -89,7 +89,9 @@ def _posefit():
     from torch_renderer_tpu.cameras.perspective import PerspectiveCamera
     from torch_renderer_tpu.structures.meshes import Meshes
 
-    IMAGE = 256
+    # the docs/BENCHMARKS.md flagship config: 128^2, binned K=1 fragments
+    # (bin_size 16), pallas packed silhouette, auto budgets with 2x margin
+    IMAGE = 128
     verts, faces = icosphere(3)
     meshes = Meshes.from_single(verts, faces)
     f = 0.8 * IMAGE
@@ -105,6 +107,7 @@ def _posefit():
                              margin=2.0)
     fitter = CameraPoseFitter(
         K, (IMAGE, IMAGE), config=PoseFitConfig(),
+        bin_size=16, max_faces_per_bin=128, active_tiles=act,
         silhouette_impl="pallas", sil_active_tiles=act,
         sil_layout="packed", sil_group_lanes=gl,
     )
