@@ -123,9 +123,49 @@ def _posefit():
     return jax.jit(one_step), (params,)
 
 
+def _depth720():
+    """One 12-view 1280x720 batched depth-render call (the reference's
+    headline harness shape, apps/batch_render_bench.py defaults)."""
+    import jax
+    import jax.numpy as jnp
+
+    from torch_renderer_tpu.cameras.look_at import look_at_view_transform
+    from torch_renderer_tpu.cameras.perspective import PerspectiveCamera
+    from torch_renderer_tpu.ops.icosphere import icosphere
+    from torch_renderer_tpu.rasterize.binning import (
+        count_overflow, suggest_active_tiles_fd,
+    )
+    from torch_renderer_tpu.rasterize.geometry import setup_faces
+    from torch_renderer_tpu.renderer import DepthRender
+    from torch_renderer_tpu.structures.meshes import Meshes
+
+    H, W, vc = 720, 1280, 12
+    verts, faces = icosphere(4)  # 5120 faces, the bench's default scene
+    meshes = Meshes.from_single(verts, faces)
+    f = 0.9 * min(H, W)
+    K = np.array(
+        [[f, 0, W / 2.0], [0, f, H / 2.0], [0, 0, 1.0]], np.float32
+    )
+    azims = jnp.linspace(0.0, 360.0, vc, endpoint=False)
+    Rs, ts = look_at_view_transform(2.7, 15.0, azims)
+    cam0 = PerspectiveCamera.from_K(K, (H, W), R=Rs, t=ts)
+    fd0 = setup_faces(meshes.extend(vc), cam0)
+    max_count, _ = count_overflow(fd0, (H, W), 32, 0, 0.0)
+    mfb = max(8, int(float(max_count) * 1.3))
+    act = suggest_active_tiles_fd(fd0, (H, W), 32, 0.0)
+    renderer = DepthRender(
+        K, (H, W), pixel_chunk=1048576, bin_size=32,
+        max_faces_per_bin=mfb, active_tiles=act,
+    )
+    batched = meshes.extend(vc)
+    step = jax.jit(lambda m, R, t: renderer.render(m, R, t))
+    return step, (batched, Rs, ts)
+
+
 WORKLOADS = {
     "northstar": _northstar,
     "posefit": _posefit,
+    "depth720": _depth720,
 }
 
 
