@@ -747,6 +747,35 @@ def pack_groups(slabs: jax.Array, capped: jax.Array, n_slots: int):
     return packed, n_valid
 
 
+def group_offsets(capped: jax.Array, per_tile: int):
+    """Exclusive per-group pack offsets for pack_groups' layout.
+
+    capped (B, A) int32 -> (cg, off): cg (B, G, 8) = min(capped, per_tile)
+    reshaped to groups; off (B, G, 8) = each tile's first packed lane
+    (exclusive cumsum of cg within its group). A must be 8-aligned."""
+    B, A = capped.shape
+    if A % _GROUP:
+        raise ValueError(f"active-tile count {A} not a multiple of {_GROUP}")
+    cg = jnp.minimum(capped, per_tile).reshape(B, -1, _GROUP)
+    off = jnp.cumsum(cg, axis=-1) - cg
+    return cg, off
+
+
+def packed_ev_row(cg: jax.Array, n_valid: jax.Array, n_slots: int):
+    """The packed kernels' ev row (tile slot + 1 per packed lane, 0 =
+    padding), built from the pack offsets directly: lane s of a group
+    belongs to tile j iff off_j <= s < off_{j+1}, so ev[s] = #{j: off_j
+    <= s} for s < n_valid. Carries no gradient (stop_gradient).
+
+    cg (B, G, 8) capped counts (group_offsets), n_valid (B, G) packed
+    candidates per group (pack_groups) -> ev (B, G, n_slots) f32."""
+    off = jnp.cumsum(cg, axis=-1) - cg                  # (B, G, 8) exclusive
+    s_iota = jnp.arange(n_slots, dtype=jnp.int32)[None, None, None, :]
+    ev = jnp.sum((s_iota >= off[..., None]).astype(jnp.float32), axis=2)
+    ev = jnp.where(s_iota[:, :, 0] < n_valid[..., None], ev, 0.0)
+    return jax.lax.stop_gradient(ev)
+
+
 def suggest_group_lanes_fd(
     fd: FaceRasterData, image_size, tile: int, pad_radius: float,
     max_active: int, faces_per_tile: int,

@@ -370,19 +370,24 @@ def _tile_hard_fwd(planes, tile, inv_s, blur, znear, clip_bary):
 
 
 def _xla_reinterpolate(planes, lane, live, tile, inv_s, blur, znear,
-                       clip_bary, K: int = 1, tile_chunk: int = 512):
+                       clip_bary, K: int = 1, tile_chunk: int = 512,
+                       with_fid: bool = False):
     """Differentiable XLA recomputation of the kernel's zbuf/pc/dists rows
     from the saved winner lanes: one-hot gather of the 12 corner channels
     (MXU einsum; its transpose is the scatter back to candidate lanes),
-    then the same fragment math. Used only inside the backward pass.
+    then the same fragment math. Used inside the per-tile kernels'
+    backward passes, and as the packed selection kernel's forward
+    interpolation (with_fid=True adds the planes' row-12 face id as a
+    sixth output row).
 
-    lane, live: (N, K, tp). Returns (N, 5, K, tp)."""
+    lane, live: (N, K, tp). Returns (N, 5 + with_fid, K, tp)."""
     from .raster import _fragment_math
 
     N, _, F = planes.shape
     tp = tile * tile
     ktp = K * tp
     tile_chunk = max(1, tile_chunk // K)
+    ncols = 13 if with_fid else 12
 
     n_chunks = -(-N // tile_chunk)
     padn = n_chunks * tile_chunk - N
@@ -402,9 +407,9 @@ def _xla_reinterpolate(planes, lane, live, tile, inv_s, blur, znear,
             planes.dtype
         )                                           # (c, ktp, F)
         sel = jnp.einsum(
-            "ntf,ncf->ntc", onehot, pl_c[:, :12],
+            "ntf,ncf->ntc", onehot, pl_c[:, :ncols],
             precision=jax.lax.Precision.HIGHEST,
-        )                                           # (c, ktp, 12)
+        )                                           # (c, ktp, ncols)
         px = pl_c[:, 14, 0][:, None] + lx
         py = pl_c[:, 14, 1][:, None] + ly
         qx = [sel[..., 0], sel[..., 2], sel[..., 4]]
@@ -412,7 +417,10 @@ def _xla_reinterpolate(planes, lane, live, tile, inv_s, blur, znear,
         zf = [sel[..., 6 + k] for k in range(3)]
         invzf = [sel[..., 9 + k] for k in range(3)]
         zbuf, pc, dists = _fragment_math(px, py, qx, qy, zf, invzf, clip_bary)
-        return jnp.stack([zbuf, pc[0], pc[1], pc[2], dists], axis=1)
+        rows = [zbuf, pc[0], pc[1], pc[2], dists]
+        if with_fid:
+            rows.append(sel[..., 12])
+        return jnp.stack(rows, axis=1)
 
     flat = lambda a: a.reshape(a.shape[0], ktp)
     rows = jax.lax.map(
@@ -420,7 +428,8 @@ def _xla_reinterpolate(planes, lane, live, tile, inv_s, blur, znear,
         (padc(planes), padc(flat(jax.lax.stop_gradient(lane))),
          padc(flat(jax.lax.stop_gradient(live)))),
     )
-    return rows.reshape(n_chunks * tile_chunk, 5, K, tp)[:N]
+    R = 6 if with_fid else 5
+    return rows.reshape(n_chunks * tile_chunk, R, K, tp)[:N]
 
 
 def _tile_hard_bwd(tile, inv_s, blur, znear, clip_bary, res, g):
@@ -493,6 +502,196 @@ def _tile_topk_bwd(tile, inv_s, blur, znear, clip_bary, K, res, g):
 
 
 _tile_topk.defvjp(_tile_topk_fwd, _tile_topk_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Group-packed K=1 SELECTION kernel — MEASURED NEGATIVE RESULT (kept,
+# tested, opt-in via RasterizationSettings.layout="packed"; never
+# auto-picked).
+#
+# The hypothesis: the candidates of the 8 tiles a program owns share ONE
+# lane axis (the soft path's biggest occupancy lever, 1.42x there), so a
+# group pays ceil(group_total/128) face chunks instead of the per-tile
+# layout's ceil(count/128)*128 lanes per tile (720p tile=16: mean 20
+# candidates in a 128-lane chunk, 6.4x padding waste — why the per-tile
+# _hard_kernel measured 4x slower than the XLA tile path there).
+#
+# Why it LOSES for hard selection (same-session 720p 12-view A/Bs, v5e):
+#   * Segmented MIN cannot ride the MXU the way the soft path's segmented
+#     SUM does (a one-hot dot). It needs 8 masked lane-min reductions per
+#     chunk (x2 passes for the winner lane), and a lane reduction of a
+#     (TP, 128) slab costs ~8x an elementwise op (~7 shuffle steps per
+#     vreg) — ~2/3 of the kernel's cycles, ~4x more than the padding the
+#     packing saves. Kernel-only: 27.1 ms (tile=16) / 53.9 ms (tile=32)
+#     vs the ENTIRE XLA path's 20.3 ms.
+#   * XLA's fused iota-argmin over static Fmax lanes is already within
+#     ~2x of the VPU op bound; its 2.5-2.9x static-lane padding and any
+#     packed formulation's segmentation overhead cancel out. Measured
+#     end-to-end: XLA 20.3 ms vs packed 66 (tile=16) / 76 (tile=32); on a
+#     DENSE 20k-face mesh at 512^2 (best case for packing: max/mean
+#     occupancy 158/76) XLA 35.8 vs packed 46.4 ms.
+#   * A first cut extracted winner channels in-kernel with per-chunk
+#     one-hot HIGHEST dots: 38 ms of a 52 ms call (6 latency-bound MXU
+#     dots per chunk). The selection-only split below removes them; the
+#     masked reductions then dominate. A region-aligned variant (per-tile
+#     budgets quantized to 32-lane regions, one reshape-reduce) pencils
+#     out to ~8 ms kernel at tile=16 but the tile=16 assembly (gather at
+#     A=1192 + pack, ~8 ms) still leaves it at parity with XLA — not
+#     built.
+#
+# What the path still provides (why it is kept): a bit-exact, fully
+# tested SECOND implementation of K=1 binned rasterization (winner
+# identity, zbuf, bary, dists match the XLA path exactly on TPU), whose
+# design splits selection from interpolation:
+#
+# The kernel finds WINNERS ONLY (per pixel per tile: live + winning packed
+# lane) and is pure VPU selection work with no gradient: fragment values
+# are re-derived OUTSIDE by the same exact one-hot re-interpolation the
+# per-tile backwards use (_xla_reinterpolate on the per-tile gathered
+# channels), so the whole path is differentiable through ordinary AD — no
+# custom_vjp, and the pack contraction runs on stop-gradient selection
+# channels (no transpose in the backward).
+#
+# Ingredients (mirrors pallas_soft's packed kernel):
+#   * translation invariance: the selection math only uses coordinate
+#     DIFFERENCES (edge crosses, point-to-edge distances), so corners are
+#     pre-translated into their tile's pixel frame and every face
+#     rasterizes against the same within-tile offsets; invz is untouched
+#     by an xy translation.
+#   * per-tile segmentation of the winner search: per chunk, each of the
+#     8 tile slots takes a masked lane-min of the priority (exact VPU
+#     selects + reduces — an MXU broadcast has ~1.5e-5 error, which would
+#     break the == winner test), then the winning lane is the masked min
+#     of a W-masked lane iota (first-lane tie-break, matching the XLA
+#     path's slot order = ascending face id).
+#
+# Layout: planes (N_g, 16, S) f32 — rows 0-5 tile-frame corner channels,
+# rows 6-8 invz (selection z needs no plain-z rows), row 9 ev = tile_slot
+# + 1 (0 = padding), row 10 meta (lane 0 = face-chunk trip count), rows
+# 11-15 zero (sublane alignment). Output (N_g, 16, tp): row t*2 = live,
+# row t*2 + 1 = winning packed lane of tile slot t.
+# ---------------------------------------------------------------------------
+
+
+def _chunk_priority(px, py, q, invzf, blur, znear, valid):
+    """Selection priority for one (TP, FC) pixel-x-face chunk: the
+    relu-clipped selection z of _chunk_fragment_math, INF where the face
+    does not cover the pixel (inside test, blur band, znear, validity).
+    Same formulas and clamps — winner identity matches exactly."""
+    qx = q[0::2]
+    qy = q[1::2]
+
+    def cross_e(ax, ay, bx, by):
+        return (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+
+    e0 = cross_e(qx[1], qy[1], qx[2], qy[2])
+    e1 = cross_e(qx[2], qy[2], qx[0], qy[0])
+    e2 = cross_e(qx[0], qy[0], qx[1], qy[1])
+    area2 = (qx[1] - qx[0]) * (qy[2] - qy[0]) - (qy[1] - qy[0]) * (qx[2] - qx[0])
+    inv_area = 1.0 / jnp.where(jnp.abs(area2) > 1e-12, area2, 1.0)
+    b0, b1, b2 = e0 * inv_area, e1 * inv_area, e2 * inv_area
+    inside = (b0 >= 0.0) & (b1 >= 0.0) & (b2 >= 0.0)
+
+    rb0, rb1, rb2 = jax.nn.relu(b0), jax.nn.relu(b1), jax.nn.relu(b2)
+    den_sel = jnp.clip(
+        rb0 * invzf[0] + rb1 * invzf[1] + rb2 * invzf[2], 1e-12, None
+    )
+    zsel = (rb0 + rb1 + rb2) / den_sel
+
+    if blur > 0.0:
+        d2 = None
+        for a_i, b_i in ((0, 1), (1, 2), (2, 0)):
+            gx = qx[b_i] - qx[a_i]
+            gy = qy[b_i] - qy[a_i]
+            len2 = jnp.clip(gx * gx + gy * gy, 1e-12, None)
+            wx = px - qx[a_i]
+            wy = py - qy[a_i]
+            wg = wx * gx + wy * gy
+            t = jnp.clip(wg / len2, 0.0, 1.0)
+            dd = wx * wx + wy * wy - 2.0 * t * wg + t * t * len2
+            d2 = dd if d2 is None else jnp.minimum(d2, dd)
+        cover = inside | (jnp.maximum(d2, 0.0) < blur)
+    else:
+        cover = inside
+    cover = cover & (valid > 0.0) & (zsel > znear)
+    return jnp.where(cover, zsel, _INF)
+
+
+def _select_kernel_packed(tile, inv_s, blur, znear, fc, planes_ref, out_ref):
+    from .pallas_soft import _packed_oh
+
+    tp = tile * tile
+    xoff, yoff = _hard_pixel_offsets(tile, inv_s)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (tp, fc), 1)
+
+    def face_chunk(c, carry):
+        bprio, blane = carry
+        sl = pl.ds(pl.multiple_of(c * fc, fc), fc)
+        blk = planes_ref[0, :, sl]                       # (16, fc)
+        q = tuple(blk[r][None, :] for r in range(6))
+        invzf = tuple(blk[6 + r][None, :] for r in range(3))
+        ev = blk[9][None, :]
+        valid = (ev > 0.0).astype(jnp.float32)
+
+        prio = _chunk_priority(xoff, yoff, q, invzf, blur, znear, valid)
+
+        oh = _packed_oh(ev)                              # (8, fc) 0/1 f32
+        ohb = [oh[j][None, :] > 0.0 for j in range(_TN)]
+
+        # per-tile winner priority: masked lane-min per tile slot (exact)
+        zmins = [
+            jnp.min(jnp.where(ohb[j], prio, _INF), axis=-1)   # (TP,)
+            for j in range(_TN)
+        ]
+        # broadcast each lane's own tile's winner z back (exact select
+        # chain), then first winning lane per tile via a masked iota min
+        zl = jnp.full((tp, fc), _INF, jnp.float32)
+        for j in range(_TN):
+            zl = jnp.where(ohb[j], zmins[j][:, None], zl)
+        W = (prio == zl) & (prio < _INF)
+        im = jnp.where(W, lane_iota, fc)
+        amins = [
+            jnp.min(jnp.where(ohb[j], im, fc), axis=-1)  # (TP,) int32
+            for j in range(_TN)
+        ]
+
+        zmin_rows = jnp.stack(zmins, axis=0)             # (8, TP)
+        lane_g = (c * fc + jnp.stack(amins, axis=0)).astype(jnp.float32)
+        upd = zmin_rows < bprio
+        return (jnp.where(upd, zmin_rows, bprio),
+                jnp.where(upd, lane_g, blane))
+
+    init = (jnp.full((_TN, tp), _INF, jnp.float32),
+            jnp.zeros((_TN, tp), jnp.float32))
+    nc = planes_ref[0, 10, 0].astype(jnp.int32)
+    bprio, blane = jax.lax.fori_loop(0, nc, face_chunk, init)
+
+    for t in range(_TN):
+        live = bprio[t] < _INF
+        out_ref[0, 2 * t, :] = live.astype(jnp.float32)
+        out_ref[0, 2 * t + 1, :] = jnp.where(live, blane[t], 0.0)
+
+
+def _tile_select_packed(planes, tile, inv_s, blur, znear):
+    """Group-packed selection planes (N_g, 16, S) -> (N_g, 16, tp), rows
+    (2t, 2t+1) = (live, winning packed lane) of tile slot t. Selection is
+    non-differentiable by convention; callers stop_gradient the inputs."""
+    N, _, S = planes.shape
+    tp = tile * tile
+    return pl.pallas_call(
+        functools.partial(
+            _select_kernel_packed, tile, inv_s, blur, znear, _FC
+        ),
+        grid=(N,),
+        in_specs=[
+            pl.BlockSpec((1, 16, S), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 16, tp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, 16, tp), jnp.float32),
+        interpret=_interpret(),
+    )(planes)
 
 
 def rasterize_binned_pallas(
@@ -595,6 +794,17 @@ def rasterize_binned_pallas(
         )[:N]                                        # (N, K*8, tp)
         per_tile = out.reshape(B, T, K, 8, tp)
 
+    return _bands_to_fragments(per_tile, bins, compact, settings, extra_bin,
+                               extra_layout)
+
+
+def _bands_to_fragments(per_tile, bins, compact, settings, extra_bin,
+                        extra_layout):
+    """Shared tail of the binned-Pallas paths: per-tile channel bands
+    (B, T_or_A, K, 8, tp) -> Fragments (scatter back to the full grid under
+    compaction, untile, split channels, attach BinnedAttributes)."""
+    H, W = settings.image_size
+    tile = settings.bin_size
     if compact:
         # back to the full tile grid; empty tiles carry the kernels' own
         # no-hit band (zbuf -1 / bary 0 / dists EMPTY_DIST / fid -1 /
@@ -631,3 +841,153 @@ def rasterize_binned_pallas(
     return Fragments(
         pix_to_face=p2f, zbuf=zbuf, bary=bary, dists=dists, binned=binned
     )
+
+
+def rasterize_packed_pallas(
+    fd: FaceRasterData, settings, extra=None, extra_layout=(),
+) -> Fragments:
+    """K=1 rasterization through the group-packed selection kernel.
+
+    Same Fragments interface as rasterize_binned_pallas; requires
+    settings.active_tiles (the pack groups follow active-compaction order)
+    and faces_per_pixel == 1. The Pallas kernel finds winners only (pure
+    VPU selection, stop-gradient, on 9 packed channels); zbuf/bary/dists/
+    fid are re-derived from the PER-TILE gathered channels by the exact
+    one-hot re-interpolation einsum (_xla_reinterpolate) — the same math
+    and formulas as the XLA tile path, differentiable through ordinary AD
+    (the einsum transpose is the scatter back to candidate lanes; no
+    custom_vjp anywhere on this path, and the pack contraction carries no
+    gradient).
+
+    extra: as rasterize_binned_pallas — per-tile attribute channels for
+    bin-local interpolation. The kernel's packed winner lanes are converted
+    back to per-tile lanes (lane - the tile's pack offset), so
+    BinnedAttributes and fragments.interpolate_binned work unchanged."""
+    from .binning import (
+        bin_faces_active,
+        group_offsets,
+        pack_groups,
+        packed_ev_row,
+    )
+
+    H, W = settings.image_size
+    if settings.faces_per_pixel != 1:
+        raise ValueError(
+            "layout='packed' supports faces_per_pixel=1 only; got "
+            f"{settings.faces_per_pixel} (use the per-tile _tile_topk path)"
+        )
+    if settings.active_tiles is None:
+        raise ValueError(
+            "layout='packed' requires active_tiles (pack groups follow "
+            "active-compaction order); size with "
+            "binning.suggest_active_tiles_fd"
+        )
+    tile = settings.bin_size
+    blur = settings.blur_radius
+    pad_radius = math.sqrt(blur) if blur > 0 else 0.0
+    B = fd.valid.shape[0]
+    F = fd.num_faces
+
+    fd_sel = jax.lax.stop_gradient(fd)
+    bins = bin_faces_active(
+        fd_sel, (H, W), tile, pad_radius, settings.active_tiles
+    )
+    A = bins.slot.shape[1]
+    Fmax = min(settings.max_faces_per_bin, F)
+
+    # one gather serves both stages: the kernel's stop-grad selection
+    # channels AND the differentiable re-interpolation planes
+    fid = jnp.broadcast_to(
+        jax.lax.broadcasted_iota(jnp.float32, (1, F, 1), 1), (B, F, 1)
+    )
+    ex = fid if extra is None else jnp.concatenate([extra, fid], axis=-1)
+    ch, exg, mask = gather_rank_planes(fd, bins, Fmax, extra=ex)
+    extra_bin = exg[..., :-1] if extra is not None else None
+    fidf = jax.lax.stop_gradient(exg[..., -1])          # (B, A, Fmax)
+
+    # ---- selection stage (stop-grad): translate corners into their
+    # tile's pixel frame (selection math is translation-invariant; invz
+    # is untouched by xy shifts), pack the 8 tiles of each kernel program
+    # into one shared lane axis, run the winner kernel
+    ox = bins.origin[..., 0:1]
+    oy = bins.origin[..., 1:2]
+    slabs = jax.lax.stop_gradient(jnp.stack(
+        [ch["qx0"] - ox, ch["qy0"] - oy, ch["qx1"] - ox, ch["qy1"] - oy,
+         ch["qx2"] - ox, ch["qy2"] - oy,
+         ch["invz0"], ch["invz1"], ch["invz2"]],
+        axis=-1,
+    ))                                                  # (B, A, Fmax, 9)
+
+    capped = jnp.minimum(bins.count, Fmax)              # (B, A)
+    a_pad = (-A) % _TN
+    if a_pad:
+        slabs = jnp.pad(slabs, ((0, 0), (0, a_pad), (0, 0), (0, 0)))
+        capped = jnp.pad(capped, ((0, 0), (0, a_pad)))
+    A8 = A + a_pad
+    G = A8 // _TN
+
+    S_g = 8 * Fmax if settings.group_lanes is None else settings.group_lanes
+    S_g += (-S_g) % _FC
+
+    packed, n_valid = pack_groups(slabs, capped, S_g)   # (B*G, S_g, 9)
+    cg, off = group_offsets(capped, Fmax)               # (B, G, 8)
+    ev = packed_ev_row(cg, n_valid, S_g).reshape(B * G, 1, S_g)
+    n_chunks = -(-n_valid // _FC)                       # (B, G)
+    meta = jnp.zeros((B * G, 1, S_g), jnp.float32)
+    meta = meta.at[:, 0, 0].set(n_chunks.reshape(-1).astype(jnp.float32))
+    zrows = jnp.zeros((B * G, 5, S_g), jnp.float32)     # sublane alignment
+    planes_sel = jnp.concatenate(
+        [jnp.swapaxes(packed, 1, 2), ev, meta, zrows], axis=1
+    )                                                   # (B*G, 16, S_g)
+
+    inv_s = 1.0 / (min(H, W) / 2.0)
+    tp = tile * tile
+    out = _tile_select_packed(
+        planes_sel, tile, inv_s, blur, settings.znear
+    )                                                   # (B*G, 16, tp)
+    sel = out.reshape(B, A8, 2, tp)[:, :A]              # rows (2t, 2t+1)
+    live = sel[:, :, 0]                                 # (B, A, tp)
+    # packed winner lane -> per-tile lane (minus the tile's pack offset),
+    # so the re-interpolation and BinnedAttributes index the per-tile
+    # gather channels as usual
+    off_t = off.reshape(B, A8)[:, :A].astype(jnp.float32)   # (B, A)
+    lane_t = jnp.where(live > 0.0, sel[:, :, 1] - off_t[..., None], 0.0)
+
+    # ---- interpolation stage (differentiable): exact one-hot winner
+    # gather + fragment math on the per-tile channels, global coordinates
+    valid = mask.astype(jnp.float32)
+    origin_row = jnp.zeros((B, A, Fmax), jnp.float32)
+    origin_row = origin_row.at[..., 0].set(bins.origin[..., 0])
+    origin_row = origin_row.at[..., 1].set(bins.origin[..., 1])
+    planes_t = jnp.stack(
+        [
+            ch["qx0"], ch["qy0"], ch["qx1"], ch["qy1"], ch["qx2"], ch["qy2"],
+            ch["z0"], ch["z1"], ch["z2"],
+            ch["invz0"], ch["invz1"], ch["invz2"],
+            fidf, valid, origin_row, jnp.zeros_like(valid),
+        ],
+        axis=2,
+    ).reshape(B * A, 16, Fmax)
+    rows = _xla_reinterpolate(
+        planes_t, lane_t.reshape(B * A, 1, tp), live.reshape(B * A, 1, tp),
+        tile, inv_s, blur, settings.znear, settings.clip_bary, K=1,
+        with_fid=True,
+    ).reshape(B, A, 6, tp)
+
+    livem = live > 0.0
+    bands = jnp.stack(
+        [
+            jnp.where(livem, rows[:, :, 0], -1.0),
+            jnp.where(livem, rows[:, :, 1], 0.0),
+            jnp.where(livem, rows[:, :, 2], 0.0),
+            jnp.where(livem, rows[:, :, 3], 0.0),
+            jnp.where(livem, rows[:, :, 4], EMPTY_DIST),
+            jnp.where(livem, rows[:, :, 5], -1.0),
+            live,
+            jax.lax.stop_gradient(lane_t),
+        ],
+        axis=2,
+    )                                                   # (B, A, 8, tp)
+    per_tile = bands[:, :, None]                        # (B, A, 1, 8, tp)
+    return _bands_to_fragments(per_tile, bins, True, settings, extra_bin,
+                               extra_layout)

@@ -987,16 +987,13 @@ def _soft_silhouette_pallas_packed(
     n_chunks = -(-n_valid // _FC)                       # (B, G)
 
     # ev row (tile slot + 1 per packed lane, 0 = padding) built from the
-    # pack offsets directly instead of riding the pack contraction: lane s
-    # of a group belongs to tile j iff off_j <= s < off_{j+1}, so
-    # ev[s] = #{j : off_j <= s} for s < n_valid. Saves 1/7 of the pack
-    # dot + its transpose, and ev never carried gradient anyway.
+    # pack offsets directly instead of riding the pack contraction
+    # (binning.packed_ev_row): saves 1/7 of the pack dot + its transpose,
+    # and ev never carried gradient anyway.
+    from .binning import packed_ev_row
+
     cg = jnp.minimum(capped, Fmax).reshape(B, G, _TN)
-    off = jnp.cumsum(cg, axis=-1) - cg                  # (B, G, 8) exclusive
-    s_iota = jnp.arange(S_g, dtype=jnp.int32)[None, None, None, :]
-    ev = jnp.sum((s_iota >= off[..., None]).astype(jnp.float32), axis=2)
-    ev = jnp.where(s_iota[:, :, 0] < n_valid[..., None], ev, 0.0)
-    ev = jax.lax.stop_gradient(ev).reshape(B * G, 1, S_g)
+    ev = packed_ev_row(cg, n_valid, S_g).reshape(B * G, 1, S_g)
 
     meta = jnp.zeros((B * G, 1, S_g), jnp.float32)
     meta = meta.at[:, 0, 0].set(

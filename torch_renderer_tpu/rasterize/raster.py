@@ -80,6 +80,21 @@ class RasterizationSettings:
     # fragments.interpolate_binned (and flat shading chains on top of it)
     # run on the active tiles only, scattering back at the final image.
     active_tiles: Optional[int] = None
+    # Pallas K=1 kernel layout: "tile" (per-tile lane axis, chunk quantum
+    # 128 lanes per tile) or "packed" (the candidates of the 8 tiles a
+    # program owns share one lane axis). "packed" is a MEASURED NEGATIVE
+    # RESULT for hard selection — segmented min cannot ride the MXU the
+    # way the soft path's segmented sum does, and the masked lane-min
+    # reductions cost more than the padding the packing saves (XLA 20.3 ms
+    # vs packed 66+ ms, 720p 12 views; pallas_hard block comment has the
+    # full numbers). Kept opt-in as a bit-exact second implementation
+    # (validation/debugging); never auto-picked. Requires
+    # faces_per_pixel == 1 and active_tiles; engages the Pallas path
+    # regardless of impl ('xla' still forces the XLA path). Size
+    # group_lanes with binning.suggest_group_lanes_fd (None = 8 *
+    # max_faces_per_bin, always safe).
+    layout: str = "tile"
+    group_lanes: Optional[int] = None
 
     @property
     def clip_bary(self) -> bool:
@@ -425,7 +440,11 @@ def uses_binned_pallas(settings: RasterizationSettings) -> bool:
     kernels (see the dispatch comment in rasterize_face_data): explicitly
     forced via impl='pallas', or auto-picked for K>1 on TPU. Only these
     fragments carry Fragments.binned attribute slabs."""
-    if settings.bin_size is None or settings.bin_size > 16:
+    if settings.bin_size is None or settings.impl == "xla":
+        return False
+    if settings.layout == "packed":
+        return settings.faces_per_pixel == 1
+    if settings.bin_size > 16:
         return False
     return settings.impl == "pallas" or (
         settings.impl == "auto"
@@ -446,12 +465,27 @@ def rasterize_face_data(
     bin-local interpolation (fragments.interpolate_binned); other paths
     ignore them (shading falls back to global interpolation).
     """
-    if settings.impl == "pallas" and (
-        settings.bin_size is None or settings.bin_size > 16
+    if (
+        settings.impl == "pallas"
+        and settings.layout != "packed"
+        and (settings.bin_size is None or settings.bin_size > 16)
     ):
         raise ValueError(
-            "impl='pallas' requires bin_size <= 16 (tile=32 kernels "
-            f"crash the Mosaic compiler); got bin_size={settings.bin_size}"
+            "impl='pallas' requires bin_size <= 16 (per-tile tile=32 "
+            "kernels crash the Mosaic compiler; the packed layout supports "
+            f"bin_size 32); got bin_size={settings.bin_size}"
+        )
+    if settings.layout == "packed" and settings.bin_size is None:
+        raise ValueError("layout='packed' requires bin_size (binned path)")
+    if (
+        settings.layout == "packed"
+        and settings.impl != "xla"
+        and settings.faces_per_pixel != 1
+    ):
+        raise ValueError(
+            "layout='packed' supports faces_per_pixel=1 only; got "
+            f"{settings.faces_per_pixel} (K>1 uses the per-tile top-K "
+            "kernel — drop layout='packed')"
         )
     if settings.bin_size is not None:
         # auto: the fused Pallas top-K kernel on TPU for K>1 — it beats the
@@ -463,7 +497,10 @@ def rasterize_face_data(
         # bin_size <= 16: tile=32 (tp=1024) kernels deterministically
         # crash the Mosaic compile helper (measured at any N/F).
         if uses_binned_pallas(settings):
-            from .pallas_hard import rasterize_binned_pallas
+            from .pallas_hard import (
+                rasterize_binned_pallas,
+                rasterize_packed_pallas,
+            )
 
             extra = None
             layout = ()
@@ -475,6 +512,8 @@ def rasterize_face_data(
                     layout += ((name, start, a.shape[-1]),)
                     start += a.shape[-1]
                 extra = jnp.concatenate(parts, axis=-1).reshape(B, F, -1)
+            if settings.layout == "packed":
+                return rasterize_packed_pallas(fd, settings, extra, layout)
             return rasterize_binned_pallas(fd, settings, extra, layout)
         return _rasterize_binned(fd, settings)
 

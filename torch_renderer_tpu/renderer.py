@@ -92,11 +92,14 @@ class MeshRenderer(DifferentiableRenderer):
         impl: str = "auto",
         shade_k: Optional[int] = None,
         active_tiles: Optional[int] = None,
+        layout: str = "tile",
+        group_lanes: Optional[int] = None,
     ):
         """shade_k: shade only the nearest shade_k fragment slots for RGB
         (silhouette/depth keep all K); at the default gamma=1e-4 the
         z-softmax blend weights beyond slot ~2 are negligible and shading
-        cost scales with the slot count."""
+        cost scales with the slot count. layout/group_lanes: the K=1
+        Pallas kernel layout (RasterizationSettings.layout)."""
         super().__init__(K, image_size)
         self.shade_k = shade_k
         self.settings = RasterizationSettings(
@@ -108,6 +111,8 @@ class MeshRenderer(DifferentiableRenderer):
             max_faces_per_bin=max_faces_per_bin,
             impl=impl,
             active_tiles=active_tiles,
+            layout=layout,
+            group_lanes=group_lanes,
         )
         self.blend = BlendParams(sigma=sigma, gamma=gamma, background_color=background_color)
         self.lights = lights if lights is not None else PointLights.make()
