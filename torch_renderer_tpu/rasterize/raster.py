@@ -374,20 +374,35 @@ def _rasterize_binned(fd: FaceRasterData, settings: RasterizationSettings) -> Fr
             v[:, None, :], K, blur, settings.znear,
         )  # (c, tp, K)
 
+        # winner gather: one one-hot einsum over the tile's Fmax lanes per
+        # hit (MXU) instead of 13 masked VPU reductions per channel —
+        # measured 3.06 -> ~0.5 ms of the 720p 12-view call (fusion.152 in
+        # the op profile). Exact: a single nonzero per (pixel, lane) row
+        # and f32 HIGHEST (3-pass bf16 split) reconstruct the f32 values
+        # bit-for-bit, as in pallas_hard._xla_reinterpolate.
+        stacked = jnp.stack(
+            [chc[f"q{ax}{j}"] for j in range(3) for ax in ("x", "y")]
+            + [chc[f"z{j}"] for j in range(3)]
+            + [chc[f"invz{j}"] for j in range(3)]
+            + [fi.astype(jnp.float32)],
+            axis=-1,
+        )  # (c, Fmax, 13)
+
         zbufs, pcs, dists_l, p2fs = [], [], [], []
         for k in range(K):
             mk = idx_local[:, :, k][..., None] == iota_f  # (c, tp, Fmax)
-            gsel = lambda chan: jnp.sum(
-                jnp.where(mk, chan[:, None, :], 0.0), axis=-1
-            )  # (c, tp)
-            qx = [gsel(chc[f"qx{j}"]) for j in range(3)]
-            qy = [gsel(chc[f"qy{j}"]) for j in range(3)]
-            zf = [gsel(chc[f"z{j}"]) for j in range(3)]
-            invzf = [gsel(chc[f"invz{j}"]) for j in range(3)]
+            sel = jnp.einsum(
+                "ctf,cfn->ctn", mk.astype(jnp.float32), stacked,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (c, tp, 13)
+            qx = [sel[..., 2 * j] for j in range(3)]
+            qy = [sel[..., 2 * j + 1] for j in range(3)]
+            zf = [sel[..., 6 + j] for j in range(3)]
+            invzf = [sel[..., 9 + j] for j in range(3)]
             zb, pck, dd = _fragment_math(
                 px[..., 0], py[..., 0], qx, qy, zf, invzf, settings.clip_bary
             )
-            p2f = jnp.sum(mk * fi[:, None, :], axis=-1).astype(jnp.int32)
+            p2f = jnp.round(sel[..., 12]).astype(jnp.int32)
             zbufs.append(zb)
             pcs.append(jnp.stack(pck, axis=-1))
             dists_l.append(dd)
