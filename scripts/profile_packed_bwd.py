@@ -10,6 +10,18 @@ internal blocks with variant kernels (same grid/blockspecs, reduced body):
   bwd_nosd2  variant: no _signed_d2 recompute (alpha := g_sel)
   bwd_su     variant: only the 3 Su moments per edge (no x/y/r2 moments)
   bwd_nogsel variant: g_sel MXU dot replaced by a broadcast constant row
+  bwd_hier   variant: hierarchical two-pass moment reductions (see below)
+
+MEASURED NEGATIVE RESULT (2026-08-19, north-star 256^2, v5e, same
+session): bwd_hier 0.586 ms vs bwd_full 0.585 ms net of floor — a dead
+tie. Factoring each (TP, F) pixel reduction through (tile, tile, F)
+row/column partial sums cuts the slab TRAVERSAL count per edge from 13
+to 7 (the x/y moment weighting moves to (tile, F) epilogues), and the
+f32 result is slightly CLOSER to float64 than the direct form
+(pairwise-partial summation), but Mosaic's strided/grouped sublane
+reductions for the reshaped axes cost as much as the direct full-slab
+tree sums, so no wall-clock moves. Kept as a variant body for future
+re-measurement on other TPU generations.
   asm_fwd    full pipeline forward (setup + bin + gather + pack + kernel)
   asm_grad   full pipeline grad w.r.t. verts (adds all transposes)
 
@@ -140,6 +152,70 @@ def main() -> None:
     print(f"planes {planes0.shape}", file=sys.stderr)
 
     # ---- variant backward kernels (same specs, reduced bodies) ----
+    def _hier_moment_dq(inv_sigma, tile, q, valid, signed, d2, inside,
+                        edges, gcot):
+        """EXPERIMENT: hierarchical two-pass moment reductions.
+
+        The production _moment_dq runs 7 full (TP, F) reductions + 6
+        integrand multiplies per edge (13 slab traversals). Factoring the
+        pixel axis as (y, x) = (tile, tile): P[x] = sum_y field and
+        Q[y] = sum_x field give Su/Sux from P and Suy from Q with only 2
+        full traversals per field — 7 traversals per edge total (s mul,
+        r2 mul, P_u, Q_u, P_s, Q_s, Sr2), the x/y weighting moved to tiny
+        (tile, F) epilogues."""
+        import jax.numpy as jnp
+
+        xs = jax.lax.broadcasted_iota(
+            jnp.int32, (tile, 1), 0).astype(jnp.float32) * inv_s
+        sgn = jnp.where(inside, -1.0, 1.0)
+        alpha = gcot * jax.nn.sigmoid(-signed * inv_sigma) * (
+            -2.0 * inv_sigma) * sgn
+        alpha = jnp.where(valid > 0.0, alpha, 0.0)
+
+        m0 = (edges[0][0] <= d2).astype(jnp.float32)
+        m1 = (edges[1][0] <= d2).astype(jnp.float32)
+        m2 = (edges[2][0] <= d2).astype(jnp.float32)
+        norm = m0 + m1 + m2
+        inv_norm = jnp.where(
+            norm <= 1.0, 1.0, jnp.where(norm <= 2.0, 0.5, 1.0 / 3.0)
+        )
+        an = alpha * inv_norm
+
+        def hier(field):
+            a = field.reshape(tile, tile, -1)   # (y, x, F)
+            P = jnp.sum(a, axis=0)              # (x, F)
+            Q = jnp.sum(a, axis=1)              # (y, F)
+            S0 = jnp.sum(P, axis=0)
+            Sx = jnp.sum(P * xs, axis=0)
+            Sy = jnp.sum(Q * xs, axis=0)        # ys == xs values
+            return S0, Sx, Sy
+
+        def edge_grads(e, m, qxa, qya):
+            _, t, _, _, gx, gy = e
+            u = an * m
+            s = u * t
+            r2 = s * t
+            Su, Sux, Suy = hier(u)
+            Ss, Ssx, Ssy = hier(s)
+            Sr2 = jnp.sum(r2, axis=0)
+            ax = qxa[0]
+            ay = qya[0]
+            dsu = Su - Ss
+            dab = Ss - Sr2
+            dqa_x = (Ssx - Sux) + ax * dsu + gx[0] * dab
+            dqa_y = (Ssy - Suy) + ay * dsu + gy[0] * dab
+            dqb_x = ax * Ss - Ssx + gx[0] * Sr2
+            dqb_y = ay * Ss - Ssy + gy[0] * Sr2
+            return dqa_x, dqa_y, dqb_x, dqb_y
+
+        qx0, qy0, qx1, qy1, qx2, qy2 = q
+        a0x, a0y, b0x, b0y = edge_grads(edges[0], m0, qx0, qy0)
+        a1x, a1y, b1x, b1y = edge_grads(edges[1], m1, qx1, qy1)
+        a2x, a2y, b2x, b2y = edge_grads(edges[2], m2, qx2, qy2)
+        return (a0x + b2x, a0y + b2y,
+                b0x + a1x, b0y + a1y,
+                b1x + a2x, b1y + a2y)
+
     def make_bwd_variant(body_kind):
         inv_sigma = 1.0 / SIGMA
         fc = ps._FC
@@ -188,6 +264,10 @@ def main() -> None:
                             rows.append(jnp.sum(u, axis=0))
                             rows.append(jnp.sum(s, axis=0))
                         rows = tuple(rows)
+                    elif body_kind == "hier":
+                        rows = _hier_moment_dq(
+                            inv_sigma, TILE, q, valid, signed, d2,
+                            inside, edges, g_sel)
                     else:  # full
                         rows = ps._moment_dq(
                             inv_sigma, xoff, yoff, q, valid, signed, d2,
@@ -392,6 +472,7 @@ def main() -> None:
         ("kfwd", cut_kfwd, planes0),
         ("kgrad", cut_kgrad, planes0),
         ("bwd_full", make_variant_cut("full"), planes0),
+        ("bwd_hier", make_variant_cut("hier"), planes0),
         ("bwd_su", make_variant_cut("su_only"), planes0),
         ("bwd_nosd2", make_variant_cut("nosd2"), planes0),
         ("bwd_nogsel", make_variant_cut("nogsel"), planes0),
