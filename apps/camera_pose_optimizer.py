@@ -90,30 +90,29 @@ def main():
         sil_act = act
         print(f"auto active_tiles = {act}")
 
-    sil_group_lanes = None
+    sil_cfg = None
     if args.sil_layout == "packed":
-        if sil_act is None:
-            # packed needs the active-compacted bin order; every tile
-            # active (= no drop risk) still gets the lane-packing win
-            from torch_renderer_tpu.rasterize.binning import tile_grid as _tg
-
-            TH, TW, _ = _tg((H, W), 16)
-            sil_act = TH * TW
+        # one-call sizing of the whole soft-kernel bundle from both poses
+        # the fit traverses (moving-footprint protocol: 2x margin — tiles
+        # / group lanes beyond a static budget drop their candidates)
         from torch_renderer_tpu.cameras.perspective import PerspectiveCamera
         from torch_renderer_tpu.rasterize.geometry import setup_faces
         from torch_renderer_tpu.rasterize.pallas_soft import (
-            suggest_group_lanes,
+            suggest_soft_config,
         )
 
-        # same moving-footprint protocol as active tiles: size from both
-        # poses with 2x margin (group overflow drops candidates)
-        for Rp, tp_ in ((R_gt, t_gt), (R_gt, t0_)):
-            cam = PerspectiveCamera.from_K(K, (H, W), R=Rp[None], t=tp_[None])
-            sil_group_lanes = max(sil_group_lanes or 0, suggest_group_lanes(
-                setup_faces(meshes, cam), (H, W), tile=16,
-                active_tiles=sil_act, margin=2.0,
-            ))
-        print(f"auto sil_group_lanes = {sil_group_lanes}")
+        fds = [
+            setup_faces(meshes, PerspectiveCamera.from_K(
+                K, (H, W), R=Rp[None], t=tp_[None]))
+            for Rp, tp_ in ((R_gt, t_gt), (R_gt, t0_))
+        ]
+        sil_cfg = suggest_soft_config(fds, (H, W), margin=2.0,
+                                      layout="packed")
+        if sil_act is not None:
+            # an explicit/auto --active-tiles budget wins over the
+            # suggestion (kept consistent with the hard path's budget)
+            sil_cfg = sil_cfg._replace(active_tiles=sil_act)
+        print(f"auto sil config = {sil_cfg}")
 
     cfg = PoseFitConfig(lr=args.lr, n_steps=args.iters, use_rgb=not args.no_rgb)
     fitter = CameraPoseFitter(
@@ -122,7 +121,8 @@ def main():
         silhouette_impl=args.silhouette_impl,
         sil_active_tiles=sil_act,
         sil_layout=args.sil_layout,
-        sil_group_lanes=sil_group_lanes,
+        sil_config=sil_cfg,  # overrides the individual sil_* knobs
+
         active_tiles=act if args.bin_size else None,
     )
     occ_key = jax.random.PRNGKey(args.seed) if args.occlusion else None

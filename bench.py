@@ -52,9 +52,7 @@ def tpu_fps() -> float:
     from torch_renderer_tpu.rasterize.geometry import setup_face_planes
     from torch_renderer_tpu.rasterize.pallas_soft import (
         soft_silhouette_pallas_fd,
-        suggest_active_tiles,
-        suggest_faces_per_tile,
-        suggest_group_lanes,
+        suggest_soft_config,
     )
     from torch_renderer_tpu.structures.meshes import Meshes
 
@@ -71,16 +69,13 @@ def tpu_fps() -> float:
     # (channel planes, no tiny-trailing-dim corner tensors) is bit-exact vs
     # setup_faces through this path (tests/test_rank_binning).
     fp0 = setup_face_planes(meshes, cam)
-    fpt = suggest_faces_per_tile(fp0, (IMAGE, IMAGE))
-    act = suggest_active_tiles(fp0, (IMAGE, IMAGE))
-    gl = suggest_group_lanes(fp0, (IMAGE, IMAGE), active_tiles=act,
-                             faces_per_tile=fpt)
+    cfg = suggest_soft_config(fp0, (IMAGE, IMAGE), sigma=SIGMA,
+                              layout="packed")
 
     def loss_fn(v):
         fp = setup_face_planes(meshes.update_padded(v), cam)
         alpha = soft_silhouette_pallas_fd(
-            fp, (IMAGE, IMAGE), sigma=SIGMA, faces_per_tile=fpt,
-            active_tiles=act, layout="packed", group_lanes=gl,
+            fp, (IMAGE, IMAGE), sigma=SIGMA, **cfg.kwargs(),
         )
         return jnp.sum(alpha)
 

@@ -278,3 +278,67 @@ def test_occupancy_split_validation(split_scene):
             meshes, cam, tile=16, faces_per_tile=320, active_tiles=16,
             layout="packed", hi_tiles=16,  # must be < active tiles
         )
+
+
+def test_suggest_soft_config_bundle(scene):
+    """suggest_soft_config bundles the suggest_* calls; its kwargs() splat
+    must run the kernel and match the streaming oracle."""
+    from torch_renderer_tpu.rasterize.pallas_soft import (
+        SoftKernelConfig,
+        soft_silhouette_pallas_fd,
+        suggest_active_tiles,
+        suggest_faces_per_tile,
+        suggest_soft_config,
+    )
+
+    meshes, cam = scene
+    fp = setup_face_planes(meshes, cam)
+    cfg = suggest_soft_config(fp, cam.image_size, layout="auto")
+    assert isinstance(cfg, SoftKernelConfig)
+    assert cfg.faces_per_tile == suggest_faces_per_tile(fp, cam.image_size)
+    assert cfg.active_tiles == suggest_active_tiles(fp, cam.image_size)
+    if cfg.layout == "packed":
+        assert cfg.group_lanes is not None
+
+    want = np.asarray(soft_silhouette_streaming(meshes, cam))
+    got = np.asarray(
+        soft_silhouette_pallas_fd(fp, cam.image_size, **cfg.kwargs())
+    )
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+    # forcing the lane layout drops the pack fields
+    lane = suggest_soft_config(fp, cam.image_size, layout="lane")
+    assert lane.layout == "lane" and lane.group_lanes is None
+    got_lane = np.asarray(
+        soft_silhouette_pallas_fd(fp, cam.image_size, **lane.kwargs())
+    )
+    np.testing.assert_allclose(got_lane, want, atol=1e-4)
+
+
+def test_suggest_soft_config_multi_pose_max(scene):
+    """Budgets over several projections are the max of the per-pose
+    suggestions (the moving-footprint fit protocol)."""
+    from torch_renderer_tpu.rasterize.pallas_soft import (
+        suggest_active_tiles,
+        suggest_faces_per_tile,
+        suggest_soft_config,
+    )
+
+    meshes, cam = scene
+    # two very different distances -> different footprints/budgets
+    t2 = np.stack([
+        np.array([0.0, 0.0, 1.8], np.float32),
+        np.array([0.0, 0.0, 1.8], np.float32),
+    ])
+    cam2 = PerspectiveCamera.from_K(
+        np.asarray(cam.K()[0]), cam.image_size,
+        R=np.broadcast_to(np.eye(3, dtype=np.float32), (B, 3, 3)), t=t2,
+    )
+    fps = [setup_face_planes(meshes, c) for c in (cam, cam2)]
+    cfg = suggest_soft_config(fps, cam.image_size)
+    assert cfg.faces_per_tile == max(
+        suggest_faces_per_tile(fp, cam.image_size) for fp in fps
+    )
+    assert cfg.active_tiles == max(
+        suggest_active_tiles(fp, cam.image_size) for fp in fps
+    )

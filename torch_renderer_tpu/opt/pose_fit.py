@@ -122,6 +122,7 @@ class CameraPoseFitter:
         sil_active_tiles: Optional[int] = None,
         sil_layout: str = "lane",
         sil_group_lanes: Optional[int] = None,
+        sil_config=None,
         **renderer_kw,
     ):
         """silhouette_impl='pallas' renders the silhouette with the exact
@@ -138,11 +139,25 @@ class CameraPoseFitter:
         sil_active_tiles); size sil_group_lanes with
         pallas_soft.suggest_group_lanes from the GT pose with the same
         headroom caveat (group overflow drops candidates like bin
-        overflow)."""
+        overflow).
+
+        sil_config: a pallas_soft.SoftKernelConfig bundle (from
+        suggest_soft_config over the poses the fit will traverse, with
+        margin); overrides faces_per_tile and every sil_* knob above in
+        one argument."""
         import math
 
         self.silhouette_impl = silhouette_impl
         self.sigma = sigma
+        self.sil_hi_tiles = None
+        self.sil_lo_lanes = 32
+        if sil_config is not None:
+            faces_per_tile = sil_config.faces_per_tile
+            sil_active_tiles = sil_config.active_tiles
+            sil_layout = sil_config.layout
+            sil_group_lanes = sil_config.group_lanes
+            self.sil_hi_tiles = sil_config.hi_tiles
+            self.sil_lo_lanes = sil_config.lo_lanes
         self.faces_per_tile = faces_per_tile
         self.sil_active_tiles = sil_active_tiles
         self.sil_layout = sil_layout
@@ -177,6 +192,8 @@ class CameraPoseFitter:
                 active_tiles=self.sil_active_tiles,
                 layout=self.sil_layout,
                 group_lanes=self.sil_group_lanes,
+                hi_tiles=self.sil_hi_tiles,
+                lo_lanes=self.sil_lo_lanes,
             )
             return _dc.replace(out, silhouette=sil)
         return self.renderer.render(

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import functools
 import math
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -876,6 +877,98 @@ def suggest_group_lanes(
     pad = math.sqrt(SOFT_CUTOFF * sigma)
     return suggest_group_lanes_fd(fd, image_size, tile, pad, active_tiles,
                                   faces_per_tile, margin=margin, order=order)
+
+
+class SoftKernelConfig(NamedTuple):
+    """Static sizing bundle for soft_silhouette_pallas_fd.
+
+    Produced by suggest_soft_config(); splat into the call with
+    ``soft_silhouette_pallas_fd(fd, image_size, sigma=sigma,
+    **cfg.kwargs())``. All fields are static kernel parameters — compute
+    them once per scene/fit setup, outside jit."""
+
+    tile: int
+    faces_per_tile: int
+    active_tiles: int | None
+    layout: str
+    group_lanes: int | None
+    hi_tiles: int | None = None
+    lo_lanes: int = 32
+
+    def kwargs(self) -> dict:
+        return {
+            "tile": self.tile,
+            "faces_per_tile": self.faces_per_tile,
+            "active_tiles": self.active_tiles,
+            "layout": self.layout,
+            "group_lanes": self.group_lanes,
+            "hi_tiles": self.hi_tiles,
+            "lo_lanes": self.lo_lanes,
+        }
+
+
+def suggest_soft_config(
+    fds, image_size, tile: int = 16, sigma: float = 1e-4,
+    margin: float = 1.3, layout: str = "auto", split: bool = False,
+) -> SoftKernelConfig:
+    """One-call scene sizing for the fused soft-silhouette kernel.
+
+    Bundles the individual suggest_* helpers (faces_per_tile,
+    active_tiles, layout, group_lanes, occupancy split) that every
+    caller previously chained by hand (bench.py, the pose apps, the
+    profilers).
+
+    fds: a single FaceRasterData / FacePlanes, or an iterable of them —
+    pass projections at several poses (e.g. a fit's start AND target)
+    and every budget takes the max across them. Footprints that move
+    during a fit need margin: candidates/tiles beyond a static budget
+    are dropped like bin overflow (the pose apps use margin=2.0).
+
+    layout: "auto" picks via suggest_layout (group-packed for thin bins);
+    or force "lane" / "packed". split=True additionally sizes the
+    packed layout's occupancy split (suggest_occupancy_split) — only
+    worthwhile for static scenes with a skewed tile-occupancy histogram;
+    leave off for fits (the split drops overflow candidates count-sorted,
+    which interacts badly with moving footprints).
+
+    Call OUTSIDE jit with concrete data; the result is a static bundle.
+    """
+    if hasattr(fds, "valid"):
+        fds = (fds,)
+    fds = tuple(fds)
+    if not fds:
+        raise ValueError("suggest_soft_config needs at least one projection")
+
+    fpt = max(
+        suggest_faces_per_tile(fd, image_size, tile, sigma, margin=margin)
+        for fd in fds
+    )
+    act = max(
+        suggest_active_tiles(fd, image_size, tile, sigma, margin=margin)
+        for fd in fds
+    )
+    if layout == "auto":
+        layout = suggest_layout(fpt)
+    if layout == "lane":
+        return SoftKernelConfig(tile, fpt, act, "lane", None)
+
+    hi = None
+    lo = 32
+    if split:
+        his = [
+            suggest_occupancy_split(fd, image_size, tile, sigma,
+                                    active_tiles=act, lo_lanes=lo,
+                                    margin=margin)
+            for fd in fds
+        ]
+        hi = None if any(h is None for h in his) else max(his)
+    gl = max(
+        suggest_group_lanes(fd, image_size, tile, sigma, active_tiles=act,
+                            faces_per_tile=fpt, margin=margin,
+                            order="count" if hi else "tile")
+        for fd in fds
+    )
+    return SoftKernelConfig(tile, fpt, act, "packed", gl, hi, lo)
 
 
 def suggest_occupancy_split(
