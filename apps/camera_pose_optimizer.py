@@ -66,46 +66,45 @@ def main():
 
     act = None if args.active_tiles == 0 else args.active_tiles
     sil_act = act if act and act > 0 else None
-    if act is not None and act < 0:
-        # auto: the footprint moves between the start pose and GT; budget
-        # from both with 2x margin (dropped tiles would silently zero
-        # their pixels' gradients)
-        import math
+    need_auto_act = act is not None and act < 0
+    need_sil_cfg = args.sil_layout == "packed"
 
-        from torch_renderer_tpu.cameras.perspective import PerspectiveCamera
-        from torch_renderer_tpu.rasterize.binning import (
-            suggest_active_tiles_fd, tile_grid,
-        )
-        from torch_renderer_tpu.rasterize.geometry import setup_faces
-
-        need = 0
-        for Rp, tp_ in ((R_gt, t_gt), (R_gt, t0_)):
-            cam = PerspectiveCamera.from_K(K, (H, W), R=Rp[None], t=tp_[None])
-            need = max(need, suggest_active_tiles_fd(
-                setup_faces(meshes, cam), (H, W),
-                args.bin_size or 16, 0.0, margin=2.0,
-            ))
-        TH, TW, _ = tile_grid((H, W), args.bin_size or 16)
-        act = need if need < TH * TW else None
-        sil_act = act
-        print(f"auto active_tiles = {act}")
-
-    sil_cfg = None
-    if args.sil_layout == "packed":
-        # one-call sizing of the whole soft-kernel bundle from both poses
-        # the fit traverses (moving-footprint protocol: 2x margin — tiles
-        # / group lanes beyond a static budget drop their candidates)
+    # project ONCE at both poses the fit traverses (GT and perturbed
+    # start); every budget below is sized from both with 2x margin — the
+    # moving-footprint protocol (candidates/tiles beyond a static budget
+    # are dropped like bin overflow, silently zeroing their gradients)
+    fds = None
+    if need_auto_act or need_sil_cfg:
         from torch_renderer_tpu.cameras.perspective import PerspectiveCamera
         from torch_renderer_tpu.rasterize.geometry import setup_faces
-        from torch_renderer_tpu.rasterize.pallas_soft import (
-            suggest_soft_config,
-        )
 
         fds = [
             setup_faces(meshes, PerspectiveCamera.from_K(
                 K, (H, W), R=Rp[None], t=tp_[None]))
             for Rp, tp_ in ((R_gt, t_gt), (R_gt, t0_))
         ]
+
+    if need_auto_act:
+        from torch_renderer_tpu.rasterize.binning import (
+            suggest_active_tiles_fd, tile_grid,
+        )
+
+        need = max(
+            suggest_active_tiles_fd(fd, (H, W), args.bin_size or 16, 0.0,
+                                    margin=2.0)
+            for fd in fds
+        )
+        TH, TW, _ = tile_grid((H, W), args.bin_size or 16)
+        act = need if need < TH * TW else None
+        sil_act = act
+        print(f"auto active_tiles = {act}")
+
+    sil_cfg = None
+    if need_sil_cfg:
+        from torch_renderer_tpu.rasterize.pallas_soft import (
+            suggest_soft_config,
+        )
+
         sil_cfg = suggest_soft_config(fds, (H, W), margin=2.0,
                                       layout="packed")
         if sil_act is not None:

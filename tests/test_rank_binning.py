@@ -366,3 +366,41 @@ def test_onehot_take_cm_matches_gather_values_and_grads():
     )(arr)
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want),
                                atol=1e-6)
+
+
+def test_rank_sentinel_never_a_live_slot():
+    """Regression: bin_ranks' non-overlap sentinel must never collide with
+    a gather slot for ANY n_slots. The sublane soft layout rounds per-tile
+    slots up to the sublane granule (and callers may size per_tile above
+    F), so the old sentinel F + 1 became a live slot there: every EXCLUDED
+    face gathered into one phantom candidate whose coordinates were the
+    sum of all non-members (rendered alpha 0.84 where the lane layout
+    renders 0.0)."""
+    from torch_renderer_tpu.rasterize.binning import (
+        bin_ranks,
+        gather_rank_channels,
+    )
+
+    # 20 unit bboxes: faces 0..16 inside tile 0, faces 17..19 far right
+    F = 20
+    img = (32, 32)
+    s = 16.0  # min(H, W) / 2
+    centers = np.zeros((1, F, 2), np.float32)
+    centers[0, :17] = (-0.7, -0.7)           # tile 0 (NDC of pixel ~5)
+    centers[0, 17:] = (0.7, 0.7)             # opposite tile
+    bbox_min = jnp.asarray(centers - 0.01)
+    bbox_max = jnp.asarray(centers + 0.01)
+    valid = jnp.ones((1, F), bool)
+    bins = bin_ranks(bbox_min, bbox_max, valid, img, 16)
+    assert int(bins.count[0, 0]) == 17
+
+    # gather a ones-channel into MORE slots than F + 1: anything past a
+    # tile's real count must come back exactly zero
+    per_tile = 24
+    ones = jnp.ones((1, F, 1), jnp.float32)
+    g = np.asarray(gather_rank_channels(ones, bins, per_tile))[..., 0]
+    assert g[0, 0, :17].sum() == 17.0
+    np.testing.assert_array_equal(g[0, 0, 17:], 0.0)
+    # pre-fix, slot F + 1 == 21 of every tile summed the excluded faces:
+    # tile 0 held 3 phantom members there
+    np.testing.assert_array_equal(g[:, :, 21], 0.0)

@@ -27,6 +27,13 @@ import numpy as np
 
 from .geometry import FaceRasterData
 
+# Non-overlap sentinel for rank slots. Must never collide with a live
+# slot index for ANY n_slots a gather might use: the sublane soft layout
+# rounds per-tile slots up to a granule (and callers may size per_tile
+# above F), so F + 1 WAS a live slot there — excluded faces then summed
+# into a phantom candidate (alpha 0.84 where the lane layout renders 0).
+_NO_SLOT = np.int32(2**31 - 1)
+
 
 class TileBins(NamedTuple):
     face_idx: jax.Array   # (B, T, Fmax) int32 candidate face ids (0-padded)
@@ -403,7 +410,8 @@ _slot_gather.defvjp(_slot_gather_fwd, _slot_gather_bwd)
 
 class RankBins(NamedTuple):
     """Rank-encoded tile bins: slot[b,t,f] = candidate position of item f in
-    tile t (ascending id among overlaps), or >= F for non-overlapping."""
+    tile t (ascending id among overlaps), or _NO_SLOT (int32 max) for
+    non-overlapping — a sentinel no gather slot count can reach."""
 
     slot: jax.Array         # (B, T, F) int32
     count: jax.Array        # (B, T) int32 total overlaps (uncapped)
@@ -432,7 +440,7 @@ def bin_ranks(
     overlap = jax.lax.stop_gradient(overlap)
     F = overlap.shape[-1]
     rank = jnp.cumsum(overlap.astype(jnp.int32), axis=-1)  # 1-based
-    slot = jnp.where(overlap, rank - 1, F + 1)
+    slot = jnp.where(overlap, rank - 1, _NO_SLOT)
     return RankBins(
         slot=slot, count=rank[..., -1], tile_origin=origin,
         n_tiles_hw=(TH, TW),
@@ -465,7 +473,7 @@ def gather_rank_channels(
     t_chunk = -(-T // n_chunks)
     padt = n_chunks * t_chunk - T
     slot_p = jnp.pad(bins.slot, ((0, 0), (0, padt), (0, 0)),
-                     constant_values=F + 1)
+                     constant_values=_NO_SLOT)
     slot_c = jnp.swapaxes(slot_p.reshape(B, n_chunks, t_chunk, F), 0, 1)
 
     def chunk(sc):
@@ -568,10 +576,15 @@ def bin_ranks_active(
         # rank = position among actives sorted by (count desc, tile asc):
         # one branchless (B, T, T) key comparison — T is a few hundred.
         cnt = jnp.sum(overlap, axis=-1, dtype=jnp.int32)    # (B, T)
-        key = cnt * T + jnp.arange(T - 1, -1, -1, dtype=jnp.int32)[None, :]
-        key = jnp.where(nonempty, key, -1)
-        beats = (key[:, :, None] > key[:, None, :]).astype(jnp.int32)
-        srank = jnp.sum(beats, axis=1)                      # (B, T)
+        cnt = jnp.where(nonempty, cnt, -1)
+        # lexicographic (count desc, tile asc) without a packed integer
+        # key: cnt * T + tie overflows int32 once F * T > 2^31 (silently
+        # dropping the densest tile); the two compares cannot.
+        idx = jnp.arange(T, dtype=jnp.int32)
+        tie = (idx[:, None] < idx[None, :])[None]
+        beats = ((cnt[:, :, None] > cnt[:, None, :])
+                 | ((cnt[:, :, None] == cnt[:, None, :]) & tie))
+        srank = jnp.sum(beats.astype(jnp.int32), axis=1)    # (B, T)
         rank = jnp.where(nonempty, srank, A + 1)            # >= A drops
     elif order == "tile":
         trank = jnp.cumsum(nonempty.astype(jnp.int32), axis=-1)
@@ -589,7 +602,7 @@ def bin_ranks_active(
         preferred_element_type=jnp.float32,
     ) > 0.5                                                 # (B, A, F)
     rankf = jnp.cumsum(overlap_c.astype(jnp.int32), axis=-1)
-    slot = jnp.where(overlap_c, rankf - 1, F + 1)
+    slot = jnp.where(overlap_c, rankf - 1, _NO_SLOT)
 
     onef = onehot.astype(jnp.float32)
     origin_c = jnp.einsum(

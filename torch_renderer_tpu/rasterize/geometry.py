@@ -324,3 +324,58 @@ def point_to_edges_dist2(p: jax.Array, q: jax.Array):
         d = p - proj
         d2s.append(jnp.sum(d * d, axis=-1))
     return jnp.minimum(jnp.minimum(d2s[0], d2s[1]), d2s[2])
+
+
+def channel_edge_bary(px, py, qx, qy):
+    """Edge functions + (perspective-incorrect) barycentrics from six corner
+    CHANNEL rows; px/py broadcast against the per-face rows.
+
+    The one definition of the screen-space inside test for every XLA path
+    that works on gathered scalar channels (raster._fragment_math,
+    raster._select_tile_channels, soft.soft_silhouette_binned) — identical
+    op sequence at each site, so fixing e.g. the 1e-12 degenerate-area
+    guard here fixes all of them. Edge k is opposite corner k
+    (setup_faces' abc convention). Returns (bary 3-list, inside).
+    """
+    def cross_e(ax, ay, bx, by):
+        return (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+
+    e0 = cross_e(qx[1], qy[1], qx[2], qy[2])
+    e1 = cross_e(qx[2], qy[2], qx[0], qy[0])
+    e2 = cross_e(qx[0], qy[0], qx[1], qy[1])
+    area2 = (qx[1] - qx[0]) * (qy[2] - qy[0]) - (qy[1] - qy[0]) * (
+        qx[2] - qx[0])
+    inv_area = 1.0 / jnp.where(jnp.abs(area2) > 1e-12, area2, 1.0)
+    bary = [e0 * inv_area, e1 * inv_area, e2 * inv_area]
+    inside = (bary[0] >= 0.0) & (bary[1] >= 0.0) & (bary[2] >= 0.0)
+    return bary, inside
+
+
+def channel_min_edge_dist2(px, py, qx, qy, hoist_inv: bool):
+    """Min-over-3-edges clamped point-to-segment squared distance from six
+    corner channel rows, >= 0.
+
+    hoist_inv picks the division ROUNDING family — the two families must
+    not be merged:
+      * True:  t = wg * (1/len2), one per-face divide (the soft-coverage
+        family; bit-matches pallas_soft._edge_terms so the XLA fallback
+        agrees with the fused kernel).
+      * False: t = wg / len2 per (pixel, face) pair (the hard-selection
+        family; bit-matches pallas_hard's in-kernel math, which the
+        winner-identity parity tests require).
+    """
+    d2 = None
+    for a_i, b_i in ((0, 1), (1, 2), (2, 0)):
+        gx = qx[b_i] - qx[a_i]
+        gy = qy[b_i] - qy[a_i]
+        len2 = jnp.clip(gx * gx + gy * gy, 1e-12, None)
+        wx = px - qx[a_i]
+        wy = py - qy[a_i]
+        wg = wx * gx + wy * gy
+        if hoist_inv:
+            t = jnp.clip(wg * (1.0 / len2), 0.0, 1.0)
+        else:
+            t = jnp.clip(wg / len2, 0.0, 1.0)
+        dd = wx * wx + wy * wy - 2.0 * t * wg + t * t * len2
+        d2 = dd if d2 is None else jnp.minimum(d2, dd)
+    return jnp.maximum(d2, 0.0)

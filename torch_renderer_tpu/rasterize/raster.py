@@ -33,6 +33,8 @@ from ..structures.meshes import Meshes
 from .fragments import EMPTY_DIST, Fragments
 from .geometry import (
     FaceRasterData,
+    channel_edge_bary,
+    channel_min_edge_dist2,
     pixel_coords_raster,
     point_to_edges_dist2,
     setup_faces,
@@ -154,16 +156,7 @@ def _fragment_math(px, py, qx, qy, zf, invzf, clip_bary: bool):
     px, py: (S,) pixel coords; qx, qy, zf, invzf: 3-lists of (S,) gathered
     corner channels. Returns (zbuf (S,), pc 3-list (S,), dists (S,)).
     """
-    def cross_e(ax, ay, bx, by):
-        return (bx - ax) * (py - ay) - (by - ay) * (px - ax)
-
-    e0 = cross_e(qx[1], qy[1], qx[2], qy[2])
-    e1 = cross_e(qx[2], qy[2], qx[0], qy[0])
-    e2 = cross_e(qx[0], qy[0], qx[1], qy[1])
-    area2 = (qx[1] - qx[0]) * (qy[2] - qy[0]) - (qy[1] - qy[0]) * (qx[2] - qx[0])
-    inv_area = 1.0 / jnp.where(jnp.abs(area2) > 1e-12, area2, 1.0)
-    bary = [e0 * inv_area, e1 * inv_area, e2 * inv_area]
-    inside = (bary[0] >= 0.0) & (bary[1] >= 0.0) & (bary[2] >= 0.0)
+    bary, inside = channel_edge_bary(px, py, qx, qy)
 
     npc = [bary[k] * invzf[k] for k in range(3)]
     denom = jnp.clip(npc[0] + npc[1] + npc[2], 1e-12, None)
@@ -174,18 +167,7 @@ def _fragment_math(px, py, qx, qy, zf, invzf, clip_bary: bool):
         pc = [rp[k] / rden for k in range(3)]
     zbuf = pc[0] * zf[0] + pc[1] * zf[1] + pc[2] * zf[2]
 
-    d2 = None
-    for a_i, b_i in ((0, 1), (1, 2), (2, 0)):
-        gx = qx[b_i] - qx[a_i]
-        gy = qy[b_i] - qy[a_i]
-        len2 = jnp.clip(gx * gx + gy * gy, 1e-12, None)
-        wx = px - qx[a_i]
-        wy = py - qy[a_i]
-        wg = wx * gx + wy * gy
-        t = jnp.clip(wg / len2, 0.0, 1.0)
-        dd = wx * wx + wy * wy - 2.0 * t * wg + t * t * len2
-        d2 = dd if d2 is None else jnp.minimum(d2, dd)
-    d2 = jnp.maximum(d2, 0.0)
+    d2 = channel_min_edge_dist2(px, py, qx, qy, hoist_inv=False)
     dists = jnp.where(inside, -d2, d2)
     return zbuf, pc, dists
 
@@ -247,35 +229,15 @@ def _select_tile_channels(px, py, ch, valid, K, blur, znear):
     qy = [ch[f"qy{k}"] for k in range(3)]
     invz = [ch[f"invz{k}"] for k in range(3)]
 
-    def cross_e(ax, ay, bx, by):
-        return (bx - ax) * (py - ay) - (by - ay) * (px - ax)
-
-    # edge k opposite corner k (matches geometry.setup_faces' abc convention)
-    e0 = cross_e(qx[1], qy[1], qx[2], qy[2])
-    e1 = cross_e(qx[2], qy[2], qx[0], qy[0])
-    e2 = cross_e(qx[0], qy[0], qx[1], qy[1])
-    area2 = (qx[1] - qx[0]) * (qy[2] - qy[0]) - (qy[1] - qy[0]) * (qx[2] - qx[0])
-    inv_area = 1.0 / jnp.where(jnp.abs(area2) > 1e-12, area2, 1.0)
-    b0, b1, b2 = e0 * inv_area, e1 * inv_area, e2 * inv_area
-    inside = (b0 >= 0.0) & (b1 >= 0.0) & (b2 >= 0.0)
+    (b0, b1, b2), inside = channel_edge_bary(px, py, qx, qy)
 
     rb0, rb1, rb2 = jax.nn.relu(b0), jax.nn.relu(b1), jax.nn.relu(b2)
     denom = jnp.clip(rb0 * invz[0] + rb1 * invz[1] + rb2 * invz[2], 1e-12, None)
     zfrag = (rb0 + rb1 + rb2) / denom
 
     if blur > 0.0:
-        d2 = None
-        for a_i, b_i in ((0, 1), (1, 2), (2, 0)):
-            gx = qx[b_i] - qx[a_i]
-            gy = qy[b_i] - qy[a_i]
-            len2 = jnp.clip(gx * gx + gy * gy, 1e-12, None)
-            wx = px - qx[a_i]
-            wy = py - qy[a_i]
-            wg = wx * gx + wy * gy
-            t = jnp.clip(wg / len2, 0.0, 1.0)
-            dd = wx * wx + wy * wy - 2.0 * t * wg + t * t * len2
-            d2 = dd if d2 is None else jnp.minimum(d2, dd)
-        cover = inside | (jnp.maximum(d2, 0.0) < blur)
+        d2 = channel_min_edge_dist2(px, py, qx, qy, hoist_inv=False)
+        cover = inside | (d2 < blur)
     else:
         cover = inside
     cover = cover & (valid > 0) & (zfrag > znear)

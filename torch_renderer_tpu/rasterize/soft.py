@@ -35,7 +35,13 @@ from .binning import (
     tile_pixel_coords,
     untile_image,
 )
-from .geometry import FaceRasterData, pixel_coords_raster, setup_faces
+from .geometry import (
+    FaceRasterData,
+    channel_edge_bary,
+    channel_min_edge_dist2,
+    pixel_coords_raster,
+    setup_faces,
+)
 
 # softplus(-d2/sigma) < 2e-7 once d2 > SOFT_CUTOFF * sigma: beyond this a face
 # contributes nothing, so bins are padded by sqrt(SOFT_CUTOFF * sigma).
@@ -140,36 +146,8 @@ def soft_silhouette_binned(
         qx = [chc[f"qx{k}"][:, None, :] for k in range(3)]  # (c, 1, Fmax)
         qy = [chc[f"qy{k}"][:, None, :] for k in range(3)]
 
-        def cross_e(ax, ay, bx, by):
-            return (bx - ax) * (py - ay) - (by - ay) * (px - ax)
-
-        # edge k opposite corner k (geometry.setup_faces' abc convention)
-        e0 = cross_e(qx[1], qy[1], qx[2], qy[2])
-        e1 = cross_e(qx[2], qy[2], qx[0], qy[0])
-        e2 = cross_e(qx[0], qy[0], qx[1], qy[1])
-        area2 = (qx[1] - qx[0]) * (qy[2] - qy[0]) - (qy[1] - qy[0]) * (
-            qx[2] - qx[0]
-        )
-        inv_area = 1.0 / jnp.where(jnp.abs(area2) > 1e-12, area2, 1.0)
-        inside = (
-            (e0 * inv_area >= 0.0)
-            & (e1 * inv_area >= 0.0)
-            & (e2 * inv_area >= 0.0)
-        )
-
-        d2 = None
-        for a_i, b_i in ((0, 1), (1, 2), (2, 0)):
-            gx = qx[b_i] - qx[a_i]
-            gy = qy[b_i] - qy[a_i]
-            len2 = jnp.clip(gx * gx + gy * gy, 1e-12, None)
-            inv_len2 = 1.0 / len2  # per-face divide, not per-pair
-            wx = px - qx[a_i]
-            wy = py - qy[a_i]
-            wg = wx * gx + wy * gy
-            t = jnp.clip(wg * inv_len2, 0.0, 1.0)
-            dd = wx * wx + wy * wy - 2.0 * t * wg + t * t * len2
-            d2 = dd if d2 is None else jnp.minimum(d2, dd)
-        d2 = jnp.maximum(d2, 0.0)
+        _, inside = channel_edge_bary(px, py, qx, qy)
+        d2 = channel_min_edge_dist2(px, py, qx, qy, hoist_inv=True)
         d = jnp.where(inside, -d2, d2)
         d = jnp.where(vb[:, None, :], d, 1e9)
         return jnp.sum(jax.nn.softplus(-d * inv_sigma), axis=-1)  # (c, tp)
