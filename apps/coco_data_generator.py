@@ -29,6 +29,11 @@ def main():
     p.add_argument("--material-mode",
                    choices=["vertex", "uniform", "texture", "random"],
                    default="random")
+    p.add_argument("--placement", choices=["rest", "physics"],
+                   default="rest",
+                   help="'physics' drops objects and adopts the settled "
+                        "rigid-body poses (the reference's Blender physics "
+                        "step); 'rest' is the fast bbox-on-plane pose")
     p.add_argument("--edge-maps", action="store_true")
     p.add_argument("--no-normals", action="store_true",
                    help="skip the normals pass (saves a third of the "
@@ -77,6 +82,7 @@ def main():
         views_per_scene=args.views_per_scene,
         objects_per_scene=(args.min_objects, args.max_objects),
         material_mode=args.material_mode,
+        placement_mode=args.placement,
         edge_maps=args.edge_maps,
         normal_maps=not args.no_normals,
         pack_outputs=not args.no_pack,

@@ -54,6 +54,12 @@ class DataGenConfig:
     objects_per_scene: Tuple[int, int] = (2, 5)
     placement_extent: float = 0.35
     object_scale: float = 0.12
+    # "rest": bbox-bottom-on-plane with random yaw (fast, static).
+    # "physics": drop objects with random orientation and adopt the settled
+    # rigid-body poses (datagen.physics) — the reference's Blender physics
+    # step (coco_data_generator.py:296-309). One jitted sim per scene
+    # (~0.1 s on CPU, compiled once: body count/proxies are padded static).
+    placement_mode: str = "rest"
     camera_dist: Tuple[float, float] = (0.9, 1.6)
     camera_elev: Tuple[float, float] = (15.0, 70.0)
     max_inplane_deg: float = 25.0
@@ -150,6 +156,23 @@ class COCODataGenerator:
             np.asarray(e["faces"]).shape[0] for e in library.entries
         )
         self._render_chunk = jax.jit(self._render_views)
+        if config.placement_mode == "physics":
+            from .physics import SettleConfig, collision_proxies
+
+            self._proxies = [
+                collision_proxies(
+                    np.asarray(e["verts"], np.float32) * config.object_scale
+                )
+                for e in library.entries
+            ]
+            self._settle_cfg = SettleConfig(
+                extent=config.placement_extent + config.object_scale
+            )
+        elif config.placement_mode != "rest":
+            raise ValueError(
+                f"placement_mode must be 'rest' or 'physics', "
+                f"got {config.placement_mode!r}"
+            )
 
     def _render_views(self, batched, Rs, ts, lights, face_to_object):
         from ..shading.phong import hard_phong_shader
@@ -208,6 +231,32 @@ class COCODataGenerator:
         jitter = 0.5 + 0.5 * np.tanh(verts * rng.uniform(1.0, 4.0))
         return np.clip(base[None] * jitter, 0.0, 1.0).astype(np.float32)
 
+    def _settle_scene(self, rng: np.random.Generator, picks, xy):
+        """Physics placement: drop the picked objects at the sampled xy with
+        random orientations, run the jitted rigid-body settle, and return
+        (R (n, 3, 3), t (n, 3)) resting poses. The sim always runs with the
+        static max body count (padding bodies are inactive/frozen) so every
+        scene shares one compiled sim."""
+        from .physics import drop_poses, settle_poses
+
+        n_max = self.config.objects_per_scene[1]
+        n = len(picks)
+        pad_pick = int(picks[0])
+        idx = [int(p) for p in picks] + [pad_pick] * (n_max - n)
+        pts = np.stack([self._proxies[j][0] for j in idx])
+        radii = np.array([self._proxies[j][2] for j in idx], np.float32)
+        xy_full = np.concatenate(
+            [np.asarray(xy, np.float32),
+             np.zeros((n_max - n, 2), np.float32)], axis=0
+        )
+        p0, q0 = drop_poses(rng, n_max, xy_full, radii)
+        active = np.array([1.0] * n + [0.0] * (n_max - n), np.float32)
+        R, t, _ = settle_poses(
+            jnp.asarray(pts), jnp.asarray(radii), jnp.asarray(p0),
+            jnp.asarray(q0), jnp.asarray(active), self._settle_cfg,
+        )
+        return np.asarray(R)[:n], np.asarray(t)[:n]
+
     def sample_scene(self, rng: np.random.Generator):
         """Returns (SceneMeshes, object_poses list of dicts)."""
         cfg = self.config
@@ -227,17 +276,30 @@ class COCODataGenerator:
             cfg.material_mode == "random" and rng.uniform() < 0.5
         )
 
+        settled = (
+            self._settle_scene(rng, picks, xy)
+            if cfg.placement_mode == "physics" else None
+        )
+
         verts_list, faces_list, colors_list, cats, poses = [], [], [], [], []
         tiles, uvs_list = [], []
         for i, pick in enumerate(picks):
             entry = self.library.entries[int(pick)]
-            yaw = rng.uniform(0.0, 2 * np.pi)
-            R = np.asarray(
-                euler_angles_to_matrix(jnp.asarray([0.0, 0.0, yaw]), "XYZ")
-            )
-            v = place_on_plane(
-                np.asarray(entry["verts"]) * cfg.object_scale, R, xy[i]
-            )
+            if settled is not None:
+                R, t_i = settled[0][i], settled[1][i]
+                com = self._proxies[int(pick)][1]
+                v = (
+                    np.asarray(entry["verts"], np.float32) * cfg.object_scale
+                    - com
+                ) @ R.T + t_i
+            else:
+                yaw = rng.uniform(0.0, 2 * np.pi)
+                R = np.asarray(
+                    euler_angles_to_matrix(jnp.asarray([0.0, 0.0, yaw]), "XYZ")
+                )
+                v = place_on_plane(
+                    np.asarray(entry["verts"]) * cfg.object_scale, R, xy[i]
+                )
             verts_list.append(v)
             faces_list.append(np.asarray(entry["faces"]))
             if textured:
