@@ -162,10 +162,62 @@ def _depth720():
     return step, (batched, Rs, ts)
 
 
+def _jointfit():
+    """One JointShapeTextureFitter grad+update step (the fit() scan body)
+    at the docs/BENCHMARKS.md scale: 128^2, level-4 icosphere, 15 views,
+    2 views/step, K=8, shade_k=2, auto bin/active budgets."""
+    import jax
+    import numpy as np
+
+    from torch_renderer_tpu.ops.icosphere import icosphere
+    from torch_renderer_tpu.opt.deform_color import (
+        JointFitConfig,
+        JointShapeTextureFitter,
+    )
+    from torch_renderer_tpu.ops.mesh_losses import build_topology
+    from torch_renderer_tpu.structures.meshes import Meshes
+    from torch_renderer_tpu.structures.textures import sphere_uv_mapping
+
+    H = W = 128
+    verts, faces = icosphere(4)
+    src = Meshes.from_single(verts, faces)
+    tgt = Meshes.from_single(
+        verts * np.array([1.0, 0.7, 0.9], np.float32), faces)
+    f = 0.8 * H
+    K = np.array([[f, 0, W / 2.0], [0, f, H / 2.0], [0, 0, 1.0]], np.float32)
+    fitter = JointShapeTextureFitter(K, (H, W), JointFitConfig())
+    data = fitter.make_dataset(tgt)
+    verts_uvs = sphere_uv_mapping(verts)
+    fitter._ensure_bin_capacity(
+        src.extend(fitter.config.n_views), data["R"], data["t"])
+    topo = build_topology(src)
+    tx = fitter._make_optimizer()
+    params = fitter.init_params(src, verts_uvs)
+    opt_state = jax.jit(tx.init)(params)
+
+    def one_step(params, opt_state, k):
+        idx = jax.random.choice(
+            k, fitter.config.n_views, (fitter.config.views_per_step,),
+            replace=False)
+        (loss, metrics), grads = jax.value_and_grad(
+            fitter.loss, has_aux=True
+        )(params, src, topo, verts_uvs, data, idx)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax_apply(params, updates), opt_state, loss
+
+    import optax
+
+    def optax_apply(params, updates):
+        return optax.apply_updates(params, updates)
+
+    return jax.jit(one_step), (params, opt_state, jax.random.PRNGKey(0))
+
+
 WORKLOADS = {
     "northstar": _northstar,
     "posefit": _posefit,
     "depth720": _depth720,
+    "jointfit": _jointfit,
 }
 
 

@@ -120,6 +120,33 @@ def test_normal_consistency_zero_on_plane():
     assert float(ml.mesh_normal_consistency(mesh, topo)) < 1e-6
 
 
+def test_mesh_losses_onehot_matches_gather():
+    """The TPU one-hot gather/scatter formulation of the mesh losses is
+    exact vs the plain gather path — values AND gradients (each one-hot
+    output row has a single nonzero dot term, so precision cannot differ;
+    the laplacian scatter sums identical terms)."""
+    v, f = icosphere(2)
+    mesh = Meshes.from_single(v, f).extend(2)
+    key = jax.random.PRNGKey(3)
+    mesh = mesh.update_padded(
+        mesh.verts + 0.05 * jax.random.normal(key, mesh.verts.shape)
+    )
+    topo = ml.build_topology(mesh)
+    for fn in (ml.mesh_edge_loss, ml.mesh_laplacian_smoothing,
+               ml.mesh_normal_consistency):
+        vals, grads = {}, {}
+        for method in ("gather", "onehot"):
+            vals[method], grads[method] = jax.value_and_grad(
+                lambda verts: fn(
+                    mesh.update_padded(verts), topo, method=method
+                )
+            )(mesh.verts)
+        assert abs(float(vals["gather"] - vals["onehot"])) < 1e-6, fn
+        assert float(
+            jnp.abs(grads["gather"] - grads["onehot"]).max()
+        ) < 1e-5, fn
+
+
 def test_laplacian_zero_on_symmetric_flat_grid():
     # a vertex at the centroid of its neighbors has zero uniform laplacian
     v, f = icosphere(2)

@@ -99,13 +99,24 @@ def build_topology(meshes: Meshes) -> MeshTopology:
     )
 
 
+# One-hot MXU row gather / scatter-add (ops.rowops): arbitrary-index
+# gathers of (V, 3) arrays run nearly scalar on TPU and their backward is
+# a serializing scatter-add; these loss gathers measured ~2.2 ms of a
+# 15 ms joint-fit step as sort-based scatter fusions.
+from .rowops import add_rows as _add_rows  # noqa: E402
+from .rowops import take_rows as _take_rows  # noqa: E402
+
+
 def mesh_edge_loss(
-    meshes: Meshes, topo: MeshTopology, target_length: float = 0.0
+    meshes: Meshes, topo: MeshTopology, target_length: float = 0.0,
+    method: str = "auto",
 ) -> jax.Array:
     """Mean squared deviation of edge lengths from target (pytorch3d parity:
     mean over edges, averaged over the batch)."""
     def per_mesh(verts, edges):
-        d = verts[edges[:, 0]] - verts[edges[:, 1]]
+        both = _take_rows(verts, edges.T.reshape(-1), method)  # (2E, 3)
+        E = edges.shape[0]
+        d = both[:E] - both[E:]
         return jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-12)
 
     lens = jax.vmap(per_mesh)(meshes.verts, topo.edges)  # (B, E)
@@ -115,15 +126,18 @@ def mesh_edge_loss(
     return jnp.mean(per)
 
 
-def mesh_laplacian_smoothing(meshes: Meshes, topo: MeshTopology) -> jax.Array:
+def mesh_laplacian_smoothing(
+    meshes: Meshes, topo: MeshTopology, method: str = "auto"
+) -> jax.Array:
     """Uniform Laplacian magnitude: mean_i | (1/deg_i) sum_j v_j - v_i |."""
     V = meshes.max_verts
 
     def per_mesh(verts, edges, emask, deg):
-        w = emask  # (E,)
-        acc = jnp.zeros((V, 3), verts.dtype)
-        acc = acc.at[edges[:, 0]].add(verts[edges[:, 1]] * w[:, None])
-        acc = acc.at[edges[:, 1]].add(verts[edges[:, 0]] * w[:, None])
+        w = emask[:, None]  # (E, 1)
+        both = _take_rows(verts, edges.T.reshape(-1), method)  # (2E, 3)
+        E = edges.shape[0]
+        acc = _add_rows(both[E:] * w, edges[:, 0], V, method)
+        acc = acc + _add_rows(both[:E] * w, edges[:, 1], V, method)
         lap = acc / jnp.clip(deg, 1.0, None)[:, None] - verts
         norm = jnp.sqrt(jnp.sum(lap * lap, axis=-1) + 1e-12)
         live = (deg > 0).astype(verts.dtype)
@@ -133,7 +147,9 @@ def mesh_laplacian_smoothing(meshes: Meshes, topo: MeshTopology) -> jax.Array:
     return jnp.mean(per)
 
 
-def mesh_normal_consistency(meshes: Meshes, topo: MeshTopology) -> jax.Array:
+def mesh_normal_consistency(
+    meshes: Meshes, topo: MeshTopology, method: str = "auto"
+) -> jax.Array:
     """Mean (1 - cos) between normals of adjacent faces (pytorch3d parity).
 
     For each face pair sharing edge (v0, v1) with opposite vertices a, b:
@@ -141,10 +157,12 @@ def mesh_normal_consistency(meshes: Meshes, topo: MeshTopology) -> jax.Array:
     opposite sides give cos(n1, -n2) = 1, i.e. zero loss.
     """
     def per_mesh(verts, adj, amask):
-        v0 = verts[adj[:, 0]]
-        e = verts[adj[:, 1]] - v0
-        n1 = jnp.cross(e, verts[adj[:, 2]] - v0)
-        n2 = -jnp.cross(e, verts[adj[:, 3]] - v0)
+        A = adj.shape[0]
+        g = _take_rows(verts, adj.T.reshape(-1), method)  # (4A, 3)
+        v0 = g[:A]
+        e = g[A : 2 * A] - v0
+        n1 = jnp.cross(e, g[2 * A : 3 * A] - v0)
+        n2 = -jnp.cross(e, g[3 * A :] - v0)
         cos = jnp.sum(n1 * n2, axis=-1) / jnp.clip(
             jnp.linalg.norm(n1, axis=-1) * jnp.linalg.norm(n2, axis=-1), 1e-12, None
         )

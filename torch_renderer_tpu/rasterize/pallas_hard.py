@@ -400,6 +400,11 @@ def _xla_reinterpolate(planes, lane, live, tile, inv_s, blur, znear,
     lx = jnp.tile(jnp.tile(d, tile), K)[None, :]    # (1, K*tp) x offsets
     ly = jnp.tile(jnp.repeat(d, tile), K)[None, :]  # (1, K*tp) y offsets
 
+    @jax.checkpoint  # rebuild the one-hot in backward, never store it:
+    # without this, jax.vjp across the lax.map (the topk backward) saves
+    # the (chunk, K*tp, F) one-hot as a residual — ~2 GB of HBM write+read
+    # per joint-fit step at the 128^2/K=8 scale (profiled: 3.2 ms of a
+    # 19.6 ms step as a DUS store + reload fusion pair).
     def per_chunk(args):
         pl_c, lane_c, live_c = args             # (c,16,F), (c,ktp), (c,ktp)
         idx = lane_c.astype(jnp.int32)[..., None]   # (c, ktp, 1)

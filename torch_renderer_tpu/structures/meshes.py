@@ -171,8 +171,16 @@ class Meshes:
 
     # -- geometry -----------------------------------------------------------
     def face_verts(self) -> jax.Array:
-        """Gather per-face corner positions: (B, F, 3, 3)."""
-        return jax.vmap(lambda v, f: v[f])(self.verts, self.faces)
+        """Gather per-face corner positions: (B, F, 3, 3).
+
+        One-hot MXU gather on TPU (ops.rowops): the (V, 3) row gather and
+        its scatter-add transpose run nearly scalar there."""
+        from ..ops.rowops import take_rows
+
+        F = self.faces.shape[1]
+        return jax.vmap(
+            lambda v, f: take_rows(v, f.reshape(-1)).reshape(F, 3, 3)
+        )(self.verts, self.faces)
 
     def face_normals(self, normalize: bool = True) -> jax.Array:
         """(B, F, 3) face normals (zero for padded faces)."""
@@ -194,11 +202,13 @@ class Meshes:
         fn = jnp.cross(fv[..., 1, :] - fv[..., 0, :], fv[..., 2, :] - fv[..., 0, :])
         fn = fn * self.face_mask()[..., None]  # area-weighted (unnormalized)
 
+        from ..ops.rowops import add_rows
+
         def scatter(faces_b, fn_b):
-            out = jnp.zeros((self.max_verts, 3), self.verts.dtype)
-            for k in range(3):
-                out = out.at[faces_b[:, k]].add(fn_b)
-            return out
+            # one combined scatter: each face normal adds at all 3 corners
+            return add_rows(
+                jnp.tile(fn_b, (3, 1)), faces_b.T.reshape(-1), self.max_verts
+            )
 
         vn = jax.vmap(scatter)(self.faces, fn)
         vn = vn / jnp.clip(jnp.linalg.norm(vn, axis=-1, keepdims=True), 1e-12, None)

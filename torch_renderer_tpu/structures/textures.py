@@ -27,8 +27,16 @@ class TexturesVertex:
         return TexturesVertex(jnp.repeat(self.verts_features, n, axis=0))
 
     def face_features(self, faces: jax.Array) -> jax.Array:
-        """Gather per-face-vertex features: faces (B, F, 3) -> (B, F, 3, C)."""
-        return jax.vmap(lambda feats, f: feats[f])(self.verts_features, faces)
+        """Gather per-face-vertex features: faces (B, F, 3) -> (B, F, 3, C).
+
+        One-hot MXU gather on TPU (ops.rowops) — (V, C) row gathers run
+        nearly scalar there and their backward is a serializing scatter."""
+        from ..ops.rowops import take_rows
+
+        F, C = faces.shape[1], self.verts_features.shape[-1]
+        return jax.vmap(
+            lambda feats, f: take_rows(feats, f.reshape(-1)).reshape(F, 3, C)
+        )(self.verts_features, faces)
 
 
 @jax.tree_util.register_dataclass
@@ -50,8 +58,13 @@ class TexturesUV:
         )
 
     def face_uvs(self, _faces_unused: Optional[jax.Array] = None) -> jax.Array:
-        """Per-face-corner UVs: (B, F, 3, 2)."""
-        return jax.vmap(lambda uvs, f: uvs[f])(self.verts_uvs, self.faces_uvs)
+        """Per-face-corner UVs: (B, F, 3, 2); one-hot MXU gather on TPU."""
+        from ..ops.rowops import take_rows
+
+        F = self.faces_uvs.shape[1]
+        return jax.vmap(
+            lambda uvs, f: take_rows(uvs, f.reshape(-1)).reshape(F, 3, 2)
+        )(self.verts_uvs, self.faces_uvs)
 
     def sample(self, uv: jax.Array, method: str = "auto") -> jax.Array:
         """Bilinear sample of the map at uv (B, ..., 2) -> (B, ..., C).
