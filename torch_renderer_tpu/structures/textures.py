@@ -16,6 +16,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _texsample_supported(Hm: int, Wm: int, C: int) -> bool:
+    from ..ops.pallas_texsample import supported
+
+    return supported(Hm, Wm, C)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class TexturesVertex:
@@ -89,6 +95,11 @@ class TexturesUV:
         wx = x - x0
         wy = y - y0
 
+        if method == "pallas" or (
+            method == "auto" and jax.default_backend() == "tpu"
+            and _texsample_supported(Hm, Wm, self.maps.shape[-1])
+        ):
+            return self._sample_pallas(y0, x0, wy, wx)
         use_matmul = method == "matmul" or (
             method == "auto" and jax.default_backend() == "tpu"
         )
@@ -108,6 +119,23 @@ class TexturesUV:
         top = c00 * (1 - wxe) + c01 * wxe
         bot = c10 * (1 - wxe) + c11 * wxe
         return top * (1 - wye) + bot * wye
+
+    def _sample_pallas(self, y0, x0, wy, wx):
+        """Fused Pallas bilinear sampler (ops.pallas_texsample): both 2-hot
+        contractions stay in VMEM, so the (points, Wm*C) rows slab the
+        matmul path writes to HBM (~6 ms of the 14.5 ms joint-fit step)
+        never materializes. Exact same math as _sample_matmul."""
+        from ..ops.pallas_texsample import sample_bilinear_pallas
+
+        B = self.maps.shape[0]
+        shape = y0.shape
+        P = int(np.prod(shape[1:])) if len(shape) > 1 else 1
+        out = sample_bilinear_pallas(
+            self.maps,
+            y0.reshape(B, P), x0.reshape(B, P),
+            wy.reshape(B, P), wx.reshape(B, P),
+        )
+        return out.reshape(shape + (self.maps.shape[-1],))
 
     def _sample_matmul(self, y0, x0, wy, wx, point_chunk: int = 16384):
         """Separable bilinear sampling via weighted 2-hot contractions.
