@@ -46,6 +46,18 @@ def _scene():
 
 def tpu_fps() -> float:
     import jax
+
+    # Persistent compile cache (same dir as the apps): on a degraded-tunnel
+    # day the Mosaic/XLA compile alone takes 4-8 minutes; caching it means
+    # only the first-ever bench run after a kernel change pays it, and the
+    # watchdog retries below actually get to measure.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_app_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from torch_renderer_tpu.cameras.perspective import PerspectiveCamera
@@ -197,7 +209,14 @@ def main():
     waits = (10, 30, 60) if not quick else (10, 10)
     for attempt, wait in enumerate(waits + (0,)):
         try:
-            fps = _measure_once(120 if quick else 420)
+            # Generous first-attempt window: on a degraded-tunnel day the
+            # uncached compile alone measured 4-8 minutes (2026-08-19);
+            # once the persistent cache has it, later attempts/runs are
+            # measurement-only and the tighter window guards real hangs.
+            fps = _measure_once(
+                (600 if attempt == 0 else 240) if quick
+                else (900 if attempt == 0 else 420)
+            )
             break
         except Exception as e:  # noqa: BLE001 - infra flakiness, retried
             last_err = e
