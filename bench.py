@@ -25,7 +25,7 @@ B = 8
 IMAGE = 256
 LEVEL = 3  # 1280 faces
 SIGMA = 1e-4
-STEPS = 30
+STEPS = 100  # one ~0.25 s device call per timed pass (30 s call-kill safe)
 
 if "--quick" in sys.argv:  # fast smoke mode (verify skill / CI)
     B, IMAGE, LEVEL, STEPS = 2, 128, 2, 5
@@ -91,21 +91,34 @@ def tpu_fps() -> float:
         )
         return jnp.sum(alpha)
 
-    step = jax.jit(jax.grad(loss_fn))
-    v0 = meshes.verts
-    g = step(v0)
-    jax.block_until_ready(g)  # compile + warm
+    grad_fn = jax.grad(loss_fn)
 
-    # Best-of-N timed passes: the tunnel's per-call dispatch cost varies
-    # minute to minute (documented 1.6x day-to-day spread); a single pass
-    # can record a transient-slow reading for the whole round. The passes
-    # are cheap next to the compile they share.
+    # All STEPS timed iterations run as ONE device call (lax.scan with a
+    # dependent carry, exactly one render+backward per iteration — the
+    # same computation the per-call loop ran). Rationale: through the
+    # tunnel each dispatch costs a variable RTT (measured up to ~25 ms on
+    # degraded days, vs a 2.4 ms step), so a per-call loop benchmarks the
+    # tunnel, not the chip. The carry chains each step on the previous
+    # gradient so no iteration can be folded or overlapped away.
+    def scan_pass(v):
+        def body(v, _):
+            g = grad_fn(v)
+            return v - 1e-6 * g, ()
+
+        v, _ = jax.lax.scan(body, v, None, length=STEPS)
+        return v
+
+    step = jax.jit(scan_pass)
+    v0 = meshes.verts
+    jax.block_until_ready(step(v0))  # compile + warm
+
+    # Best-of-N timed passes: the tunnel's per-call cost varies minute to
+    # minute (documented 1.6x day-to-day spread); a single pass can record
+    # a transient-slow reading for the whole round.
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        for _ in range(STEPS):
-            g = step(v0)
-        jax.block_until_ready(g)
+        jax.block_until_ready(step(v0))
         best = min(best, time.perf_counter() - t0)
     n_chips = 1  # single-chip benchmark
     return B * STEPS / best / n_chips

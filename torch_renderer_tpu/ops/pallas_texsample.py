@@ -50,11 +50,21 @@ def _pad_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
-def supported(Hm: int, Wm: int, C: int, vmem_budget: int = 4 << 20) -> bool:
-    """Whether the fused kernel applies: the channel-major map block
-    (Hmp, C*Wmp) f32 must fit the VMEM budget alongside the work slabs."""
+def supported(Hm: int, Wm: int, C: int, vmem_budget: int = 10 << 20) -> bool:
+    """Whether the fused kernel applies: the BACKWARD's whole working set
+    must fit VMEM — the map block and its gradient accumulator
+    (Hmp, C*Wmp) f32, three (C*Wmp, pb) slabs (rows / difference-rows /
+    scratch cotangent product), and four 2-hot slabs. A 256^2 RGB map is
+    ~8 MB and compiles; 512^2 RGB pencils to ~19 MB and must fall back
+    to the chunked matmul path."""
     Hmp, Wmp = _pad_up(Hm, 8), _pad_up(Wm, 128)
-    return C <= 8 and Hmp * Wmp * C * 4 <= vmem_budget
+    Z = C * Wmp
+    working_set = 4 * (
+        2 * Hmp * Z            # map block + d_maps accumulator
+        + 3 * Z * _PB          # rowsT, drowT, tmp scratch
+        + 2 * (Hmp + Wmp) * _PB  # the 2-hot and difference 2-hot slabs
+    )
+    return C <= 8 and working_set <= vmem_budget
 
 
 def _onehot_pair(idx, w, n, pb):
