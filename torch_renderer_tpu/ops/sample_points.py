@@ -36,8 +36,16 @@ def sample_points_from_meshes(
         k_face, logits[:, None, :], axis=-1, shape=(meshes.batch_size, num_samples)
     )  # (B, S)
 
+    from .rowops import take_rows
+
+    F = meshes.faces.shape[1]
     fv = meshes.face_verts()  # (B, F, 3, 3)
-    corners = jax.vmap(lambda f, i: f[i])(fv, face_idx)  # (B, S, 3, 3)
+    # one-hot MXU row gather on TPU: (S, F) choice of (F, 9) corner rows
+    # (arbitrary-index gathers of tiny-trailing-dim arrays run nearly
+    # scalar there — ops/rowops.py)
+    corners = jax.vmap(
+        lambda f, i: take_rows(f.reshape(F, 9), i).reshape(-1, 3, 3)
+    )(fv, face_idx)  # (B, S, 3, 3)
 
     # Uniform barycentric: u = 1 - sqrt(r1), v = r2 * sqrt(r1).
     r = jax.random.uniform(k_bary, (meshes.batch_size, num_samples, 2))
@@ -51,5 +59,5 @@ def sample_points_from_meshes(
     if not return_normals:
         return points
     fn = meshes.face_normals()
-    normals = jax.vmap(lambda n, i: n[i])(fn, face_idx)
+    normals = jax.vmap(take_rows)(fn, face_idx)
     return points, normals
