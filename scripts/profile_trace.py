@@ -129,11 +129,13 @@ def _depth720():
     import jax
     import jax.numpy as jnp
 
+    import os
+
     from torch_renderer_tpu.cameras.look_at import look_at_view_transform
     from torch_renderer_tpu.cameras.perspective import PerspectiveCamera
     from torch_renderer_tpu.ops.icosphere import icosphere
     from torch_renderer_tpu.rasterize.binning import (
-        count_overflow, suggest_active_tiles_fd,
+        count_overflow, suggest_active_tiles_fd, suggest_occupancy_split_fd,
     )
     from torch_renderer_tpu.rasterize.geometry import setup_faces
     from torch_renderer_tpu.renderer import DepthRender
@@ -153,9 +155,12 @@ def _depth720():
     max_count, _ = count_overflow(fd0, (H, W), 32, 0, 0.0)
     mfb = max(8, int(float(max_count) * 1.3))
     act = suggest_active_tiles_fd(fd0, (H, W), 32, 0.0)
+    split = None
+    if not os.environ.get("PROFILE_NO_SPLIT"):
+        split = suggest_occupancy_split_fd(fd0, (H, W), 32, 0.0, act, mfb)
     renderer = DepthRender(
         K, (H, W), pixel_chunk=1048576, bin_size=32,
-        max_faces_per_bin=mfb, active_tiles=act,
+        max_faces_per_bin=mfb, active_tiles=act, occupancy_split=split,
     )
     batched = meshes.extend(vc)
     step = jax.jit(lambda m, R, t: renderer.render(m, R, t))

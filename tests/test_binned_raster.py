@@ -284,3 +284,82 @@ def test_active_tiles_all_empty_batch_element():
     assert int(jnp.sum(fr.pix_to_face[1] >= 0)) == 0
     assert float(jnp.max(jnp.abs(fr.zbuf[1] + 1.0))) == 0.0  # all -1 sentinel
     assert int(jnp.sum(fr.pix_to_face[0] >= 0)) > 0  # element 0 unaffected
+
+
+@pytest.mark.parametrize("K_,blur", [(1, 0.0), (4, 1e-3)])
+def test_occupancy_split_exact_fragments(K_, blur):
+    """settings.occupancy_split (count-ordered actives, full lanes for the
+    dense head, lo_lanes for the sparse tail) is bit-exact vs the
+    single-budget pipeline on every Fragments field, values AND gradients,
+    when the tail budget covers the tail counts."""
+    import math
+
+    from torch_renderer_tpu.rasterize.binning import (
+        suggest_active_tiles_fd,
+        suggest_occupancy_split_fd,
+    )
+    from torch_renderer_tpu.rasterize.geometry import setup_faces
+
+    img, tile = 96, 16
+    verts, faces = icosphere(2)
+    meshes = Meshes.from_single(verts, faces).extend(B)
+    f = 0.8 * img
+    Km = np.array([[f, 0, img / 2], [0, f, img / 2], [0, 0, 1]], np.float32)
+    R = np.broadcast_to(np.eye(3, dtype=np.float32), (B, 3, 3))
+    t = np.stack([
+        np.array([0.0, 0.0, 3.5], np.float32),
+        np.array([0.4, -0.3, 3.0], np.float32),
+    ])
+    cam = PerspectiveCamera.from_K(Km, (img, img), R=R, t=t)
+    fd = setup_faces(meshes, cam)
+    pad = math.sqrt(blur) if blur > 0 else 0.0
+    act = suggest_active_tiles_fd(fd, (img, img), tile, pad)
+    split = suggest_occupancy_split_fd(fd, (img, img), tile, pad, act, 128)
+    if split is None:  # force a split so the path is exercised regardless
+        split = (max(8, act // 2), 64)
+
+    base = RasterizationSettings(
+        image_size=(img, img), faces_per_pixel=K_, blur_radius=blur,
+        bin_size=tile, max_faces_per_bin=128, impl="xla", active_tiles=act,
+    )
+    plain = rasterize_meshes(meshes, cam, base)
+    sp = rasterize_meshes(
+        meshes, cam, dataclasses.replace(base, occupancy_split=split)
+    )
+    for name in ("pix_to_face", "zbuf", "bary", "dists"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(plain, name)), np.asarray(getattr(sp, name)),
+            err_msg=name,
+        )
+
+    def loss(v, st):
+        fr = rasterize_meshes(meshes.update_padded(v), cam, st)
+        masked = jnp.where(fr.pix_to_face >= 0, fr.zbuf, 0.0)
+        return jnp.sum(masked ** 2) + jnp.sum(fr.bary ** 2)
+
+    g_plain = jax.grad(loss)(meshes.verts, base)
+    g_sp = jax.grad(loss)(
+        meshes.verts, dataclasses.replace(base, occupancy_split=split)
+    )
+    # forward is bit-exact (above); the backward accumulates each face's
+    # gradient over its overlapping tiles, and count-ordering changes that
+    # f32 summation order — tolerance is summation-order noise only
+    np.testing.assert_allclose(
+        np.asarray(g_plain), np.asarray(g_sp), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_occupancy_split_requires_active_tiles():
+    st = RasterizationSettings(
+        image_size=(32, 32), bin_size=16, occupancy_split=(8, 32),
+    )
+    verts, faces = icosphere(1)
+    meshes = Meshes.from_single(verts, faces)
+    f = 25.0
+    Km = np.array([[f, 0, 16], [0, f, 16], [0, 0, 1]], np.float32)
+    cam = PerspectiveCamera.from_K(
+        Km, (32, 32), R=np.eye(3, dtype=np.float32)[None],
+        t=np.array([[0.0, 0.0, 3.0]], np.float32),
+    )
+    with pytest.raises(ValueError, match="active_tiles"):
+        rasterize_meshes(meshes, cam, st)

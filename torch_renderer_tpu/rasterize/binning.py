@@ -832,6 +832,46 @@ def suggest_active_tiles_fd(
     return max(multiple, min(want, T))
 
 
+def suggest_occupancy_split_fd(
+    fd, image_size, tile: int, pad_radius: float, max_active: int,
+    max_faces_per_bin: int, lo_candidates=(16, 32, 48, 64, 96),
+    margin: float = 1.3, multiple: int = 8,
+):
+    """(hi_tiles, lo_lanes) for RasterizationSettings.occupancy_split, or
+    None when no candidate improves on the single-budget pipeline.
+
+    For each candidate lo, tiles whose margined count exceeds lo must run
+    the full max_faces_per_bin budget; the modeled selection/gather work is
+    hi*full + (A-hi)*lo, minimized over candidates. Call OUTSIDE jit with
+    concrete data; like every bin budget, footprints that move during a
+    fit need the margin (tail tiles whose count outgrows lo_lanes DROP
+    their highest-index faces)."""
+    import math as _math
+
+    import numpy as np
+
+    bins = bin_faces_active(fd, image_size, tile, pad_radius, max_active,
+                            order="count")
+    cnt = np.asarray(bins.count)                              # (B, A)
+    A = cnt.shape[1]
+    full = min(max_faces_per_bin, int(fd.valid.shape[-1]))
+    best, best_work = None, None
+    for lo in lo_candidates:
+        if lo >= full:
+            continue
+        n_hi = int((cnt * margin > lo).sum(axis=1).max())
+        hi = min(A, int(_math.ceil(max(n_hi, 1) * margin / multiple))
+                 * multiple)
+        if hi >= A:
+            continue
+        work = hi * full + (A - hi) * lo
+        if best_work is None or work < best_work:
+            best, best_work = (hi, lo), work
+    if best is None or best_work > 0.9 * A * full:  # no real modeled win
+        return None
+    return best
+
+
 def tile_pixel_coords(image_size, tile: int):
     """Local pixel offsets within a tile, raster units: (tile*tile, 2)."""
     H, W = image_size

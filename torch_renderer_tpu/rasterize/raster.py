@@ -97,6 +97,18 @@ class RasterizationSettings:
     # max_faces_per_bin, always safe).
     layout: str = "tile"
     group_lanes: Optional[int] = None
+    # Occupancy split for the XLA binned path (requires active_tiles):
+    # (hi_tiles, lo_lanes). Active tiles are compacted in DESCENDING
+    # candidate-count order; the first hi_tiles run the full
+    # max_faces_per_bin lane budget and the tail runs lo_lanes — the
+    # selection argmin, winner one-hot einsums and gathers are all
+    # O(tiles x lanes), and sparse scenes (720p: median 38 of max 82
+    # candidates) waste most of it at a single global budget. Exact as
+    # long as every lo tile's count stays <= lo_lanes (same drop contract
+    # as max_faces_per_bin) — size with
+    # binning.suggest_occupancy_split_fd, which adds margin on the
+    # boundary.
+    occupancy_split: Optional[Tuple[int, int]] = None
 
     @property
     def clip_bary(self) -> bool:
@@ -287,9 +299,13 @@ def _rasterize_binned(fd: FaceRasterData, settings: RasterizationSettings) -> Fr
     # tiles (binning.bin_ranks_active) — every per-tile stage below then
     # runs on A instead of T tiles, and the outputs scatter back to the
     # full grid at the end (exact; empty tiles carry background values).
+    split = settings.occupancy_split
+    if split is not None and settings.active_tiles is None:
+        raise ValueError("occupancy_split requires active_tiles")
     if settings.active_tiles is not None:
         bins = bin_faces_active(
-            fd_sel, (H, W), tile, pad_radius, settings.active_tiles
+            fd_sel, (H, W), tile, pad_radius, settings.active_tiles,
+            order="count" if split is not None else "tile",
         )
         origins = bins.origin                                 # (B, A, 2)
     else:
@@ -300,89 +316,127 @@ def _rasterize_binned(fd: FaceRasterData, settings: RasterizationSettings) -> Fr
     fid = jnp.broadcast_to(
         jax.lax.broadcasted_iota(jnp.float32, (1, F, 1), 1), (B, F, 1)
     )
-    ch, fid_t, mask = gather_rank_planes(
-        fd, bins, min(settings.max_faces_per_bin, F), extra=fid
-    )  # ch: DIFFERENTIABLE channel planes (B, T, Fmax)
-    valid_t = mask.astype(jnp.float32)
-    B, T, Fmax = valid_t.shape                                # T = A if compact
     tp = tile * tile
-
     local = tile_pixel_coords((H, W), tile)  # (tp, 2)
-    flat = lambda a: a.reshape(B * T, Fmax)
-    ch = {k: flat(v) for k, v in ch.items()}
-    vf = flat(valid_t)
-    fidx = fid_t[..., 0].astype(jnp.int32).reshape(B * T, Fmax)
-    if origins is None:
-        origins = jnp.broadcast_to(bins.tile_origin[None], (B, T, 2))
-    of = origins.reshape(B * T, 2)
 
-    N = B * T
-    tiles_per_chunk = max(1, min(settings.pixel_chunk // tp, N))
-    n_chunks = -(-N // tiles_per_chunk)
-    padn = n_chunks * tiles_per_chunk - N
-    padc = lambda a: jnp.pad(
-        a, [(0, padn)] + [(0, 0)] * (a.ndim - 1)
-    ).reshape((n_chunks, tiles_per_chunk) + a.shape[1:])
+    def run_tiles(bins_sub, origins_sub, lanes):
+        """Select + interpolate one tile subset at its own lane budget;
+        returns (p2f, zbuf, bary, dists) shaped (B, T_sub, tp, ...)."""
+        ch, fid_t, mask = gather_rank_planes(
+            fd, bins_sub, min(lanes, F), extra=fid
+        )  # ch: DIFFERENTIABLE channel planes (B, T_sub, Fmax)
+        valid_t = mask.astype(jnp.float32)
+        _, T, Fmax = valid_t.shape
+        flat = lambda a: a.reshape(B * T, Fmax)
+        chf = {k: flat(v) for k, v in ch.items()}
+        vf = flat(valid_t)
+        fidx = fid_t[..., 0].astype(jnp.int32).reshape(B * T, Fmax)
+        if origins_sub is None:
+            o_sub = jnp.broadcast_to(bins_sub.tile_origin[None], (B, T, 2))
+        else:
+            o_sub = origins_sub
+        of = o_sub.reshape(B * T, 2)
 
-    iota_f = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Fmax), 2)
+        N = B * T
+        tiles_per_chunk = max(1, min(settings.pixel_chunk // tp, N))
+        n_chunks = -(-N // tiles_per_chunk)
+        padn = n_chunks * tiles_per_chunk - N
+        padc = lambda a: jnp.pad(
+            a, [(0, padn)] + [(0, 0)] * (a.ndim - 1)
+        ).reshape((n_chunks, tiles_per_chunk) + a.shape[1:])
 
-    def per_chunk(args):
-        chc, v, fi, o = args
-        px = (local[None, :, 0] + o[:, 0:1])[..., None]  # (c, tp, 1)
-        py = (local[None, :, 1] + o[:, 1:2])[..., None]
-        idx_local = _select_tile_channels(
-            jax.lax.stop_gradient(px), jax.lax.stop_gradient(py),
-            {k: jax.lax.stop_gradient(c)[:, None, :] for k, c in chc.items()},
-            v[:, None, :], K, blur, settings.znear,
-        )  # (c, tp, K)
+        iota_f = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Fmax), 2)
 
-        # winner gather: one one-hot einsum over the tile's Fmax lanes per
-        # hit (MXU) instead of 13 masked VPU reductions per channel —
-        # measured 3.06 -> ~0.5 ms of the 720p 12-view call (fusion.152 in
-        # the op profile). Exact: a single nonzero per (pixel, lane) row
-        # and f32 HIGHEST (3-pass bf16 split) reconstruct the f32 values
-        # bit-for-bit, as in pallas_hard._xla_reinterpolate.
-        stacked = jnp.stack(
-            [chc[f"q{ax}{j}"] for j in range(3) for ax in ("x", "y")]
-            + [chc[f"z{j}"] for j in range(3)]
-            + [chc[f"invz{j}"] for j in range(3)]
-            + [fi.astype(jnp.float32)],
-            axis=-1,
-        )  # (c, Fmax, 13)
+        def per_chunk(args):
+            chc, v, fi, o = args
+            px = (local[None, :, 0] + o[:, 0:1])[..., None]  # (c, tp, 1)
+            py = (local[None, :, 1] + o[:, 1:2])[..., None]
+            idx_local = _select_tile_channels(
+                jax.lax.stop_gradient(px), jax.lax.stop_gradient(py),
+                {k: jax.lax.stop_gradient(c)[:, None, :]
+                 for k, c in chc.items()},
+                v[:, None, :], K, blur, settings.znear,
+            )  # (c, tp, K)
 
-        zbufs, pcs, dists_l, p2fs = [], [], [], []
-        for k in range(K):
-            mk = idx_local[:, :, k][..., None] == iota_f  # (c, tp, Fmax)
-            sel = jnp.einsum(
-                "ctf,cfn->ctn", mk.astype(jnp.float32), stacked,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # (c, tp, 13)
-            qx = [sel[..., 2 * j] for j in range(3)]
-            qy = [sel[..., 2 * j + 1] for j in range(3)]
-            zf = [sel[..., 6 + j] for j in range(3)]
-            invzf = [sel[..., 9 + j] for j in range(3)]
-            zb, pck, dd = _fragment_math(
-                px[..., 0], py[..., 0], qx, qy, zf, invzf, settings.clip_bary
-            )
-            p2f = jnp.round(sel[..., 12]).astype(jnp.int32)
-            zbufs.append(zb)
-            pcs.append(jnp.stack(pck, axis=-1))
-            dists_l.append(dd)
-            p2fs.append(p2f)
+            # winner gather: one one-hot einsum over the tile's Fmax lanes
+            # per hit (MXU) instead of 13 masked VPU reductions per channel
+            # — measured 3.06 -> ~0.5 ms of the 720p 12-view call
+            # (fusion.152 in the op profile). Exact: a single nonzero per
+            # (pixel, lane) row and f32 HIGHEST (3-pass bf16 split)
+            # reconstruct the f32 values bit-for-bit, as in
+            # pallas_hard._xla_reinterpolate.
+            stacked = jnp.stack(
+                [chc[f"q{ax}{j}"] for j in range(3) for ax in ("x", "y")]
+                + [chc[f"z{j}"] for j in range(3)]
+                + [chc[f"invz{j}"] for j in range(3)]
+                + [fi.astype(jnp.float32)],
+                axis=-1,
+            )  # (c, Fmax, 13)
 
-        live = idx_local >= 0  # (c, tp, K)
-        zbuf = jnp.where(live, jnp.stack(zbufs, axis=-1), -1.0)
-        bary = jnp.where(
-            live[..., None], jnp.stack(pcs, axis=-2), 0.0
-        )  # (c, tp, K, 3)
-        dists = jnp.where(live, jnp.stack(dists_l, axis=-1), EMPTY_DIST)
-        p2f = jnp.where(live, jnp.stack(p2fs, axis=-1), -1)
-        return p2f, zbuf, bary, dists
+            zbufs, pcs, dists_l, p2fs = [], [], [], []
+            for k in range(K):
+                mk = idx_local[:, :, k][..., None] == iota_f  # (c, tp, Fmax)
+                sel = jnp.einsum(
+                    "ctf,cfn->ctn", mk.astype(jnp.float32), stacked,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # (c, tp, 13)
+                qx = [sel[..., 2 * j] for j in range(3)]
+                qy = [sel[..., 2 * j + 1] for j in range(3)]
+                zf = [sel[..., 6 + j] for j in range(3)]
+                invzf = [sel[..., 9 + j] for j in range(3)]
+                zb, pck, dd = _fragment_math(
+                    px[..., 0], py[..., 0], qx, qy, zf, invzf,
+                    settings.clip_bary
+                )
+                p2f = jnp.round(sel[..., 12]).astype(jnp.int32)
+                zbufs.append(zb)
+                pcs.append(jnp.stack(pck, axis=-1))
+                dists_l.append(dd)
+                p2fs.append(p2f)
 
-    p2f, zbuf, bary, dists = jax.lax.map(
-        per_chunk,
-        ({k: padc(v) for k, v in ch.items()}, padc(vf), padc(fidx), padc(of)),
-    )
+            live = idx_local >= 0  # (c, tp, K)
+            zbuf = jnp.where(live, jnp.stack(zbufs, axis=-1), -1.0)
+            bary = jnp.where(
+                live[..., None], jnp.stack(pcs, axis=-2), 0.0
+            )  # (c, tp, K, 3)
+            dists = jnp.where(live, jnp.stack(dists_l, axis=-1), EMPTY_DIST)
+            p2f = jnp.where(live, jnp.stack(p2fs, axis=-1), -1)
+            return p2f, zbuf, bary, dists
+
+        outs = jax.lax.map(
+            per_chunk,
+            ({k: padc(v) for k, v in chf.items()}, padc(vf), padc(fidx),
+             padc(of)),
+        )
+        return tuple(
+            a.reshape((n_chunks * tiles_per_chunk, tp) + a.shape[3:])[:N]
+            .reshape((B, T, tp) + a.shape[3:])
+            for a in outs
+        )
+
+    if split is not None:
+        # count-ordered tiles: [0, hi) at the full lane budget, the sparse
+        # tail at lo_lanes. Exact while every tail tile's count stays
+        # <= lo_lanes (suggest_occupancy_split_fd sizes the boundary with
+        # margin); rank order is preserved so the concatenated axis lines
+        # up with bins.invrank for the scatter below.
+        hi, lo_lanes = split
+        A = bins.slot.shape[1]
+        hi = max(1, min(int(hi), A - 1))
+        sub = lambda lo_, hi_: bins._replace(
+            slot=bins.slot[:, lo_:hi_], count=bins.count[:, lo_:hi_]
+        )
+        outs_hi = run_tiles(sub(0, hi), origins[:, :hi],
+                            settings.max_faces_per_bin)
+        outs_lo = run_tiles(sub(hi, A), origins[:, hi:], int(lo_lanes))
+        p2f, zbuf, bary, dists = tuple(
+            jnp.concatenate([a, b], axis=1)
+            for a, b in zip(outs_hi, outs_lo)
+        )
+    else:
+        p2f, zbuf, bary, dists = run_tiles(
+            bins, origins, settings.max_faces_per_bin
+        )
 
     if settings.active_tiles is not None:
         from .binning import active_indicator
@@ -390,8 +444,6 @@ def _rasterize_binned(fd: FaceRasterData, settings: RasterizationSettings) -> Fr
         ind = active_indicator(bins)
 
         def finish(a, bg):
-            a = a.reshape((n_chunks * tiles_per_chunk, tp) + a.shape[3:])[:N]
-            a = a.reshape((B, T, tp) + a.shape[2:])
             dtype = a.dtype
             if dtype == jnp.int32:  # scatter rides f32 (ids < 2^24: exact)
                 a = a.astype(jnp.float32)
@@ -402,8 +454,6 @@ def _rasterize_binned(fd: FaceRasterData, settings: RasterizationSettings) -> Fr
     else:
         def finish(a, bg):
             del bg
-            a = a.reshape((n_chunks * tiles_per_chunk, tp) + a.shape[3:])[:N]
-            a = a.reshape((B, T, tp) + a.shape[2:])
             return untile_image(a, (H, W), tile, bins.n_tiles_hw)
 
     return Fragments(

@@ -94,6 +94,7 @@ class MeshRenderer(DifferentiableRenderer):
         active_tiles: Optional[int] = None,
         layout: str = "tile",
         group_lanes: Optional[int] = None,
+        occupancy_split: Optional[Tuple[int, int]] = None,
     ):
         """shade_k: shade only the nearest shade_k fragment slots for RGB
         (silhouette/depth keep all K); at the default gamma=1e-4 the
@@ -113,6 +114,7 @@ class MeshRenderer(DifferentiableRenderer):
             active_tiles=active_tiles,
             layout=layout,
             group_lanes=group_lanes,
+            occupancy_split=occupancy_split,
         )
         self.blend = BlendParams(sigma=sigma, gamma=gamma, background_color=background_color)
         self.lights = lights if lights is not None else PointLights.make()
