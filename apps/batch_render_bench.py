@@ -35,6 +35,10 @@ def main():
                    help="active-tile compaction budget; 0 = auto-size from "
                         "the scene's non-empty tile count (at 720p ~80%% of "
                         "tiles are empty), -1 = disable compaction")
+    p.add_argument("--no-occupancy-split", action="store_true",
+                   help="disable the two-budget occupancy split (auto-sized "
+                        "via suggest_occupancy_split_fd when active tiles "
+                        "are compacted)")
     args = p.parse_args()
     setup_platform(args)
 
@@ -56,11 +60,13 @@ def main():
 
     mfb = args.max_faces_per_bin
     act = args.active_tiles
+    split = None
     if mfb == 0 or act == 0:
         from torch_renderer_tpu.cameras.perspective import PerspectiveCamera
         from torch_renderer_tpu.rasterize.binning import (
             count_overflow,
             suggest_active_tiles_fd,
+            suggest_occupancy_split_fd,
         )
         from torch_renderer_tpu.rasterize.geometry import setup_faces
 
@@ -75,12 +81,18 @@ def main():
         if act == 0:
             act = suggest_active_tiles_fd(fd0, (H, W), args.bin_size, 0.0)
             print(f"auto active_tiles = {act}")
+        if act > 0 and not args.no_occupancy_split:
+            split = suggest_occupancy_split_fd(
+                fd0, (H, W), args.bin_size, 0.0, act, mfb
+            )
+            print(f"auto occupancy_split = {split}")
 
     renderer = DepthRender(
         K, (H, W), pixel_chunk=1048576,
         bin_size=args.bin_size, max_faces_per_bin=mfb,
         impl=args.raster_impl,
         active_tiles=None if act < 0 else act,
+        occupancy_split=split if act > 0 else None,
     )
     vc = min(args.view_chunk, N)
     batched = meshes.extend(vc)
