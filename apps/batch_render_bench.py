@@ -70,9 +70,11 @@ def main():
         )
         from torch_renderer_tpu.rasterize.geometry import setup_faces
 
-        vc0 = min(args.view_chunk, N)
-        cam0 = PerspectiveCamera.from_K(K, (H, W), R=Rs[:vc0], t=ts[:vc0])
-        fd0 = setup_faces(meshes.extend(vc0), cam0)
+        # size budgets from ALL views (a single chunk's azimuth range can
+        # under-count an asymmetric scene's densest tiles; overflowing
+        # bins silently drop faces)
+        cam0 = PerspectiveCamera.from_K(K, (H, W), R=Rs, t=ts)
+        fd0 = setup_faces(meshes.extend(N), cam0)
         if mfb == 0:
             max_count, _ = count_overflow(fd0, (H, W), args.bin_size, 0, 0.0)
             mfb = max(8, int(float(max_count) * 1.3))

@@ -349,6 +349,72 @@ def test_occupancy_split_exact_fragments(K_, blur):
     )
 
 
+def test_occupancy_split_hi_covers_all_tiles_falls_back():
+    """A stale/oversized hi (>= active tile count) must run the single-
+    budget path, not demote the last count-ordered tile to lo_lanes
+    (which would silently drop its faces beyond lo_lanes)."""
+    from torch_renderer_tpu.rasterize.binning import suggest_active_tiles_fd
+    from torch_renderer_tpu.rasterize.geometry import setup_faces
+
+    img, tile = 64, 32
+    verts, faces = icosphere(2)
+    meshes = Meshes.from_single(verts, faces)
+    f = 0.8 * img
+    Km = np.array([[f, 0, img / 2], [0, f, img / 2], [0, 0, 1]], np.float32)
+    cam = PerspectiveCamera.from_K(
+        Km, (img, img), R=np.eye(3, dtype=np.float32)[None],
+        t=np.array([[0.0, 0.0, 2.2]], np.float32),
+    )
+    fd = setup_faces(meshes, cam)
+    act = suggest_active_tiles_fd(fd, (img, img), tile, 0.0)
+    base = RasterizationSettings(
+        image_size=(img, img), bin_size=tile, max_faces_per_bin=512,
+        impl="xla", active_tiles=act,
+    )
+    plain = rasterize_meshes(meshes, cam, base)
+    # hi >= A with a lo budget far below the dense tiles' counts
+    over = rasterize_meshes(
+        meshes, cam,
+        dataclasses.replace(base, occupancy_split=(act + 8, 16)),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(plain.pix_to_face), np.asarray(over.pix_to_face)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(plain.zbuf), np.asarray(over.zbuf)
+    )
+    # A == 1 active tile: must not crash (empty lo subset pre-fix)
+    one = dataclasses.replace(
+        base, active_tiles=1, occupancy_split=(1, 16)
+    )
+    fr = rasterize_meshes(meshes, cam, one)
+    assert int(jnp.sum(fr.pix_to_face >= 0)) > 0
+
+
+def test_occupancy_split_conflicting_impl_raises():
+    st = RasterizationSettings(
+        image_size=(32, 32), bin_size=16, active_tiles=8,
+        occupancy_split=(4, 16), impl="pallas",
+    )
+    verts, faces = icosphere(1)
+    meshes = Meshes.from_single(verts, faces)
+    f = 25.0
+    Km = np.array([[f, 0, 16], [0, f, 16], [0, 0, 1]], np.float32)
+    cam = PerspectiveCamera.from_K(
+        Km, (32, 32), R=np.eye(3, dtype=np.float32)[None],
+        t=np.array([[0.0, 0.0, 3.0]], np.float32),
+    )
+    with pytest.raises(ValueError, match="XLA binned"):
+        rasterize_meshes(meshes, cam, st)
+    # impl='auto' + K>1 keeps the split on the XLA path (no error) even
+    # where the Pallas kernel would be auto-picked
+    ok = dataclasses.replace(
+        st, impl="auto", faces_per_pixel=4, max_faces_per_bin=64
+    )
+    fr = rasterize_meshes(meshes, cam, ok)
+    assert int(jnp.sum(fr.pix_to_face >= 0)) > 0
+
+
 def test_occupancy_split_requires_active_tiles():
     st = RasterizationSettings(
         image_size=(32, 32), bin_size=16, occupancy_split=(8, 32),

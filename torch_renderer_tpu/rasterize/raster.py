@@ -97,8 +97,10 @@ class RasterizationSettings:
     # max_faces_per_bin, always safe).
     layout: str = "tile"
     group_lanes: Optional[int] = None
-    # Occupancy split for the XLA binned path (requires active_tiles):
-    # (hi_tiles, lo_lanes). Active tiles are compacted in DESCENDING
+    # Occupancy split for the XLA binned path (requires active_tiles;
+    # with impl='auto' it PINS the XLA path so one config means one
+    # pipeline on every backend): (hi_tiles, lo_lanes). Active tiles are
+    # compacted in DESCENDING
     # candidate-count order; the first hi_tiles run the full
     # max_faces_per_bin lane budget and the tail runs lo_lanes — the
     # selection argmin, winner one-hot einsums and gathers are all
@@ -414,6 +416,12 @@ def _rasterize_binned(fd: FaceRasterData, settings: RasterizationSettings) -> Fr
             for a in outs
         )
 
+    if split is not None and int(split[0]) >= bins.slot.shape[1]:
+        # hi covers every active tile (stale suggestion, smaller image, or
+        # A == 1): there is no sparse tail — run the single-budget path
+        # rather than demoting the last tile to lo_lanes (which would drop
+        # its faces beyond lo_lanes).
+        split = None
     if split is not None:
         # count-ordered tiles: [0, hi) at the full lane budget, the sparse
         # tail at lo_lanes. Exact while every tail tile's count stays
@@ -422,7 +430,7 @@ def _rasterize_binned(fd: FaceRasterData, settings: RasterizationSettings) -> Fr
         # up with bins.invrank for the scatter below.
         hi, lo_lanes = split
         A = bins.slot.shape[1]
-        hi = max(1, min(int(hi), A - 1))
+        hi = max(1, int(hi))
         sub = lambda lo_, hi_: bins._replace(
             slot=bins.slot[:, lo_:hi_], count=bins.count[:, lo_:hi_]
         )
@@ -469,6 +477,8 @@ def uses_binned_pallas(settings: RasterizationSettings) -> bool:
     fragments carry Fragments.binned attribute slabs."""
     if settings.bin_size is None or settings.impl == "xla":
         return False
+    if settings.occupancy_split is not None:
+        return False  # split is an XLA-binned-path tuning (routing intent)
     if settings.layout == "packed":
         return settings.faces_per_pixel == 1
     if settings.bin_size > 16:
@@ -504,6 +514,25 @@ def rasterize_face_data(
         )
     if settings.layout == "packed" and settings.bin_size is None:
         raise ValueError("layout='packed' requires bin_size (binned path)")
+    if settings.occupancy_split is not None:
+        # the split only exists on the XLA binned path. impl='auto' treats
+        # it as routing intent (stay on XLA even where the Pallas kernel
+        # would be auto-picked, so one config means one pipeline on every
+        # backend); an explicit Pallas/packed/dense request conflicts —
+        # fail loudly instead of silently dropping the tuning (mirrors
+        # the impl='pallas' bin_size guard).
+        if (
+            settings.bin_size is None
+            or settings.impl == "pallas"
+            or settings.layout == "packed"
+        ):
+            raise ValueError(
+                "occupancy_split applies to the XLA binned path only; got "
+                f"bin_size={settings.bin_size}, impl={settings.impl!r}, "
+                f"layout={settings.layout!r}"
+            )
+        if settings.active_tiles is None:
+            raise ValueError("occupancy_split requires active_tiles")
     if (
         settings.layout == "packed"
         and settings.impl != "xla"
