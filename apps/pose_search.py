@@ -26,6 +26,10 @@ def main():
     p.add_argument("--batch", type=int, default=0,
                    help="also run a vmapped multi-target search over N targets "
                         "(serving-scale demo)")
+    p.add_argument("--mesh-shape", type=str, default=None,
+                   help="'d,m' device-mesh shape: shard the hypothesis sweep "
+                        "(and --batch targets) over the 'data' axis "
+                        "(d*m must equal the device count)")
     args = p.parse_args()
     setup_platform(args)
 
@@ -61,9 +65,18 @@ def main():
     cfg = PoseSearchConfig(
         n_hypotheses=args.hypotheses, n_elite=args.elite, n_iters=args.iters,
     )
+    device_mesh = None
+    if args.mesh_shape:
+        from torch_renderer_tpu.parallel.mesh import make_mesh
+
+        shape = tuple(int(s) for s in args.mesh_shape.split(","))
+        device_mesh = make_mesh(shape)
+        print(f"device mesh {dict(device_mesh.shape)} over "
+              f"{len(device_mesh.devices.flat)} devices")
+
     searcher = GMMPoseSearch(ref, cfg)
     t0 = time.perf_counter()
-    out = searcher.search(k_search, target)
+    out = searcher.search(k_search, target, device_mesh=device_mesh)
     jax.block_until_ready(out["score"])
     elapsed = time.perf_counter() - t0
 
@@ -98,7 +111,10 @@ def main():
             Rb, tb, jnp.broadcast_to(ref, (B,) + ref.shape)
         )
         t0 = time.perf_counter()
-        outs = searcher.search_batch(jax.random.PRNGKey(args.seed + 2), targets)
+        outs = searcher.search_batch(
+            jax.random.PRNGKey(args.seed + 2), targets,
+            device_mesh=device_mesh,
+        )
         jax.block_until_ready(outs["score"])
         dt = time.perf_counter() - t0
         scores = np.asarray(outs["score"])

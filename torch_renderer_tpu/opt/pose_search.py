@@ -85,6 +85,7 @@ class GMMPoseSearch:
         self.ref_points = jnp.asarray(ref_points, jnp.float32)
         self.config = config
         self._search_jit = jax.jit(self._search)
+        self._sharded_jits = {}  # id(mesh) -> jitted sharded search
 
     # -- initial hypothesis sampling (reference :171-175) --------------------
     def _init_poses(self, key: jax.Array, target_points, target_mask) -> jax.Array:
@@ -105,11 +106,11 @@ class GMMPoseSearch:
         )
         return jnp.concatenate([trans, rpy], axis=-1)
 
-    def _search(self, key, target_points, target_mask):
+    def _search(self, key, target_points, target_mask, chamfer=chamfer_scores):
         cfg = self.config
         k_init, k_scan = jax.random.split(key)
         poses = self._init_poses(k_init, target_points, target_mask)
-        scores = chamfer_scores(self.ref_points, target_points, poses, target_mask)
+        scores = chamfer(self.ref_points, target_points, poses, target_mask)
 
         def elite(poses, scores):
             neg, idx = jax.lax.top_k(-scores, cfg.n_elite)
@@ -127,7 +128,7 @@ class GMMPoseSearch:
                 n_iter=cfg.gmm_em_iters, reg_covar=cfg.reg_covar,
             )
             poses = gmm_sample(ks, gmm, cfg.n_hypotheses)
-            scores = chamfer_scores(
+            scores = chamfer(
                 self.ref_points, target_points, poses, target_mask
             )
             e_poses, e_scores = elite(poses, scores)
@@ -151,31 +152,94 @@ class GMMPoseSearch:
             "final_elite": e_poses,
         }
 
+    def _sharded_search_fn(self, device_mesh):
+        """Jitted search with the HYPOTHESIS axis sharded over the mesh's
+        'data' axis: each device scores n_hypotheses/d chamfer hypotheses
+        locally (the reference's kaolin-chamfer-over-400 sweep spread over
+        ICI); elite selection / GMM fit / resampling stay replicated (tiny,
+        (H,) and (E, 6) arrays). The only collective is the implicit
+        all-gather of the (H,) score vector before top_k."""
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS
+
+        from jax import shard_map
+
+        d = device_mesh.shape[DATA_AXIS]
+        cfg = self.config
+        if cfg.n_hypotheses % d:
+            raise ValueError(
+                f"n_hypotheses={cfg.n_hypotheses} must divide by the mesh "
+                f"'data' axis size {d} (round it up to a multiple)"
+            )
+
+        sharded_chamfer = shard_map(
+            chamfer_scores,
+            mesh=device_mesh,
+            in_specs=(P(), P(), P(DATA_AXIS, None), P()),
+            out_specs=P(DATA_AXIS),
+        )
+        return jax.jit(
+            lambda k, tp, tm: self._search(k, tp, tm, chamfer=sharded_chamfer)
+        )
+
     def search(
         self, key: jax.Array, target_points: jax.Array,
         target_mask: Optional[jax.Array] = None,
+        device_mesh=None,
     ) -> Dict[str, jax.Array]:
-        """Run the full search. target_points (M, 3); optional (M,) mask."""
+        """Run the full search. target_points (M, 3); optional (M,) mask.
+
+        device_mesh: optional jax.sharding.Mesh (parallel.mesh.make_mesh) —
+        shards the chamfer hypothesis sweep over the mesh's 'data' axis.
+        Identical results to the single-device path (per-hypothesis math is
+        unchanged; sharding only splits the hypothesis batch)."""
         target_points = jnp.asarray(target_points, jnp.float32)
         if target_mask is None:
             # pass an all-ones mask so the jitted signature stays stable
             target_mask = jnp.ones(target_points.shape[0], jnp.float32)
+        if device_mesh is not None:
+            fn = self._sharded_jits.get(id(device_mesh))
+            if fn is None:
+                fn = self._sharded_search_fn(device_mesh)
+                self._sharded_jits[id(device_mesh)] = fn
+            return fn(key, target_points, target_mask)
         return self._search_jit(key, target_points, target_mask)
 
     def search_batch(
         self, key: jax.Array, target_points: jax.Array,
         target_mask: Optional[jax.Array] = None,
+        device_mesh=None,
     ) -> Dict[str, jax.Array]:
         """Vmapped search over a batch of targets (B, M, 3) — B independent
         global pose searches in ONE compiled program (the serving-scale
         version of the reference's one-object loop). Returned leaves gain a
-        leading batch dim."""
+        leading batch dim.
+
+        device_mesh: optional Mesh — shards the TARGET batch over 'data'
+        (one independent search per device group, zero collectives in the
+        hot path). B is zero-padded up to a multiple of the axis size and
+        the padding is sliced off the results."""
         target_points = jnp.asarray(target_points, jnp.float32)
         B = target_points.shape[0]
         if target_mask is None:
             target_mask = jnp.ones(target_points.shape[:2], jnp.float32)
         keys = jax.random.split(key, B)
-        return jax.jit(jax.vmap(self._search))(keys, target_points, target_mask)
+        if device_mesh is None:
+            return jax.jit(jax.vmap(self._search))(
+                keys, target_points, target_mask
+            )
+
+        from ..parallel.mesh import DATA_AXIS, pad_batch_to, shard_batch
+
+        d = device_mesh.shape[DATA_AXIS]
+        Bp = -(-B // d) * d
+        (keys, target_points, target_mask), _ = pad_batch_to(
+            (keys, target_points, target_mask), Bp
+        )
+        args = shard_batch((keys, target_points, target_mask), device_mesh)
+        out = jax.jit(jax.vmap(self._search))(*args)
+        return jax.tree_util.tree_map(lambda x: x[:B], out)
 
 
 # ---------------------------------------------------------------------------
