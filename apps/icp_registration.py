@@ -26,6 +26,9 @@ def main():
     p.add_argument("--noise", type=float, default=0.0)
     p.add_argument("--sweep", action="store_true",
                    help="object-count scaling sweep (1..100) vs CPU reference")
+    p.add_argument("--mesh-shape", type=str, default=None,
+                   help="'d,m' device-mesh shape: shard the object axis over "
+                        "the 'data' axis (d*m must equal the device count)")
     args = p.parse_args()
     setup_platform(args)
 
@@ -35,8 +38,19 @@ def main():
     from torch_renderer_tpu.ops.sample_points import sample_points_from_meshes
     from torch_renderer_tpu.opt.registration import (
         RegisterDataConfig, create_register_data, evaluate_registration,
-        icp_cpu_reference, register_batch,
+        icp_cpu_reference, register_batch, register_batch_sharded,
     )
+
+    if args.mesh_shape:
+        from torch_renderer_tpu.parallel.mesh import make_mesh
+
+        shape = tuple(int(s) for s in args.mesh_shape.split(","))
+        dm = make_mesh(shape)
+        print(f"device mesh {dict(dm.shape)} over "
+              f"{len(dm.devices.flat)} devices")
+        register_batch = lambda data, max_iterations: register_batch_sharded(
+            data, dm, max_iterations=max_iterations
+        )
 
     meshes = load_scene_mesh(args)
     key = jax.random.PRNGKey(args.seed)

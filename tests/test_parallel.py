@@ -305,3 +305,35 @@ def test_sharded_search_batch_pads_uneven(search_problem, eight_devices):
         np.asarray(plain["pose6d"]), np.asarray(sharded["pose6d"]),
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_sharded_icp_registration_matches_single(eight_devices):
+    """Object-axis sharded batched ICP (uneven B=5 on a 4-way data axis)
+    matches the single-device solution on every field."""
+    from torch_renderer_tpu.opt.registration import (
+        RegisterDataConfig,
+        create_register_data,
+        register_batch,
+        register_batch_sharded,
+    )
+
+    base = jax.random.normal(jax.random.PRNGKey(6), (64, 3)) * 0.2
+    data = create_register_data(
+        jax.random.PRNGKey(5), base,
+        RegisterDataConfig(n_objects=5, crop_fraction=0.3),
+    )
+    plain = register_batch(data, max_iterations=12)
+    dm = make_mesh((4, 2), ("data", "model"), eight_devices)
+    sharded = register_batch_sharded(data, dm, max_iterations=12)
+    np.testing.assert_allclose(
+        np.asarray(plain.RTs.R), np.asarray(sharded.RTs.R),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(plain.RTs.t), np.asarray(sharded.RTs.t),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(plain.rmse), np.asarray(sharded.rmse),
+        rtol=1e-5, atol=1e-6,
+    )
