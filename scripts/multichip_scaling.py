@@ -39,6 +39,14 @@ def main():
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--json", type=str, default=None,
                    help="write results to this JSON file")
+    p.add_argument("--workload", choices=["pose", "search", "icp"],
+                   default="pose",
+                   help="pose: dp+tp soft-silhouette pose step; search: "
+                        "hypothesis-sharded GMM pose search; icp: object-"
+                        "sharded batched registration (weak scaling: work "
+                        "grows with the data-axis size)")
+    p.add_argument("--hypotheses-per-chip", type=int, default=128)
+    p.add_argument("--objects-per-chip", type=int, default=16)
     args = p.parse_args()
 
     if args.cpu:
@@ -84,6 +92,10 @@ def main():
         [[f, 0, HW[1] / 2], [0, f, HW[0] / 2], [0, 0, 1]], np.float32
     )
     verts, faces = icosphere(args.level)
+
+    if args.workload in ("search", "icp"):
+        _run_point_workload(args, devices, shapes)
+        return
 
     results = []
     for (d, m) in shapes:
@@ -141,6 +153,100 @@ def main():
             json.dump(
                 {"platform": devices[0].platform, "image_size": HW,
                  "level": args.level, "results": results},
+                fjson, indent=1,
+            )
+        print(f"wrote {args.json}")
+
+
+def _run_point_workload(args, devices, shapes):
+    """Weak-scaling sweeps of the point-cloud workloads: per mesh shape the
+    'data'-axis work grows with d (hypotheses or objects per chip stay
+    fixed), so flat per-chip throughput = perfect scaling."""
+    import json
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from torch_renderer_tpu.parallel.mesh import make_mesh
+    from torch_renderer_tpu.transforms.so3 import (
+        euler_angles_to_matrix,
+        transform_points,
+    )
+
+    key = jax.random.PRNGKey(0)
+    ref = jax.random.normal(key, (256, 3)) * 0.2
+    ref = ref * jnp.asarray([1.0, 0.6, 0.35])  # break rotational symmetry
+    gt_R = euler_angles_to_matrix(jnp.array([0.3, -0.5, 0.9]), "XYZ")
+    gt_t = jnp.array([0.15, -0.05, 0.2])
+    target = transform_points(gt_R, gt_t, ref)
+
+    results = []
+    for (d, m) in shapes:
+        nd = d * m
+        dm = make_mesh((d, m), ("data", "model"), devices[:nd])
+        if args.workload == "search":
+            from torch_renderer_tpu.opt.pose_search import (
+                GMMPoseSearch,
+                PoseSearchConfig,
+            )
+
+            H = args.hypotheses_per_chip * d
+            cfg = PoseSearchConfig(
+                n_hypotheses=H, n_elite=max(8, H // 4), n_iters=5
+            )
+            searcher = GMMPoseSearch(ref, cfg)
+            run = lambda: searcher.search(
+                jax.random.PRNGKey(1), target, device_mesh=dm
+            )
+            out = run()  # compile
+            jax.block_until_ready(out["score"])
+            t0 = time.perf_counter()
+            reps = 3
+            for _ in range(reps):
+                out = run()
+            jax.block_until_ready(out["score"])
+            dt = time.perf_counter() - t0
+            unit, work = "hypothesis-scores/s", H * (cfg.n_iters + 1) * reps
+        else:
+            from torch_renderer_tpu.opt.registration import (
+                RegisterDataConfig,
+                create_register_data,
+                register_batch_sharded,
+            )
+
+            B = args.objects_per_chip * d
+            data = create_register_data(
+                jax.random.PRNGKey(2), ref,
+                RegisterDataConfig(n_objects=B, crop_fraction=0.3),
+            )
+            run = lambda: register_batch_sharded(data, dm, max_iterations=25)
+            sol = run()
+            jax.block_until_ready(sol.rmse)
+            t0 = time.perf_counter()
+            reps = 3
+            for _ in range(reps):
+                sol = run()
+            jax.block_until_ready(sol.rmse)
+            dt = time.perf_counter() - t0
+            unit, work = "objects/s", B * reps
+
+        rate = work / dt
+        row = {
+            "mesh": f"({d},{m})", "chips": nd, "unit": unit,
+            "rate": round(rate, 2),
+            "rate_per_chip": round(rate / nd, 2),
+        }
+        results.append(row)
+        print(f"mesh ({d},{m}) chips={nd}: {rate:10.2f} {unit}"
+              f"  {rate / nd:10.2f} per chip")
+
+    if args.json:
+        with open(args.json, "w") as fjson:
+            json.dump(
+                {"platform": devices[0].platform,
+                 "workload": args.workload, "results": results},
                 fjson, indent=1,
             )
         print(f"wrote {args.json}")
