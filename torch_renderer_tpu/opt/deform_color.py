@@ -67,7 +67,7 @@ class JointFitConfig:
     # optax state on device (bounded device-call time; see fit()).
     scan_segment: int = 250
     # Coarse-to-fine rasterization. The fused Pallas top-K kernel
-    # (rasterize/pallas_hard._topk_kernel) makes binning the clear winner
+    # (rasterize/pallas_hard._topk_select_kernel) makes binning the clear winner
     # at K=8: 5.9 ms vs 163 ms dense-XLA render+backward at the
     # reference's 128^2 scale (27x). bin_size=None = dense XLA.
     # max_faces_per_bin=None = auto-size: measure the true max tile

@@ -1,29 +1,35 @@
 """Fused Pallas TPU kernels for tile-binned top-K rasterization.
 
-Two kernels share one planes layout and backward:
-- _topk_kernel (K>1) — THE production winner: 19-27x faster than the XLA
-  tile path on the soft-Phong/texture-fit settings (K=8 at 128^2,
-  reference deform_mesh_with_color.py:149-159), because the XLA path's
-  per-K one-hot interpolation does K x Fmax masked reductions per channel.
-  raster.py auto-routes K>1 here on TPU.
+Two kernels share one planes layout:
+- _topk_select_kernel (K>1) — THE production winner: with its XLA
+  re-interpolation epilogue, 19-27x faster than the XLA tile path on the
+  soft-Phong/texture-fit settings (K=8 at 128^2, reference
+  deform_mesh_with_color.py:149-159), because the XLA path's per-K
+  one-hot interpolation does K x Fmax masked reductions per channel.
+  raster.py auto-routes K>1 here on TPU. The kernel does SELECTION ONLY
+  (winner lanes); zbuf/bary/dists/fid are re-derived outside by
+  _xla_reinterpolate's differentiable one-hot MXU einsum (an earlier
+  in-kernel variant also interpolated in-kernel via 13 per-k (tp, F)
+  pick reductions — ~85% of its slab traversals — and measured 2.05 vs
+  0.65 ms on the joint-fit step; the einsum was already being paid in
+  the backward).
 - _hard_kernel (K=1) — kept selectable via impl='pallas' but NOT the
   default: the XLA K=1 path measured faster at every scale tried (2.2 vs
   2.7 ms at 128^2; 4x at 720p, where mostly-empty tiles waste the
   kernel's 128-lane chunk padding while XLA sizes lanes to the true bin
   occupancy).
 
-Both keep one tile's pixel-x-face working set in VMEM, select covering
-faces by z AND interpolate fragment outputs in one pass, and bound each
+Both keep one tile's pixel-x-face working set in VMEM and bound each
 tile's face loop by its real candidate count (scalar-prefetched from the
 planes array; the grid runs sequentially per core, so skipped chunks are
 pure wall-clock saving).
 
 Gradient convention matches raster.py: SELECTION (which face wins each
-pixel) is non-differentiable; gradients flow through the re-interpolation of
-the selected face's corner channels only. The backward pass is therefore a
-custom_vjp that re-runs the differentiable fragment math in XLA on one-hot
-gathered winners (reusing raster._fragment_math) and lets the einsum
-transpose scatter cotangents back to the candidate lanes.
+pixel) is non-differentiable; gradients flow through the re-interpolation
+of the selected face's corner channels only. For K>1 that needs NO
+custom_vjp — plain AD through the re-interpolation einsum (its transpose
+scatters cotangents back to the candidate lanes); _hard_kernel (K=1)
+interpolates in-kernel and keeps the custom_vjp over the same einsum.
 
 Data layout (TPU tiling wants (8, 128)-aligned blocks): per flattened tile,
 faces live in 'planes' (N, 16, F) float32 slabs along the face/lane axis:
@@ -37,9 +43,11 @@ faces live in 'planes' (N, 16, F) float32 slabs along the face/lane axis:
              because a separate SMEM operand overflows SMEM at 720p tile
              counts and SMEM BlockSpecs must be (8,128)-tiled)
 The 8 output channels per hit are: zbuf, pc0, pc1, pc2, dists, p2f
-(global id, f32), live, local winner lane (f32, for the backward
-one-hot). _hard_kernel emits (N, 8, tile^2); _topk_kernel emits
-(N, K*8, tile^2) with k-major rows (row k*8 + c).
+(global id, f32), live, local winner lane (f32, for the one-hot).
+_hard_kernel emits (N, 8, tile^2); _topk_select_kernel emits the same
+(N, K*8, tile^2) k-major band layout but fills only rows k*8 (lane,
+-1 = dead) and k*8+1 (live) — _tile_topk_reinterp assembles the full
+bands.
 """
 
 from __future__ import annotations
@@ -221,37 +229,29 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _topk_kernel(tile, inv_s, blur, znear, clip_bary, K, F, fc,
-                 planes_ref, out_ref, prio_ref):
-    """K>1 generalization of _hard_kernel: per pixel keep the K nearest
-    covering faces (nearest-first, top_k-compatible tie-break by lane
-    order).
+def _topk_select_kernel(tile, inv_s, blur, znear, clip_bary, K, F, fc,
+                        planes_ref, out_ref, prio_ref):
+    """Selection-only variant of _topk_kernel: per extraction pass emit
+    ONLY the winner's local lane (row k*8; -1 = no hit) and live mask
+    (row k*8+1); rows k*8+2..7 are zero.
 
-    Memory/compile-time design (each rule below was violated once and
-    measured to break Mosaic):
-    - The ONLY per-tile (tp, F) slab kept live is the selection priority,
-      built into a VMEM scratch in fc-lane chunks with occupancy skipping.
-      Keeping the 5 interpolated channel slabs live through the K loop
-      crashes the compile helper at F>=768; instead each extraction pass
-      re-derives the winner's fragment values from its 12 picked corner
-      channels on (tp,) vectors (cheap VPU work, exact same formulas).
-    - The k loop is a lax.fori_loop whose body stores one (8, tp) channel
-      band at a dynamic sublane offset, so compiled code size is CONSTANT
-      in K — an unrolled extraction loop or a sorted-carry merge
-      (quadratic in K) blows compile time past minutes at K>=4.
+    The fragment values (zbuf/bary/dists/fid) are NOT computed in-kernel —
+    the caller re-derives them differentiably via _xla_reinterpolate's
+    one-hot MXU einsum, which the top-K backward ran anyway. _topk_kernel's
+    13 per-k `pick` reductions were ~85% of its (tp, F) slab traversals;
+    this kernel's extraction pass is just min + arg-lane + prio update.
+    Same split-selection-from-interpolation architecture as the packed K=1
+    kernel (see the negative-result header below), where it was the fix
+    for in-kernel extraction being latency-poison.
 
-    Output rows are k-major: row k*8 + c = channel c (as in _hard_kernel)
-    of hit k."""
+    Output keeps the (8, tp)-band store pattern (dynamic sublane stores
+    need 8-row alignment; single-sublane dynamic stores don't compile)."""
     tp = tile * tile
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (tp, F), 1)
     xoff, yoff = _hard_pixel_offsets(tile, inv_s)
     zero = jnp.zeros((tp,), jnp.float32)
     neg1 = -1.0 * jnp.ones((tp,), jnp.float32)
-    empty_band = jnp.stack(
-        [neg1, zero, zero, zero, jnp.full((tp,), EMPTY_DIST, jnp.float32),
-         neg1, zero, zero],
-        axis=0,
-    )  # (8, tp)
+    empty_band = jnp.stack([neg1] + [zero] * 7, axis=0)  # (8, tp)
 
     def row_body(i):
         count = planes_ref[i, 15, 0].astype(jnp.int32)
@@ -269,8 +269,7 @@ def _topk_kernel(tile, inv_s, blur, znear, clip_bary, K, F, fc,
             px = planes_ref[i, 14, 0] + xoff
             py = planes_ref[i, 14, 1] + yoff
 
-            # phase 1: priority slab, chunk by chunk (chunks past the
-            # tile's candidate count stay at the INF prefill)
+            # phase 1: priority slab, chunk by chunk (as _topk_kernel)
             prio_ref[...] = jnp.full((tp, F), _INF, jnp.float32)
 
             def chunk_body(c, _):
@@ -291,45 +290,22 @@ def _topk_kernel(tile, inv_s, blur, znear, clip_bary, K, F, fc,
 
             jax.lax.fori_loop(0, count, chunk_body, 0)
 
-            # phase 2: K extraction passes over the slab; winner channels
-            # are re-derived from the picked corners on (tp,) vectors
-            px1 = px[:, 0]
-            py1 = py[:, 0]
-
+            # phase 2: K selection-only extraction passes
             def k_body(k, prio):
                 zmin = jnp.min(prio, axis=-1)                  # (TP,)
                 amin = jnp.min(
                     jnp.where(prio == zmin[:, None], lane_iota, F), axis=-1
                 )
-                onehot = (lane_iota == amin[:, None]).astype(jnp.float32)
-                pick = lambda r: jnp.sum(
-                    onehot * planes_ref[i, r, :][None, :], axis=-1
-                )  # (TP,)
-
-                q = tuple(pick(r) for r in range(6))
-                zf = tuple(pick(6 + r) for r in range(3))
-                invzf = tuple(pick(9 + r) for r in range(3))
-                _, zbuf, pc0, pc1, pc2, dists = _chunk_fragment_math(
-                    px1, py1, q, zf, invzf, blur, znear, clip_bary,
-                    jnp.ones((tp,), jnp.float32),
-                )
-
                 live = zmin < _INF
                 band = jnp.stack(
                     [
-                        jnp.where(live, zbuf, -1.0),
-                        jnp.where(live, pc0, 0.0),
-                        jnp.where(live, pc1, 0.0),
-                        jnp.where(live, pc2, 0.0),
-                        jnp.where(live, dists, EMPTY_DIST),
-                        jnp.where(live, pick(12), -1.0),
+                        jnp.where(live, amin.astype(jnp.float32), -1.0),
                         live.astype(jnp.float32),
-                        jnp.where(live, amin.astype(jnp.float32), 0.0),
-                    ],
+                    ] + [zero] * 6,
                     axis=0,
                 )  # (8, tp)
                 out_ref[i, pl.ds(pl.multiple_of(k * 8, 8), 8), :] = band
-                return jnp.where(onehot > 0.0, _INF, prio)
+                return jnp.where(lane_iota == amin[:, None], _INF, prio)
 
             jax.lax.fori_loop(0, K, k_body, prio_ref[...])
 
@@ -400,11 +376,18 @@ def _xla_reinterpolate(planes, lane, live, tile, inv_s, blur, znear,
     lx = jnp.tile(jnp.tile(d, tile), K)[None, :]    # (1, K*tp) x offsets
     ly = jnp.tile(jnp.repeat(d, tile), K)[None, :]  # (1, K*tp) y offsets
 
-    @jax.checkpoint  # rebuild the one-hot in backward, never store it:
-    # without this, jax.vjp across the lax.map (the topk backward) saves
-    # the (chunk, K*tp, F) one-hot as a residual — ~2 GB of HBM write+read
-    # per joint-fit step at the 128^2/K=8 scale (profiled: 3.2 ms of a
-    # 19.6 ms step as a DUS store + reload fusion pair).
+    # rebuild the one-hot in backward, never store it: without the
+    # checkpoint, jax.vjp across the lax.map saves the (chunk, K*tp, F)
+    # one-hot as a residual — ~2 GB of HBM write+read per joint-fit step
+    # at the 128^2/K=8 scale (profiled: 3.2 ms of a 19.6 ms step as a DUS
+    # store + reload pair). But DO save the (chunk, K*tp, ncols) gathered
+    # sel (tiny): the backward then needs only the TRANSPOSE one-hot dot
+    # (the scatter to planes), not a recompute of the forward gather dot
+    # — measured 0.70 ms/step of the joint fit.
+    @functools.partial(
+        jax.checkpoint,
+        policy=jax.checkpoint_policies.checkpoint_dots,
+    )
     def per_chunk(args):
         pl_c, lane_c, live_c = args             # (c,16,F), (c,ktp), (c,ktp)
         idx = lane_c.astype(jnp.int32)[..., None]   # (c, ktp, 1)
@@ -455,20 +438,21 @@ def _tile_hard_bwd(tile, inv_s, blur, znear, clip_bary, res, g):
 _tile_hard.defvjp(_tile_hard_fwd, _tile_hard_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6))
-def _tile_topk(planes, tile, inv_s, blur, znear, clip_bary, K):
-    """planes (N, 16, F) -> out (N, 8*K, tile^2), rows k-major
-    (row k*8 + c): zbuf, pc0..2, dists, p2f, live, lane per hit k."""
-    return _tile_topk_fwd(planes, tile, inv_s, blur, znear, clip_bary, K)[0]
-
-
-def _tile_topk_fwd(planes, tile, inv_s, blur, znear, clip_bary, K):
+def _tile_topk_reinterp(planes, tile, inv_s, blur, znear, clip_bary, K):
+    """K>1 fused path: selection-only Pallas kernel + differentiable XLA
+    re-interpolation. Same (N, 8K, tp) k-major band layout and bit-exact
+    values as the retired in-kernel-interpolating variant, but with NO
+    custom_vjp: plain AD flows through the one-hot einsum (whose transpose
+    is the scatter the old backward built by hand); _xla_reinterpolate's
+    checkpoint_dots policy keeps the one-hot out of the residuals while
+    saving the tiny gathered sel."""
     N, _, F = planes.shape
     tp = tile * tile
     fc = _face_chunk_width(F)
-    out = pl.pallas_call(
+    sel = pl.pallas_call(
         functools.partial(
-            _topk_kernel, tile, inv_s, blur, znear, clip_bary, K, F, fc
+            _topk_select_kernel, tile, inv_s, blur, znear, clip_bary, K, F,
+            fc
         ),
         grid=(N // _TN,),
         in_specs=[
@@ -480,33 +464,30 @@ def _tile_topk_fwd(planes, tile, inv_s, blur, znear, clip_bary, K):
         out_shape=jax.ShapeDtypeStruct((N, 8 * K, tp), jnp.float32),
         scratch_shapes=[pltpu.VMEM((tp, F), jnp.float32)],
         interpret=_interpret(),
-    )(planes)
-    N = planes.shape[0]
-    tp = tile * tile
-    per_k = out.reshape(N, K, 8, tp)
-    return out, (planes, per_k[:, :, 6, :], per_k[:, :, 7, :])
+    )(jax.lax.stop_gradient(planes))
+    per_k = sel.reshape(N, K, 8, tp)
+    lane = per_k[:, :, 0, :]                       # (N, K, tp), -1 = dead
+    live = per_k[:, :, 1, :]
 
-
-def _tile_topk_bwd(tile, inv_s, blur, znear, clip_bary, K, res, g):
-    planes, live, lane = res[0], res[1], res[2]     # live/lane (N, K, tp)
-    # channels 0-4 (zbuf, pc, dists) of each hit carry gradients; mask
-    # empty slots
-    N, _, tp = live.shape
-    g05 = (
-        g.reshape(N, K, 8, tp)[:, :, :5, :].transpose(0, 2, 1, 3)
-        * live[:, None, :, :]
-    )  # (N, 5, K, tp)
-
-    def rec(p):
-        return _xla_reinterpolate(
-            p, lane, live, tile, inv_s, blur, znear, clip_bary, K=K
-        )
-
-    _, vjp = jax.vjp(rec, planes)
-    return (vjp(g05)[0],)
-
-
-_tile_topk.defvjp(_tile_topk_fwd, _tile_topk_bwd)
+    rows = _xla_reinterpolate(
+        planes, jnp.maximum(lane, 0.0), live, tile, inv_s, blur, znear,
+        clip_bary, K=K, with_fid=True,
+    )                                              # (N, 6, K, tp)
+    lv = live > 0.0
+    bands = jnp.stack(
+        [
+            jnp.where(lv, rows[:, 0], -1.0),       # zbuf
+            jnp.where(lv, rows[:, 1], 0.0),        # pc0
+            jnp.where(lv, rows[:, 2], 0.0),        # pc1
+            jnp.where(lv, rows[:, 3], 0.0),        # pc2
+            jnp.where(lv, rows[:, 4], EMPTY_DIST),  # dists
+            jnp.where(lv, rows[:, 5], -1.0),       # p2f (global fid)
+            live,
+            jnp.maximum(lane, 0.0),                # lane (0 where dead)
+        ],
+        axis=2,
+    )                                              # (N, K, 8, tp)
+    return bands.reshape(N, 8 * K, tp)
 
 
 # ---------------------------------------------------------------------------
@@ -705,7 +686,7 @@ def rasterize_binned_pallas(
     """Coarse-to-fine top-K rasterization through the fused Pallas kernels.
 
     Drop-in for raster._rasterize_binned: K=1 uses _tile_hard (the
-    hard-depth / silhouette / single-hit Phong path), K>1 uses _tile_topk
+    hard-depth / silhouette / single-hit Phong path), K>1 uses _tile_topk_reinterp
     (soft Phong / texture fitting, reference deform_mesh_with_color.py:
     149-159's faces_per_pixel=50 settings). Same bins, same fragment
     semantics; selection runs in VMEM with per-tile occupancy skipping.
@@ -794,7 +775,7 @@ def rasterize_binned_pallas(
         )[:N]                                        # (N, 8, tp)
         per_tile = out.reshape(B, T, 1, 8, tp)
     else:
-        out = _tile_topk(
+        out = _tile_topk_reinterp(
             planes, tile, inv_s, blur, settings.znear, settings.clip_bary, K
         )[:N]                                        # (N, K*8, tp)
         per_tile = out.reshape(B, T, K, 8, tp)
@@ -879,7 +860,7 @@ def rasterize_packed_pallas(
     if settings.faces_per_pixel != 1:
         raise ValueError(
             "layout='packed' supports faces_per_pixel=1 only; got "
-            f"{settings.faces_per_pixel} (use the per-tile _tile_topk path)"
+            f"{settings.faces_per_pixel} (use the per-tile _tile_topk_reinterp path)"
         )
     if settings.active_tiles is None:
         raise ValueError(
