@@ -35,6 +35,11 @@ def main():
                    help="active-tile compaction budget; 0 = auto-size from "
                         "the scene's non-empty tile count (at 720p ~80%% of "
                         "tiles are empty), -1 = disable compaction")
+    p.add_argument("--select-impl", choices=["auto", "affine"],
+                   default="auto",
+                   help="affine: MXU affine selection keys for K=1/blur=0 "
+                        "(division-free -denom ordering; winner parity "
+                        "except eps-level z ties)")
     p.add_argument("--no-occupancy-split", action="store_true",
                    help="disable the two-budget occupancy split (auto-sized "
                         "via suggest_occupancy_split_fd when active tiles "
@@ -95,6 +100,7 @@ def main():
         impl=args.raster_impl,
         active_tiles=None if act < 0 else act,
         occupancy_split=split if act > 0 else None,
+        select_impl=args.select_impl,
     )
     vc = min(args.view_chunk, N)
     batched = meshes.extend(vc)

@@ -429,3 +429,71 @@ def test_occupancy_split_requires_active_tiles():
     )
     with pytest.raises(ValueError, match="active_tiles"):
         rasterize_meshes(meshes, cam, st)
+
+
+def test_affine_select_matches_auto():
+    """select_impl='affine' (MXU affine selection keys, -denom ordering)
+    picks the same winners as the fused VPU form on non-coplanar scenes;
+    zbuf/bary/dists are then identical (same interpolation einsum)."""
+    from torch_renderer_tpu.rasterize.geometry import setup_faces
+
+    img, tile = 96, 16
+    verts, faces = icosphere(3)
+    meshes = Meshes.from_single(verts, faces).extend(B)
+    f = 0.8 * img
+    Km = np.array([[f, 0, img / 2], [0, f, img / 2], [0, 0, 1]], np.float32)
+    R = np.broadcast_to(np.eye(3, dtype=np.float32), (B, 3, 3))
+    t = np.stack([
+        np.array([0.0, 0.0, 2.6], np.float32),
+        np.array([0.3, -0.2, 3.1], np.float32),
+    ])
+    cam = PerspectiveCamera.from_K(Km, (img, img), R=R, t=t)
+    base = RasterizationSettings(
+        image_size=(img, img), bin_size=tile, max_faces_per_bin=256,
+        impl="xla",
+    )
+    plain = rasterize_meshes(meshes, cam, base)
+    aff = rasterize_meshes(
+        meshes, cam, dataclasses.replace(base, select_impl="affine")
+    )
+    np.testing.assert_array_equal(
+        np.asarray(plain.pix_to_face), np.asarray(aff.pix_to_face)
+    )
+    for name in ("zbuf", "bary", "dists"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(plain, name)), np.asarray(getattr(aff, name)),
+            err_msg=name,
+        )
+
+    # gradients flow identically (selection is stop-gradient on both)
+    def loss(v, st):
+        fr = rasterize_meshes(meshes.update_padded(v), cam, st)
+        return jnp.sum(jnp.where(fr.pix_to_face >= 0, fr.zbuf, 0.0) ** 2)
+
+    g_plain = jax.grad(loss)(meshes.verts, base)
+    g_aff = jax.grad(loss)(
+        meshes.verts, dataclasses.replace(base, select_impl="affine")
+    )
+    np.testing.assert_array_equal(np.asarray(g_plain), np.asarray(g_aff))
+
+
+def test_affine_select_invalid_configs_raise():
+    verts, faces = icosphere(1)
+    meshes = Meshes.from_single(verts, faces)
+    f = 25.0
+    Km = np.array([[f, 0, 16], [0, f, 16], [0, 0, 1]], np.float32)
+    cam = PerspectiveCamera.from_K(
+        Km, (32, 32), R=np.eye(3, dtype=np.float32)[None],
+        t=np.array([[0.0, 0.0, 3.0]], np.float32),
+    )
+    for bad in (
+        dict(faces_per_pixel=4),
+        dict(blur_radius=1e-4),
+        dict(bin_size=None),
+        dict(impl="pallas"),
+    ):
+        kw = dict(bin_size=16, select_impl="affine")
+        kw.update(bad)
+        st = RasterizationSettings(image_size=(32, 32), **kw)
+        with pytest.raises(ValueError, match="affine"):
+            rasterize_meshes(meshes, cam, st)

@@ -23,6 +23,7 @@ rasterize/soft.py.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -111,6 +112,17 @@ class RasterizationSettings:
     # binning.suggest_occupancy_split_fd, which adds margin on the
     # boundary.
     occupancy_split: Optional[Tuple[int, int]] = None
+    # Selection engine for the XLA binned path, K=1 / blur=0 only:
+    # "auto" = the fused VPU iota-argmin over zfrag = rbsum/denom (the
+    # bit-exactness reference); "affine" = every selection quantity is
+    # affine in pixel coords at blur=0 (edge functions AND the
+    # interpolated INVERSE depth — 1/z interpolates linearly in screen
+    # space), so the (tp, F) selection slab is built as one
+    # (tp, 3) @ (3, 4F) MXU dot + VPU sign tests, ordering by -denom
+    # (division-free; argmin z == argmax denom when the barycentrics sum
+    # to 1). Winner parity with "auto" except at eps-level z ties
+    # (coplanar overlapping faces); opt-in for that reason.
+    select_impl: str = "auto"
 
     @property
     def clip_bary(self) -> bool:
@@ -272,6 +284,66 @@ def _select_tile_channels(px, py, ch, valid, K, blur, znear):
     return out
 
 
+def _select_tile_channels_affine(px, py, ch, valid, znear):
+    """K=1 / blur=0 selection with the whole (tp, Fmax) slab built by ONE
+    (tp, 3) @ (3, 4F) MXU dot: at blur=0 the edge functions AND the
+    interpolated inverse depth are affine in pixel coords (1/z
+    interpolates linearly in screen space), so each is a coefficient row
+    per face (cheap (1, Fmax) VPU work) contracted against (px, py, 1).
+    Ordering by -denom is division-free: argmin z == argmax denom when
+    the barycentrics sum to 1 (inside pixels). Winner parity with
+    _select_tile_channels except at eps-level z ties.
+
+    px, py: (c, tp, 1); ch: dict of (c, 1, Fmax) rows; valid (c, 1, Fmax).
+    Returns (c, tp, 1) bin-local indices (-1 empty)."""
+    qx = [ch[f"qx{k}"] for k in range(3)]
+    qy = [ch[f"qy{k}"] for k in range(3)]
+    invz = [ch[f"invz{k}"] for k in range(3)]
+
+    def edge_coeffs(ax, ay, bx, by):
+        # e(p) = (bx-ax)(py-ay) - (by-ay)(px-ax) = -gy*px + gx*py + C
+        gx = bx - ax
+        gy = by - ay
+        return -gy, gx, gy * ax - gx * ay
+
+    A0, B0, C0 = edge_coeffs(qx[1], qy[1], qx[2], qy[2])
+    A1, B1, C1 = edge_coeffs(qx[2], qy[2], qx[0], qy[0])
+    A2, B2, C2 = edge_coeffs(qx[0], qy[0], qx[1], qy[1])
+    area2 = (qx[1] - qx[0]) * (qy[2] - qy[0]) - (qy[1] - qy[0]) * (
+        qx[2] - qx[0])
+    inv_area = 1.0 / jnp.where(jnp.abs(area2) > 1e-12, area2, 1.0)
+    s = jnp.sign(inv_area)  # orient edges so inside == all e >= 0
+    Ad = inv_area * (A0 * invz[0] + A1 * invz[1] + A2 * invz[2])
+    Bd = inv_area * (B0 * invz[0] + B1 * invz[1] + B2 * invz[2])
+    Cd = inv_area * (C0 * invz[0] + C1 * invz[1] + C2 * invz[2])
+
+    coeff = jnp.concatenate(
+        [
+            jnp.concatenate([s * A0, s * B0, s * C0], axis=1),
+            jnp.concatenate([s * A1, s * B1, s * C1], axis=1),
+            jnp.concatenate([s * A2, s * B2, s * C2], axis=1),
+            jnp.concatenate([Ad, Bd, Cd], axis=1),
+        ],
+        axis=-1,
+    )                                                  # (c, 3, 4F)
+    pmat = jnp.concatenate([px, py, jnp.ones_like(px)], axis=-1)  # (c,tp,3)
+    vals = jnp.einsum(
+        "ctk,ckf->ctf", pmat, coeff,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                                  # (c, tp, 4F)
+    F = valid.shape[-1]
+    e0, e1, e2, denom = (
+        vals[..., :F], vals[..., F:2 * F], vals[..., 2 * F:3 * F],
+        vals[..., 3 * F:],
+    )
+    inside = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
+    cover = inside & (valid > 0) & (denom * znear < 1.0) & (denom > 0)
+    key = jnp.where(cover, -denom, INF)
+    kmin = jnp.min(key, axis=-1)
+    idx = jnp.argmin(key, axis=-1).astype(jnp.int32)
+    return jnp.where(kmin < INF, idx, -1)[..., None]
+
+
 def _rasterize_binned(fd: FaceRasterData, settings: RasterizationSettings) -> Fragments:
     """Fused coarse-to-fine rasterization: selection AND interpolation happen
     per pixel tile, so the interpolation 'gather' is a masked reduction over
@@ -353,11 +425,20 @@ def _rasterize_binned(fd: FaceRasterData, settings: RasterizationSettings) -> Fr
             chc, v, fi, o = args
             px = (local[None, :, 0] + o[:, 0:1])[..., None]  # (c, tp, 1)
             py = (local[None, :, 1] + o[:, 1:2])[..., None]
-            idx_local = _select_tile_channels(
+            if settings.select_impl == "affine":
+                sel_fn = functools.partial(
+                    _select_tile_channels_affine, znear=settings.znear
+                )
+            else:
+                sel_fn = functools.partial(
+                    _select_tile_channels, K=K, blur=blur,
+                    znear=settings.znear,
+                )
+            idx_local = sel_fn(
                 jax.lax.stop_gradient(px), jax.lax.stop_gradient(py),
                 {k: jax.lax.stop_gradient(c)[:, None, :]
                  for k, c in chc.items()},
-                v[:, None, :], K, blur, settings.znear,
+                v[:, None, :],
             )  # (c, tp, K)
 
             # winner gather: one one-hot einsum over the tile's Fmax lanes
@@ -533,6 +614,28 @@ def rasterize_face_data(
             )
         if settings.active_tiles is None:
             raise ValueError("occupancy_split requires active_tiles")
+    if settings.select_impl == "affine":
+        # affine keys exist only at blur=0 (soft coverage needs the
+        # boundary distance) and the -denom ordering only for K=1
+        if (
+            settings.faces_per_pixel != 1
+            or settings.blur_radius > 0.0
+            or settings.bin_size is None
+            or settings.impl == "pallas"
+            or settings.layout == "packed"
+        ):
+            raise ValueError(
+                "select_impl='affine' requires the XLA binned path with "
+                "faces_per_pixel=1 and blur_radius=0; got "
+                f"K={settings.faces_per_pixel}, blur={settings.blur_radius}, "
+                f"bin_size={settings.bin_size}, impl={settings.impl!r}, "
+                f"layout={settings.layout!r}"
+            )
+    elif settings.select_impl != "auto":
+        raise ValueError(
+            f"unknown select_impl {settings.select_impl!r} "
+            "(expected 'auto' or 'affine')"
+        )
     if (
         settings.layout == "packed"
         and settings.impl != "xla"

@@ -95,6 +95,7 @@ class MeshRenderer(DifferentiableRenderer):
         layout: str = "tile",
         group_lanes: Optional[int] = None,
         occupancy_split: Optional[Tuple[int, int]] = None,
+        select_impl: str = "auto",
     ):
         """shade_k: shade only the nearest shade_k fragment slots for RGB
         (silhouette/depth keep all K); at the default gamma=1e-4 the
@@ -115,6 +116,7 @@ class MeshRenderer(DifferentiableRenderer):
             layout=layout,
             group_lanes=group_lanes,
             occupancy_split=occupancy_split,
+            select_impl=select_impl,
         )
         self.blend = BlendParams(sigma=sigma, gamma=gamma, background_color=background_color)
         self.lights = lights if lights is not None else PointLights.make()
