@@ -1,4 +1,4 @@
-"""Native C++ runtime components: OBJ parser and RLE encoder vs Python."""
+"""Native C++ runtime components: OBJ parser, RLE and PNG encoders vs Python."""
 
 import numpy as np
 import pytest
@@ -89,3 +89,33 @@ def test_rle_matches_numpy_reference():
 def test_rle_empty_and_full():
     assert rle_encode(np.zeros((4, 5), bool))["counts"] == [20]
     assert rle_encode(np.ones((4, 5), bool))["counts"] == [0, 20]
+
+
+def test_png_write_roundtrip(tmp_path):
+    """Native PNG encoder output decodes bit-exactly (PIL as the reader
+    oracle) for gray, RGB and RGBA."""
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    from torch_renderer_tpu.io.native import native_available, png_write
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(0)
+    for shape in ((37, 53), (37, 53, 3), (16, 24, 4)):
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        p = str(tmp_path / f"t{len(shape)}_{shape[-1]}.png")
+        assert png_write(p, img)
+        back = np.asarray(Image.open(p))
+        np.testing.assert_array_equal(back.reshape(img.shape), img)
+
+
+def test_png_write_rejects_bad_input(tmp_path):
+    from torch_renderer_tpu.io.native import native_available, png_write
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    with pytest.raises(ValueError):
+        png_write(str(tmp_path / "x.png"), np.zeros((4, 4), np.float32))
+    with pytest.raises(ValueError):
+        png_write(str(tmp_path / "x.png"), np.zeros((4, 4, 2), np.uint8))

@@ -1,7 +1,8 @@
-"""ctypes bindings for the native host-runtime library (native/objparse.cpp).
+"""ctypes bindings for the native host-runtime library (native/*.cpp).
 
-The TPU compute path is JAX/XLA; the runtime around it (here: OBJ parsing and
-COCO RLE mask encoding — the host-side hot spots of IO and datagen) is C++.
+The TPU compute path is JAX/XLA; the runtime around it (here: OBJ parsing,
+COCO RLE mask encoding and PNG encoding — the host-side hot spots of IO and
+datagen) is C++.
 The library is built on demand with `make` (g++, no external deps) and every
 entry point has a pure-Python fallback, so the package works without a
 toolchain.
@@ -29,20 +30,31 @@ def _load() -> Optional[ctypes.CDLL]:
         return _lib
     if _build_failed:
         return None
-    if not os.path.exists(_LIB_PATH):
+    def build(force: bool = False) -> bool:
         try:
             subprocess.run(
-                ["make", "-s"], cwd=os.path.abspath(_NATIVE_DIR),
+                ["make", "-s"] + (["-B"] if force else []),
+                cwd=os.path.abspath(_NATIVE_DIR),
                 check=True, capture_output=True, timeout=120,
             )
+            return True
         except Exception:
-            _build_failed = True
-            return None
+            return False
+
+    if not os.path.exists(_LIB_PATH) and not build():
+        _build_failed = True
+        return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
         _build_failed = True
         return None
+    if not hasattr(lib, "png_write8"):
+        # stale library from before the PNG encoder: rebuild once
+        if not build(force=True):
+            _build_failed = True
+            return None
+        lib = ctypes.CDLL(_LIB_PATH)
 
     lib.objparse_count.restype = ctypes.c_int
     lib.objparse_count.argtypes = [
@@ -61,6 +73,11 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.rle_encode.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.png_write8.restype = ctypes.c_int
+    lib.png_write8.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
     ]
     _lib = lib
     return _lib
@@ -116,3 +133,29 @@ def rle_encode(mask: np.ndarray) -> Optional[Dict]:
         counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     return {"size": [int(h), int(w)], "counts": counts[:n].tolist()}
+
+
+def png_write(path: str, image: np.ndarray, level: int = 1) -> bool:
+    """Write an 8-bit gray/RGB/RGBA PNG via the native encoder (filter-0
+    rows, zlib `level`; ~2.5x PIL at level 1 for datagen-sized frames at
+    ~7% size cost, and
+    ctypes releases the GIL so writer threads overlap device compute).
+    Returns False if the library is unavailable or the write failed —
+    callers fall back to PIL."""
+    lib = _load()
+    if lib is None:
+        return False
+    img = np.ascontiguousarray(image)
+    if img.dtype != np.uint8:
+        raise ValueError(f"png_write expects uint8, got {img.dtype}")
+    if img.ndim == 2:
+        h, w, c = img.shape[0], img.shape[1], 1
+    elif img.ndim == 3 and img.shape[2] in (1, 3, 4):
+        h, w, c = img.shape
+    else:
+        raise ValueError(f"unsupported image shape {img.shape}")
+    rc = lib.png_write8(
+        path.encode(), w, h, c,
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), int(level),
+    )
+    return rc == 0
