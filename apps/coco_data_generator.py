@@ -41,6 +41,10 @@ def main():
     p.add_argument("--no-pack", action="store_true",
                    help="keep float32 outputs instead of the compact "
                         "u8/u16/i8 on-device packing")
+    p.add_argument("--mesh-shape", type=str, default=None,
+                   help="'d,m' device-mesh shape: shard each render chunk's "
+                        "view axis over the 'data' axis (bit-exact; "
+                        "d*m must equal the device count)")
     p.add_argument("--reformat", action="store_true",
                    help="remap category ids to contiguous 1..N (detectron2)")
     p.add_argument("--objs", type=str, nargs="*", default=None,
@@ -87,7 +91,15 @@ def main():
         normal_maps=not args.no_normals,
         pack_outputs=not args.no_pack,
     )
-    gen = COCODataGenerator(library, cfg)
+    device_mesh = None
+    if args.mesh_shape:
+        from torch_renderer_tpu.parallel.mesh import make_mesh
+
+        shape = tuple(int(s) for s in args.mesh_shape.split(","))
+        device_mesh = make_mesh(shape)
+        print(f"device mesh {dict(device_mesh.shape)} over "
+              f"{len(device_mesh.devices.flat)} devices")
+    gen = COCODataGenerator(library, cfg, device_mesh=device_mesh)
 
     t0 = time.perf_counter()
     coco = gen.generate(args.out_dir, args.scenes,

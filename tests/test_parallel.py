@@ -337,3 +337,35 @@ def test_sharded_icp_registration_matches_single(eight_devices):
         np.asarray(plain.rmse), np.asarray(sharded.rmse),
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_sharded_datagen_matches_single(eight_devices, tmp_path):
+    """Datagen view-axis sharding over 'data' is bit-exact vs the
+    single-device generator (packed u8/u16 outputs compare equal)."""
+    from torch_renderer_tpu.datagen.coco import (
+        COCODataGenerator,
+        DataGenConfig,
+        ObjectLibrary,
+    )
+
+    cfg = DataGenConfig(
+        image_size=(64, 64), views_per_scene=6, view_chunk=3,
+        objects_per_scene=(2, 2), material_mode="vertex",
+        normal_maps=True, bin_size=16, max_faces_per_bin=96,
+    )
+    lib = ObjectLibrary.primitives(2, level=1)
+    gen_plain = COCODataGenerator(lib, cfg)
+    dm = make_mesh((4, 2), ("data", "model"), eight_devices)
+    gen_shard = COCODataGenerator(lib, cfg, device_mesh=dm)
+    assert gen_shard.config.view_chunk == 4  # rounded up to the axis size
+
+    rng1 = np.random.default_rng(9)
+    rng2 = np.random.default_rng(9)
+    scene1, poses1 = gen_plain.sample_scene(rng1)
+    scene2, poses2 = gen_shard.sample_scene(rng2)
+    out1 = gen_plain.render_scene(scene1, np.random.default_rng(3))
+    out2 = gen_shard.render_scene(scene2, np.random.default_rng(3))
+    for k in ("rgb", "depth", "segmentation", "normals"):
+        np.testing.assert_array_equal(
+            np.asarray(out1[k]), np.asarray(out2[k]), err_msg=k
+        )

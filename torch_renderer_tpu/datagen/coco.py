@@ -130,11 +130,28 @@ class ObjectLibrary:
 
 
 class COCODataGenerator:
-    """Scene sampler + batched renderer + COCO annotation writer."""
+    """Scene sampler + batched renderer + COCO annotation writer.
 
-    def __init__(self, library: ObjectLibrary, config: DataGenConfig = DataGenConfig()):
+    device_mesh: optional jax.sharding.Mesh (parallel.mesh.make_mesh) —
+    shards each render chunk's VIEW axis over the mesh's 'data' axis
+    (SURVEY.md §2d's dataset-generation data parallelism; every view is
+    independent so the hot path has zero collectives). view_chunk is
+    rounded up to a multiple of the axis size; outputs are bit-exact vs
+    the single-device generator."""
+
+    def __init__(self, library: ObjectLibrary,
+                 config: DataGenConfig = DataGenConfig(), device_mesh=None):
         self.library = library
         self.config = config
+        self.device_mesh = device_mesh
+        if device_mesh is not None:
+            from ..parallel.mesh import DATA_AXIS
+
+            d = device_mesh.shape[DATA_AXIS]
+            vc = -(-config.view_chunk // d) * d
+            if vc != config.view_chunk:
+                config = dataclasses.replace(config, view_chunk=vc)
+                self.config = config
         H, W = config.image_size
         f = config.focal_scale * min(H, W)
         self.K = np.array(
@@ -371,13 +388,28 @@ class COCODataGenerator:
         # compute (the transfer, not the render, is the steady-state cost
         # through a slow host link).
         vc = min(self.config.view_chunk, n)
-        batched = scene.meshes.extend(vc)
+        f2o = scene.face_to_object
+        if self.device_mesh is not None:
+            # view-axis data parallelism: shard the chunk's view batch over
+            # 'data' (views are independent — zero collectives), replicate
+            # the scene topology and lights
+            from ..parallel.mesh import replicate, shard_batch
+
+            vc = self.config.view_chunk  # multiple of the data-axis size
+            batched = shard_batch(scene.meshes.extend(vc), self.device_mesh)
+            lights = replicate(lights, self.device_mesh)
+            f2o = replicate(f2o, self.device_mesh)
+        else:
+            batched = scene.meshes.extend(vc)
         pending = []
         for v0 in range(0, n, vc):
             idx = [min(v0 + i, n - 1) for i in range(vc)]  # repeat-pad tail
-            chunk = self._render_chunk(
-                batched, Rs[idx, :], ts[idx, :], lights, scene.face_to_object
-            )
+            Rc, tc = Rs[idx, :], ts[idx, :]
+            if self.device_mesh is not None:
+                from ..parallel.mesh import shard_batch
+
+                Rc, tc = shard_batch((Rc, tc), self.device_mesh)
+            chunk = self._render_chunk(batched, Rc, tc, lights, f2o)
             keep = min(vc, n - v0)
             if keep < vc:  # drop repeat-padded tail views ON device
                 chunk = tuple(arr[:keep] for arr in chunk)
