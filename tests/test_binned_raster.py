@@ -435,8 +435,6 @@ def test_affine_select_matches_auto():
     """select_impl='affine' (MXU affine selection keys, -denom ordering)
     picks the same winners as the fused VPU form on non-coplanar scenes;
     zbuf/bary/dists are then identical (same interpolation einsum)."""
-    from torch_renderer_tpu.rasterize.geometry import setup_faces
-
     img, tile = 96, 16
     verts, faces = icosphere(3)
     meshes = Meshes.from_single(verts, faces).extend(B)

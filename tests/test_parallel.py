@@ -369,3 +369,33 @@ def test_sharded_datagen_matches_single(eight_devices, tmp_path):
         np.testing.assert_array_equal(
             np.asarray(out1[k]), np.asarray(out2[k]), err_msg=k
         )
+
+
+def test_sharded_icp_uneven_with_init_transform(eight_devices):
+    """init_transform pads alongside the data on uneven batches (review
+    regression: un-padded init crashed with a batch-dim mismatch)."""
+    from torch_renderer_tpu.ops.icp import SimilarityTransform
+    from torch_renderer_tpu.opt.registration import (
+        RegisterDataConfig,
+        create_register_data,
+        register_batch,
+        register_batch_sharded,
+    )
+
+    base = jax.random.normal(jax.random.PRNGKey(6), (48, 3)) * 0.2
+    data = create_register_data(
+        jax.random.PRNGKey(5), base, RegisterDataConfig(n_objects=3),
+    )
+    init = SimilarityTransform(
+        R=jnp.broadcast_to(jnp.eye(3), (3, 3, 3)),
+        t=jnp.zeros((3, 3)), s=jnp.ones((3,)),
+    )
+    dm = make_mesh((4, 2), ("data", "model"), eight_devices)
+    plain = register_batch(data, max_iterations=8, init_transform=init)
+    sharded = register_batch_sharded(
+        data, dm, max_iterations=8, init_transform=init
+    )
+    np.testing.assert_allclose(
+        np.asarray(plain.RTs.t), np.asarray(sharded.RTs.t),
+        rtol=1e-5, atol=1e-6,
+    )

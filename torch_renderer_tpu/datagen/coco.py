@@ -406,8 +406,6 @@ class COCODataGenerator:
             idx = [min(v0 + i, n - 1) for i in range(vc)]  # repeat-pad tail
             Rc, tc = Rs[idx, :], ts[idx, :]
             if self.device_mesh is not None:
-                from ..parallel.mesh import shard_batch
-
                 Rc, tc = shard_batch((Rc, tc), self.device_mesh)
             chunk = self._render_chunk(batched, Rc, tc, lights, f2o)
             keep = min(vc, n - v0)

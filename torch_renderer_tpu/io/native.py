@@ -50,11 +50,17 @@ def _load() -> Optional[ctypes.CDLL]:
         _build_failed = True
         return None
     if not hasattr(lib, "png_write8"):
-        # stale library from before the PNG encoder: rebuild once
-        if not build(force=True):
+        # stale library from before the PNG encoder: rebuild once. glibc
+        # caches dlopen handles by pathname and ctypes never dlcloses, so
+        # re-CDLL'ing the same path in THIS process still returns the old
+        # handle — the rebuild only helps the next process. Verify the
+        # symbol actually appeared; otherwise fall back to pure Python
+        # rather than crashing every native entry point below.
+        build(force=True)
+        lib = ctypes.CDLL(_LIB_PATH)
+        if not hasattr(lib, "png_write8"):
             _build_failed = True
             return None
-        lib = ctypes.CDLL(_LIB_PATH)
 
     lib.objparse_count.restype = ctypes.c_int
     lib.objparse_count.argtypes = [

@@ -85,6 +85,7 @@ class GMMPoseSearch:
         self.ref_points = jnp.asarray(ref_points, jnp.float32)
         self.config = config
         self._search_jit = jax.jit(self._search)
+        self._batch_jit = jax.jit(jax.vmap(self._search))
         self._sharded_jits = {}  # id(mesh) -> jitted sharded search
 
     # -- initial hypothesis sampling (reference :171-175) --------------------
@@ -226,9 +227,7 @@ class GMMPoseSearch:
             target_mask = jnp.ones(target_points.shape[:2], jnp.float32)
         keys = jax.random.split(key, B)
         if device_mesh is None:
-            return jax.jit(jax.vmap(self._search))(
-                keys, target_points, target_mask
-            )
+            return self._batch_jit(keys, target_points, target_mask)
 
         from ..parallel.mesh import DATA_AXIS, pad_batch_to, shard_batch
 
@@ -238,7 +237,7 @@ class GMMPoseSearch:
             (keys, target_points, target_mask), Bp
         )
         args = shard_batch((keys, target_points, target_mask), device_mesh)
-        out = jax.jit(jax.vmap(self._search))(*args)
+        out = self._batch_jit(*args)
         return jax.tree_util.tree_map(lambda x: x[:B], out)
 
 

@@ -102,6 +102,9 @@ def register_batch(
     )
 
 
+_SHARDED_ICP_JITS: Dict = {}
+
+
 def register_batch_sharded(
     data: Dict[str, jax.Array],
     device_mesh,
@@ -113,7 +116,9 @@ def register_batch_sharded(
     (ICP_on_GPU + time_running_statistic, pytorch3d_icp_registeration.py
     :154-185,:240-257); here the batch spreads over ICI with ZERO
     collectives — every ICP step (NN + Umeyama SVD) is per-object.
-    Uneven batches are zero-padded and the padding sliced off."""
+    Uneven batches are zero-padded (init_transform included) and the
+    padding sliced off. The jitted program is cached per
+    (mesh, max_iterations) so repeated calls don't retrace."""
     from ..parallel.mesh import DATA_AXIS, pad_batch_to, shard_batch
 
     d = device_mesh.shape[DATA_AXIS]
@@ -123,9 +128,16 @@ def register_batch_sharded(
         {k: data[k] for k in ("source", "target", "target_mask")}, Bp
     )
     padded = shard_batch(padded, device_mesh)
-    sol = jax.jit(
-        lambda dd: register_batch(dd, max_iterations, init_transform)
-    )(padded)
+    init = init_transform
+    if init is not None:
+        init, _ = pad_batch_to(init, Bp)  # padded rows solve zero clouds
+        init = shard_batch(init, device_mesh)
+    key = (id(device_mesh), int(max_iterations))
+    fn = _SHARDED_ICP_JITS.get(key)
+    if fn is None:
+        fn = jax.jit(lambda dd, it: register_batch(dd, max_iterations, it))
+        _SHARDED_ICP_JITS[key] = fn
+    sol = fn(padded, init)
     return jax.tree_util.tree_map(lambda x: x[:B], sol)
 
 
