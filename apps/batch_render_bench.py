@@ -36,7 +36,7 @@ def main():
                         "the scene's non-empty tile count (at 720p ~80%% of "
                         "tiles are empty), -1 = disable compaction")
     p.add_argument("--select-impl", choices=["auto", "affine"],
-                   default="auto",
+                   default="affine",
                    help="affine: MXU affine selection keys for K=1/blur=0 "
                         "(division-free -denom ordering; winner parity "
                         "except eps-level z ties)")
