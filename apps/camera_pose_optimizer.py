@@ -39,6 +39,10 @@ def main():
                         "and pallas silhouette; -1 = auto-size from GT and "
                         "start poses with 2x margin (the footprint moves "
                         "during the fit), 0 = off")
+    p.add_argument("--select-impl", choices=["auto", "affine"],
+                   default="auto",
+                   help="affine selection keys for the K=1/blur=0 depth/RGB "
+                        "rasterization (pallas silhouette mode only)")
     p.add_argument("--sil-layout", choices=["lane", "packed"], default="lane",
                    help="pallas silhouette kernel layout; 'packed' shares "
                         "one lane axis across the 8 tiles of a program "
@@ -123,6 +127,10 @@ def main():
         sil_config=sil_cfg,  # overrides the individual sil_* knobs
 
         active_tiles=act if args.bin_size else None,
+        # pallas mode renders depth/RGB at K=1/blur=0: the affine
+        # selection keys apply (division-free; bit-exact winners on every
+        # scene tested)
+        select_impl=args.select_impl,
     )
     occ_key = jax.random.PRNGKey(args.seed) if args.occlusion else None
     refs = fitter.make_references(meshes, R_gt, t_gt, occlusion_key=occ_key)

@@ -110,6 +110,9 @@ def _posefit():
         bin_size=16, max_faces_per_bin=128, active_tiles=act,
         silhouette_impl="pallas", sil_active_tiles=act,
         sil_layout="packed", sil_group_lanes=gl,
+        select_impl=(
+            "affine" if os.environ.get("PROFILE_AFFINE") else "auto"
+        ),
     )
     refs = fitter.make_references(meshes, R, t)
     params = pose_params_from_Rt(
