@@ -495,3 +495,47 @@ def test_affine_select_invalid_configs_raise():
         st = RasterizationSettings(image_size=(32, 32), **kw)
         with pytest.raises(ValueError, match="affine"):
             rasterize_meshes(meshes, cam, st)
+
+
+def test_affine_select_composes_with_occupancy_split():
+    """The depth720 production config: active tiles + occupancy split +
+    affine selection, all engaged — still bit-exact vs plain binned."""
+    from torch_renderer_tpu.rasterize.binning import (
+        suggest_active_tiles_fd,
+        suggest_occupancy_split_fd,
+    )
+    from torch_renderer_tpu.rasterize.geometry import setup_faces
+
+    img, tile = 96, 16
+    verts, faces = icosphere(2)
+    meshes = Meshes.from_single(verts, faces).extend(B)
+    f = 0.8 * img
+    Km = np.array([[f, 0, img / 2], [0, f, img / 2], [0, 0, 1]], np.float32)
+    R = np.broadcast_to(np.eye(3, dtype=np.float32), (B, 3, 3))
+    t = np.stack([
+        np.array([0.0, 0.0, 3.5], np.float32),
+        np.array([0.4, -0.3, 3.0], np.float32),
+    ])
+    cam = PerspectiveCamera.from_K(Km, (img, img), R=R, t=t)
+    fd = setup_faces(meshes, cam)
+    act = suggest_active_tiles_fd(fd, (img, img), tile, 0.0)
+    split = suggest_occupancy_split_fd(fd, (img, img), tile, 0.0, act, 128)
+    if split is None:
+        split = (max(8, act // 2), 64)
+    base = RasterizationSettings(
+        image_size=(img, img), bin_size=tile, max_faces_per_bin=128,
+        impl="xla",
+    )
+    plain = rasterize_meshes(meshes, cam, base)
+    combo = rasterize_meshes(
+        meshes, cam,
+        dataclasses.replace(
+            base, active_tiles=act, occupancy_split=split,
+            select_impl="affine",
+        ),
+    )
+    for name in ("pix_to_face", "zbuf", "bary", "dists"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(plain, name)),
+            np.asarray(getattr(combo, name)), err_msg=name,
+        )
