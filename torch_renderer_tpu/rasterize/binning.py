@@ -350,6 +350,38 @@ def _split3(x: jax.Array):
     return hi, mid, lo
 
 
+def _prefix_count(mask: jax.Array) -> jax.Array:
+    """Inclusive 1-based prefix count of a boolean mask over the minor axis.
+
+    Computed as within-block (128-lane) ranks via one exact bf16 triangular
+    MXU dot plus a tiny cross-block cumsum, instead of jnp.cumsum over the
+    full F axis: XLA lays the scan out with lanes on the NON-scanned axis,
+    which forced full relayout copies of the (B, A, F) slot array between
+    the scan and its F-minor one-hot gather consumers (~1.1 ms of the
+    12-view 720p call in the op profile). Exact: 0/1 values are bf16-exact,
+    per-block sums <= 128, and the f32 cross-block offsets stay integral
+    below 2^24."""
+    lead, F = mask.shape[:-1], mask.shape[-1]
+    BL = 128
+    Fp = -(-F // BL) * BL
+    m = mask
+    if Fp != F:
+        m = jnp.pad(m, [(0, 0)] * len(lead) + [(0, Fp - F)])
+    mb = m.reshape(*lead, Fp // BL, BL).astype(jnp.bfloat16)
+    tri = jnp.triu(jnp.ones((BL, BL), jnp.bfloat16))  # tri[j,i]=1 for j<=i
+    within = jax.lax.dot_general(
+        mb, tri, (((mb.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (..., nb, BL) inclusive within-block count
+    # block totals as a lane reduction of the mask, NOT within[..., -1]:
+    # the trailing-dim slice materialized (…, nb, 1) copies (0.24 ms of
+    # the 12-view 720p call)
+    bsum = jnp.sum(mb.astype(jnp.float32), axis=-1)  # (..., nb)
+    off = jnp.cumsum(bsum, axis=-1) - bsum           # exclusive block offset
+    rank = (within + off[..., None]).reshape(*lead, Fp)[..., :F]
+    return rank.astype(jnp.int32)
+
+
 def _slot_onehot(slot: jax.Array, n_slots: int) -> jax.Array:
     """(B, t, F) slot ids -> (B, t, n_slots, F) bf16 one-hot (0/1 exact)."""
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n_slots, 1), 2)
@@ -439,7 +471,7 @@ def bin_ranks(
     ) & valid[:, None, :]
     overlap = jax.lax.stop_gradient(overlap)
     F = overlap.shape[-1]
-    rank = jnp.cumsum(overlap.astype(jnp.int32), axis=-1)  # 1-based
+    rank = _prefix_count(overlap)  # 1-based (MXU block form, exact)
     slot = jnp.where(overlap, rank - 1, _NO_SLOT)
     return RankBins(
         slot=slot, count=rank[..., -1], tile_origin=origin,
@@ -601,7 +633,7 @@ def bin_ranks_active(
         (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ) > 0.5                                                 # (B, A, F)
-    rankf = jnp.cumsum(overlap_c.astype(jnp.int32), axis=-1)
+    rankf = _prefix_count(overlap_c)  # 1-based (MXU block form, exact)
     slot = jnp.where(overlap_c, rankf - 1, _NO_SLOT)
 
     onef = onehot.astype(jnp.float32)

@@ -347,7 +347,7 @@ def _rasterize_binned(fd: FaceRasterData, settings: RasterizationSettings) -> Fr
     from .binning import (
         bin_faces_active,
         bin_faces_ranked,
-        gather_rank_planes,
+        gather_rank_channels,
         scatter_active_bg,
         tile_pixel_coords,
         untile_image,
@@ -388,15 +388,28 @@ def _rasterize_binned(fd: FaceRasterData, settings: RasterizationSettings) -> Fr
     def run_tiles(bins_sub, origins_sub, lanes):
         """Select + interpolate one tile subset at its own lane budget;
         returns (p2f, zbuf, bary, dists) shaped (B, T_sub, tp, ...)."""
-        ch, fid_t, mask = gather_rank_planes(
-            fd, bins_sub, min(lanes, F), extra=fid
-        )  # ch: DIFFERENTIABLE channel planes (B, T_sub, Fmax)
-        valid_t = mask.astype(jnp.float32)
-        _, T, Fmax = valid_t.shape
-        flat = lambda a: a.reshape(B * T, Fmax)
-        chf = {k: flat(v) for k, v in ch.items()}
-        vf = flat(valid_t)
-        fidx = fid_t[..., 0].astype(jnp.int32).reshape(B * T, Fmax)
+        from .binning import _PLANE_ORDER, _channel_sources
+
+        # ONE stacked (B, F, 13) plane tensor (12 geometry channels + the
+        # global face id) rides the gather contraction and stays stacked
+        # through the chunk loop: splitting it into 13 per-channel planes
+        # here and re-stacking per chunk (the previous layout) materialized
+        # 13 pad copies + one (c, Fmax, 13) stack per chunk — pure data
+        # formatting XLA could not elide.
+        sources = _channel_sources(fd)
+        planes = jnp.stack([sources[n] for n in _PLANE_ORDER], axis=-1)
+        planes = jnp.concatenate([planes, fid], axis=-1)  # (B, F, 13)
+        Fmax = min(lanes, F)
+        gathered = gather_rank_channels(planes, bins_sub, Fmax)
+        # gathered: DIFFERENTIABLE (B, T_sub, Fmax, 13) candidate channels
+        _, T = bins_sub.count.shape
+        capped = jnp.minimum(bins_sub.count, Fmax)  # (B, T)
+        valid_t = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, 1, Fmax), 2)
+            < capped[:, :, None]
+        ).astype(jnp.float32)
+        gf = gathered.reshape(B * T, Fmax, planes.shape[-1])
+        vf = valid_t.reshape(B * T, Fmax)
         if origins_sub is None:
             o_sub = jnp.broadcast_to(bins_sub.tile_origin[None], (B, T, 2))
         else:
@@ -412,9 +425,10 @@ def _rasterize_binned(fd: FaceRasterData, settings: RasterizationSettings) -> Fr
         ).reshape((n_chunks, tiles_per_chunk) + a.shape[1:])
 
         iota_f = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Fmax), 2)
+        ch_idx = {n: c for c, n in enumerate(_PLANE_ORDER)}
 
         def per_chunk(args):
-            chc, v, fi, o = args
+            g, v, o = args  # g: (c, Fmax, 13)
             px = (local[None, :, 0] + o[:, 0:1])[..., None]  # (c, tp, 1)
             py = (local[None, :, 1] + o[:, 1:2])[..., None]
             if settings.select_impl == "affine":
@@ -426,10 +440,10 @@ def _rasterize_binned(fd: FaceRasterData, settings: RasterizationSettings) -> Fr
                     _select_tile_channels, K=K, blur=blur,
                     znear=settings.znear,
                 )
+            g_sel = jax.lax.stop_gradient(g)
             idx_local = sel_fn(
                 jax.lax.stop_gradient(px), jax.lax.stop_gradient(py),
-                {k: jax.lax.stop_gradient(c)[:, None, :]
-                 for k, c in chc.items()},
+                {n: g_sel[:, None, :, c] for n, c in ch_idx.items()},
                 v[:, None, :],
             )  # (c, tp, K)
 
@@ -440,35 +454,44 @@ def _rasterize_binned(fd: FaceRasterData, settings: RasterizationSettings) -> Fr
             # (pixel, lane) row and f32 HIGHEST (3-pass bf16 split)
             # reconstruct the f32 values bit-for-bit, as in
             # pallas_hard._xla_reinterpolate.
-            stacked = jnp.stack(
-                [chc[f"q{ax}{j}"] for j in range(3) for ax in ("x", "y")]
-                + [chc[f"z{j}"] for j in range(3)]
-                + [chc[f"invz{j}"] for j in range(3)]
-                + [fi.astype(jnp.float32)],
-                axis=-1,
-            )  # (c, Fmax, 13)
-
             zbufs, pcs, dists_l, p2fs = [], [], [], []
             for k in range(K):
                 mk = idx_local[:, :, k][..., None] == iota_f  # (c, tp, Fmax)
+                # channel-MAJOR output (c, 13, tp): the channel slices below
+                # are then contiguous (c, tp) planes — the (c, tp, 13)
+                # orientation forced XLA to materialize a full relayout copy
+                # of the winner channels (0.50 ms of the 12-view 720p call,
+                # copy.384 in the op profile) before the fragment math could
+                # read them.
                 sel = jnp.einsum(
-                    "ctf,cfn->ctn", mk.astype(jnp.float32), stacked,
+                    "cfn,ctf->cnt", g, mk.astype(jnp.float32),
                     precision=jax.lax.Precision.HIGHEST,
-                )  # (c, tp, 13)
-                qx = [sel[..., 2 * j] for j in range(3)]
-                qy = [sel[..., 2 * j + 1] for j in range(3)]
-                zf = [sel[..., 6 + j] for j in range(3)]
-                invzf = [sel[..., 9 + j] for j in range(3)]
+                )  # (c, 13, tp)
+                qx = [sel[:, ch_idx[f"qx{j}"]] for j in range(3)]
+                qy = [sel[:, ch_idx[f"qy{j}"]] for j in range(3)]
+                zf = [sel[:, ch_idx[f"z{j}"]] for j in range(3)]
+                invzf = [sel[:, ch_idx[f"invz{j}"]] for j in range(3)]
                 zb, pck, dd = _fragment_math(
                     px[..., 0], py[..., 0], qx, qy, zf, invzf,
                     settings.clip_bary
                 )
-                p2f = jnp.round(sel[..., 12]).astype(jnp.int32)
+                p2f = jnp.round(sel[:, 12]).astype(jnp.int32)
                 zbufs.append(zb)
                 pcs.append(jnp.stack(pck, axis=-1))
                 dists_l.append(dd)
                 p2fs.append(p2f)
 
+            if K == 1:
+                # keep the K axis OFF the loop outputs: trailing size-1
+                # dims forced 1-sublane-tiled loop-carry buffers (the
+                # 0.71 ms reshape_select fusion in the 720p op profile);
+                # the axis is re-added by a free bitcast after untiling.
+                live1 = idx_local[:, :, 0] >= 0  # (c, tp)
+                zbuf = jnp.where(live1, zbufs[0], -1.0)
+                bary = jnp.where(live1[..., None], pcs[0], 0.0)  # (c,tp,3)
+                dists = jnp.where(live1, dists_l[0], EMPTY_DIST)
+                p2f = jnp.where(live1, p2fs[0], -1)
+                return p2f, zbuf, bary, dists
             live = idx_local >= 0  # (c, tp, K)
             zbuf = jnp.where(live, jnp.stack(zbufs, axis=-1), -1.0)
             bary = jnp.where(
@@ -478,11 +501,7 @@ def _rasterize_binned(fd: FaceRasterData, settings: RasterizationSettings) -> Fr
             p2f = jnp.where(live, jnp.stack(p2fs, axis=-1), -1)
             return p2f, zbuf, bary, dists
 
-        outs = jax.lax.map(
-            per_chunk,
-            ({k: padc(v) for k, v in chf.items()}, padc(vf), padc(fidx),
-             padc(of)),
-        )
+        outs = jax.lax.map(per_chunk, (padc(gf), padc(vf), padc(of)))
         return tuple(
             a.reshape((n_chunks * tiles_per_chunk, tp) + a.shape[3:])[:N]
             .reshape((B, T, tp) + a.shape[3:])
@@ -537,6 +556,15 @@ def _rasterize_binned(fd: FaceRasterData, settings: RasterizationSettings) -> Fr
             del bg
             return untile_image(a, (H, W), tile, bins.n_tiles_hw)
 
+    if K == 1:
+        # re-add the K axis dropped inside per_chunk — size-1 expansions
+        # of the untiled images are free bitcasts
+        return Fragments(
+            pix_to_face=finish(p2f, -1)[..., None],
+            zbuf=finish(zbuf, -1.0)[..., None],
+            bary=finish(bary, 0.0)[..., None, :],
+            dists=finish(dists, EMPTY_DIST)[..., None],
+        )
     return Fragments(
         pix_to_face=finish(p2f, -1), zbuf=finish(zbuf, -1.0),
         bary=finish(bary, 0.0), dists=finish(dists, EMPTY_DIST),
