@@ -81,6 +81,11 @@ class JointFitConfig:
     # max_faces_per_bin; ~44% of tiles are empty at the reference's 128^2
     # joint-fit scale and every binned stage skips them); 0 = disable.
     active_tiles: Optional[int] = None
+    # Reconstruct Phong world positions from camera rays (zbuf * pixel
+    # ray) instead of interpolating 9 world-corner channels — drops ~25%
+    # of the bin-gather/interp channel work. Eps-level shading change in
+    # the blur band (self-consistent: the dataset renders use it too).
+    recon_points: bool = False
 
 
 class JointShapeTextureFitter:
@@ -102,6 +107,7 @@ class JointShapeTextureFitter:
             bin_size=cfg.bin_size, max_faces_per_bin=mfb,
             shade_k=cfg.shade_k,
             active_tiles=cfg.active_tiles if cfg.active_tiles else None,
+            recon_points=cfg.recon_points,
             **renderer_kw,
         )
         self._auto_mfb = mfb

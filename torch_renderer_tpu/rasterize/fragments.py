@@ -229,6 +229,47 @@ def interpolate_binned(
     return {n: img[..., s:s + c] for n, s, c in ba.layout}
 
 
+def flat_pixel_zbuf(fragments: "Fragments", k_slots: Optional[int] = None):
+    """Pixel centers + zbuf of every flat fragment slot, in the SAME
+    (B, T*tp*K, ...) order as interpolate_binned(flat=True).
+
+    The inputs of camera-ray world-position reconstruction
+    (shading.phong point reconstruction): a fragment's world position is
+    the camera ray through its pixel center evaluated at its camera-space
+    zbuf — so Phong shading can skip gathering/interpolating the 9
+    world-corner channels entirely.
+
+    Returns (uv (B, N, 2) pixel centers in pixels — u indexes width —
+    and z (B, N) camera-space depth, -1 at empty slots), N = T*tp*K with
+    T the active budget under tile compaction.
+    """
+    ba = fragments.binned
+    assert ba is not None
+    tile, nthw = ba.tile, ba.n_tiles_hw
+    B, H, W, K = ba.lane.shape
+    if k_slots is not None:
+        K = min(k_slots, K)
+    T = ba.channels.shape[1]  # = A under active-tile compaction
+    T_full = nthw[0] * nthw[1]
+    tp = tile * tile
+
+    zb = tile_image(fragments.zbuf[..., :K], tile, nthw)  # (B, T_full, tp, K)
+    u = jax.lax.broadcasted_iota(jnp.float32, (1, H, W), 2) + 0.5
+    v = jax.lax.broadcasted_iota(jnp.float32, (1, H, W), 1) + 0.5
+    uv = tile_image(jnp.stack([u, v], axis=-1), tile, nthw)  # (1, T_full, tp, 2)
+    if ba.rank is not None:
+        from .binning import compact_rows
+
+        zb = compact_rows(zb, ba.rank, T)
+        uv = compact_rows(
+            jnp.broadcast_to(uv, (B, T_full, tp, 2)), ba.rank, T
+        )
+    uvk = jnp.broadcast_to(
+        uv[:, :, :, None, :], (max(B, uv.shape[0]), T, tp, K, 2)
+    ).reshape(-1, T * tp * K, 2)
+    return uvk, zb.reshape(B, T * tp * K)
+
+
 def interpolate_face_attributes(
     pix_to_face: jax.Array, bary: jax.Array, face_attrs: jax.Array,
     method: str = "auto", pixel_chunk: int = 8192,

@@ -27,20 +27,30 @@ from .lights import DirectionalLights, Materials, PointLights
 Lights = Union[PointLights, DirectionalLights]
 
 
-def face_shading_attrs(meshes: Meshes) -> dict:
+def face_shading_attrs(meshes: Meshes, with_points: bool = True) -> dict:
     """Per-face-corner attribute channels Phong shading interpolates:
     {name: (B, F, 3, C)}. Passed to rasterize_meshes(extra_face_attrs=...)
     so the binned Pallas path can pre-gather them per tile (they ride the
     corner-channel one-hot einsum) and shading interpolates bin-locally
-    over <=Fmax candidates instead of all F faces."""
+    over <=Fmax candidates instead of all F faces.
+
+    with_points=False drops the 9 world-corner channels: shade_phong then
+    reconstructs fragment world positions from the camera ray through each
+    pixel center at the fragment's zbuf (_reconstruct_points_flat) —
+    ~25% less bin-gather/interpolation work. Exact for pixels inside their
+    face; in the blur band (clipped barycentrics) the ray point differs
+    from the clipped-bary surface point."""
     fv_normals = jax.vmap(lambda n, f: n[f])(
         meshes.vertex_normals(), meshes.faces
     )
-    out = {
-        "pts_normals": jnp.concatenate(
-            [meshes.face_verts(), fv_normals], axis=-1
-        )
-    }
+    if with_points:
+        out = {
+            "pts_normals": jnp.concatenate(
+                [meshes.face_verts(), fv_normals], axis=-1
+            )
+        }
+    else:
+        out = {"normals": fv_normals}
     tex = meshes.textures
     if isinstance(tex, TexturesUV):
         out["uv"] = tex.face_uvs()
@@ -74,6 +84,28 @@ def sample_textures(meshes: Meshes, fragments: Fragments) -> jax.Array:
         )  # (B, H, W, K, 2)
         return tex.sample(uv)
     raise TypeError(f"unsupported textures type {type(tex)!r}")
+
+
+def _reconstruct_points_flat(
+    fragments: Fragments, camera: PerspectiveCamera, k_slots: Optional[int],
+) -> jax.Array:
+    """Fragment world positions from camera rays, in interpolate_binned's
+    flat (B, T*tp*K, 3) order: X_cam = z * ((u-cx)/fx, (v-cy)/fy, 1) at the
+    fragment's zbuf, X_world = R^T (X_cam - t). Replaces interpolating the
+    9 world-corner channels (face_shading_attrs(with_points=False)).
+    Gradients to the geometry flow through zbuf instead of the bin-gather
+    einsum; values match interpolation exactly for pixels inside their
+    face (zbuf is the perspective-correct depth of the ray intersection).
+    Empty slots (zbuf -1) produce finite garbage — downstream masking
+    (interpolate_binned's live mask at finalize) discards them."""
+    from ..rasterize.fragments import flat_pixel_zbuf
+
+    uv, z = flat_pixel_zbuf(fragments, k_slots)  # (B, N, 2), (B, N)
+    x = (uv[..., 0] - camera.cx[:, None]) / camera.fx[:, None] * z
+    y = (uv[..., 1] - camera.cy[:, None]) / camera.fy[:, None] * z
+    pcam = jnp.stack([x, y, z], axis=-1)
+    # row-vector form of R^T (X_cam - t); broadcasts camera batch 1.
+    return jnp.matmul(pcam - camera.t[:, None, :], camera.R)
 
 
 def phong_lighting(
@@ -139,11 +171,17 @@ def shade_phong(
     # texture coordinates together. The whole chain stays FLAT (B, N, C)
     # and untiles once at the final color — image-shaped (..., K, small-C)
     # intermediates pay (8, 128)-tile padding relayouts on TPU.
-    if fragments.binned is not None and "pts_normals" in fragments.binned.names():
+    binned_names = fragments.binned.names() if fragments.binned is not None else ()
+    if "pts_normals" in binned_names or "normals" in binned_names:
         flat, finalize = interpolate_binned(
             fragments, flat=True, k_slots=shade_k
         )
-        pts, nrm = flat["pts_normals"][..., :3], flat["pts_normals"][..., 3:]
+        if "pts_normals" in binned_names:
+            pts = flat["pts_normals"][..., :3]
+            nrm = flat["pts_normals"][..., 3:]
+        else:
+            nrm = flat["normals"]
+            pts = _reconstruct_points_flat(fragments, camera, shade_k)
         tex = meshes.textures
         if tex is None:
             texels = jnp.ones(pts.shape[:-1] + (3,), jnp.float32)
