@@ -195,7 +195,14 @@ def _jointfit():
         verts * np.array([1.0, 0.7, 0.9], np.float32), faces)
     f = 0.8 * H
     K = np.array([[f, 0, W / 2.0], [0, f, H / 2.0], [0, 0, 1.0]], np.float32)
-    fitter = JointShapeTextureFitter(K, (H, W), JointFitConfig())
+    import os
+
+    # PROFILE_RECON=1: camera-ray world-position reconstruction instead of
+    # interpolating the 9 world-corner channels (MeshRenderer recon_points).
+    cfg = JointFitConfig(
+        recon_points=bool(int(os.environ.get("PROFILE_RECON", "0")))
+    )
+    fitter = JointShapeTextureFitter(K, (H, W), cfg)
     data = fitter.make_dataset(tgt)
     verts_uvs = sphere_uv_mapping(verts)
     fitter._ensure_bin_capacity(
