@@ -101,6 +101,49 @@ def test_recon_composes_with_active_tiles(scene):
     np.testing.assert_array_equal(np.asarray(a.rgb), np.asarray(b.rgb))
 
 
+def test_recon_active_headroom_gradients(scene):
+    """The production joint-fit config: active budget sized with 1.5x
+    headroom, so compaction-UNUSED rows exist (compact_rows zero-fills
+    them). Those rows must reconstruct away from the camera center
+    (flat_pixel_zbuf returns z=-1 there, |pcam| >= 1) or the view-norm
+    vjp NaN-poisons the zbuf cotangent. Values must stay bit-exact vs
+    the full grid, and gradients finite."""
+    from torch_renderer_tpu.rasterize.binning import suggest_active_tiles_fd
+    from torch_renderer_tpu.rasterize.geometry import setup_faces
+
+    meshes, Km, R, t = scene
+    blur = 1e-4 * math.log(1 / 1e-4 - 1)
+    full = _renderer(Km, True, blur, 4)
+    cam = full.camera_with_pose(R, t)
+    act = suggest_active_tiles_fd(
+        setup_faces(meshes, cam), (IMG, IMG), 16, math.sqrt(blur)
+    )
+    act = min((IMG // 16) ** 2, math.ceil(1.5 * act))  # headroom -> unused rows
+
+    a = full.render(meshes, R, t, with_rgb=True)
+    b = _renderer(Km, True, blur, 4, act=act).render(meshes, R, t, with_rgb=True)
+    np.testing.assert_array_equal(np.asarray(a.rgb), np.asarray(b.rgb))
+
+    def loss(v):
+        out = _renderer(Km, True, blur, 4, act=act).render(
+            meshes.update_padded(v), R, t, with_rgb=True
+        )
+        return jnp.sum(out.rgb ** 2) + jnp.sum(out.silhouette ** 2)
+
+    g = jax.grad(loss)(meshes.verts)
+    assert bool(jnp.all(jnp.isfinite(g)))
+    g_full = jax.grad(
+        lambda v: jnp.sum(
+            full.render(meshes.update_padded(v), R, t, with_rgb=True).rgb ** 2
+        )
+        + jnp.sum(
+            full.render(meshes.update_padded(v), R, t, with_rgb=True).silhouette ** 2
+        )
+    )(meshes.verts)
+    scale = float(jnp.abs(g_full).max())
+    assert float(jnp.abs(g - g_full).max()) < 1e-4 * scale
+
+
 def test_recon_gradients(scene):
     """Gradients flow to the geometry through zbuf (not the corner
     channels): finite, and close to the interpolation formulation on an

@@ -240,8 +240,17 @@ def flat_pixel_zbuf(fragments: "Fragments", k_slots: Optional[int] = None):
     world-corner channels entirely.
 
     Returns (uv (B, N, 2) pixel centers in pixels — u indexes width —
-    and z (B, N) camera-space depth, -1 at empty slots), N = T*tp*K with
-    T the active budget under tile compaction.
+    and z (B, N) camera-space depth, exactly -1.0 at EVERY dead slot),
+    N = T*tp*K with T the active budget under tile compaction.
+
+    Dead slots come from three sources — rasterizer-empty slots (zbuf
+    sentinel -1), right/bottom tile-pad pixels (tile_image zero-fills)
+    and compaction-unused active rows (compact_rows zero-fills) — and
+    all of them must come back -1, never 0: z=0 reconstructs the point
+    at exactly the camera center, where the view-vector norm's vjp is
+    NaN even under a zero cotangent. z rides through tiling/compaction
+    as z+1 so every zero-filled source lands on -1 after the shift back
+    (|pcam| >= 1 at dead slots keeps the lighting vjp finite).
     """
     ba = fragments.binned
     assert ba is not None
@@ -253,7 +262,11 @@ def flat_pixel_zbuf(fragments: "Fragments", k_slots: Optional[int] = None):
     T_full = nthw[0] * nthw[1]
     tp = tile * tile
 
-    zb = tile_image(fragments.zbuf[..., :K], tile, nthw)  # (B, T_full, tp, K)
+    # +1 shift: zero-filled pad/unused slots land on -1 after the shift
+    # back (see docstring); the constant shift leaves gradients unchanged.
+    zb = tile_image(
+        fragments.zbuf[..., :K] + 1.0, tile, nthw
+    )  # (B, T_full, tp, K)
     u = jax.lax.broadcasted_iota(jnp.float32, (1, H, W), 2) + 0.5
     v = jax.lax.broadcasted_iota(jnp.float32, (1, H, W), 1) + 0.5
     uv = tile_image(jnp.stack([u, v], axis=-1), tile, nthw)  # (1, T_full, tp, 2)
@@ -267,7 +280,7 @@ def flat_pixel_zbuf(fragments: "Fragments", k_slots: Optional[int] = None):
     uvk = jnp.broadcast_to(
         uv[:, :, :, None, :], (max(B, uv.shape[0]), T, tp, K, 2)
     ).reshape(-1, T * tp * K, 2)
-    return uvk, zb.reshape(B, T * tp * K)
+    return uvk, zb.reshape(B, T * tp * K) - 1.0
 
 
 def interpolate_face_attributes(

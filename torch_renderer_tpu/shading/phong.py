@@ -96,8 +96,11 @@ def _reconstruct_points_flat(
     Gradients to the geometry flow through zbuf instead of the bin-gather
     einsum; values match interpolation exactly for pixels inside their
     face (zbuf is the perspective-correct depth of the ray intersection).
-    Empty slots (zbuf -1) produce finite garbage — downstream masking
-    (interpolate_binned's live mask at finalize) discards them."""
+    Dead slots carry z == -1 uniformly (flat_pixel_zbuf guarantees it for
+    rasterizer-empty, tile-pad AND compaction-unused slots), so |pcam| >= 1
+    there and the view-vector norm's vjp in phong_lighting stays finite;
+    the values are garbage and downstream masking (interpolate_binned's
+    finalize) discards them."""
     from ..rasterize.fragments import flat_pixel_zbuf
 
     uv, z = flat_pixel_zbuf(fragments, k_slots)  # (B, N, 2), (B, N)
@@ -105,7 +108,12 @@ def _reconstruct_points_flat(
     y = (uv[..., 1] - camera.cy[:, None]) / camera.fy[:, None] * z
     pcam = jnp.stack([x, y, z], axis=-1)
     # row-vector form of R^T (X_cam - t); broadcasts camera batch 1.
-    return jnp.matmul(pcam - camera.t[:, None, :], camera.R)
+    # HIGHEST: the interpolation path this replaces runs HIGHEST einsums;
+    # default (bf16 on TPU) would cost ~3 decimal digits of world position.
+    return jnp.matmul(
+        pcam - camera.t[:, None, :], camera.R,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def phong_lighting(
