@@ -50,6 +50,10 @@ def main():
     p.add_argument("--objs", type=str, nargs="*", default=None,
                    help="OBJ model paths for the object library "
                         "(default: built-in primitives)")
+    p.add_argument("--instances", type=str, default=None,
+                   help="model directory with the reference's "
+                        "instances.json layout (categories with id/name/"
+                        "filename/supercategory); overrides --objs")
     args = p.parse_args()
     setup_platform(args)
 
@@ -63,21 +67,10 @@ def main():
         reformat_coco_annotations,
     )
 
-    if args.objs:
-        from torch_renderer_tpu.io.obj import load_obj
-
-        entries = []
-        for i, path in enumerate(args.objs):
-            data = load_obj(path, load_textures=False)
-            v = np.asarray(data.verts)
-            v = (v - v.mean(0)) / max(np.linalg.norm(v - v.mean(0), axis=1).max(), 1e-9)
-            entries.append({
-                "verts": v.astype(np.float32),
-                "faces": np.asarray(data.faces, np.int32),
-                "category_id": i + 1,
-                "name": os.path.splitext(os.path.basename(path))[0],
-            })
-        library = ObjectLibrary(entries)
+    if args.instances:
+        library = ObjectLibrary.from_instances_json(args.instances)
+    elif args.objs:
+        library = ObjectLibrary.from_obj_files(args.objs)
     else:
         library = ObjectLibrary.primitives()
 

@@ -44,20 +44,23 @@ def _scene():
     return verts, faces, K, t
 
 
-def tpu_fps() -> float:
+def make_scan_step(device_mesh=None):
+    """Build the jitted north-star pass: STEPS chained render+backward
+    iterations over a batch of B images PER CHIP.
+
+    device_mesh=None: single-device jit on a batch of B.
+    device_mesh: a 1-axis ('data',) jax.sharding.Mesh — the batch scales to
+    B * n_devices and shard_maps over the data axis (weak scaling: each
+    chip runs the identical per-chip computation, so FPS *per chip* stays
+    comparable to the single-chip number; the Pallas kernel is opaque to
+    GSPMD's auto-partitioner, hence shard_map rather than sharded-inputs
+    jit). No collectives: batch items are independent through the loss sum,
+    so each shard steps its own verts slice. Exactness vs single-device is
+    asserted on the 8-virtual-CPU-device mesh in tests/test_parallel.py.
+
+    Returns (step, args): call jax.block_until_ready(step(*args)).
+    """
     import jax
-
-    # Persistent compile cache (same dir as the apps): on a degraded-tunnel
-    # day the Mosaic/XLA compile alone takes 4-8 minutes; caching it means
-    # only the first-ever bench run after a kernel change pays it, and the
-    # watchdog retries below actually get to measure.
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     ".jax_app_cache"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
     import jax.numpy as jnp
 
     from torch_renderer_tpu.cameras.perspective import PerspectiveCamera
@@ -68,23 +71,30 @@ def tpu_fps() -> float:
     )
     from torch_renderer_tpu.structures.meshes import Meshes
 
+    n_chips = 1 if device_mesh is None else device_mesh.size
+    Bt = B * n_chips
     verts, faces, K, t = _scene()
-    meshes = Meshes.from_single(verts, faces).extend(B)
+    meshes = Meshes.from_single(verts, faces).extend(Bt)
+    # intrinsics tiled per item so EVERY camera leaf carries the full batch
+    # axis (sharding needs uniform leading dims; broadcast-1 leaves can't
+    # split over the data axis)
     cam = PerspectiveCamera.from_K(
-        K, (IMAGE, IMAGE), R=np.broadcast_to(np.eye(3, dtype=np.float32), (B, 3, 3)),
-        t=np.tile(t, (B, 1)),
+        np.tile(K[None], (Bt, 1, 1)), (IMAGE, IMAGE),
+        R=np.broadcast_to(np.eye(3, dtype=np.float32), (Bt, 3, 3)),
+        t=np.tile(t, (Bt, 1)),
     )
 
     # size the tile bins + active-tile budget for this scene once (static
     # kernel parameters); exactness vs the streaming oracle is covered by
     # tests/test_pallas_soft and tests/test_rank_binning. setup_face_planes
     # (channel planes, no tiny-trailing-dim corner tensors) is bit-exact vs
-    # setup_faces through this path (tests/test_rank_binning).
-    fp0 = setup_face_planes(meshes, cam)
+    # setup_faces through this path (tests/test_rank_binning). The budgets
+    # are sized on the PER-CHIP slice so sharded/unsharded kernels match.
+    fp0 = setup_face_planes(_batch_slice(meshes, B), _batch_slice(cam, B))
     cfg = suggest_soft_config(fp0, (IMAGE, IMAGE), sigma=SIGMA,
                               layout="packed")
 
-    def loss_fn(v):
+    def loss_fn(v, meshes, cam):
         fp = setup_face_planes(meshes.update_padded(v), cam)
         alpha = soft_silhouette_pallas_fd(
             fp, (IMAGE, IMAGE), sigma=SIGMA, **cfg.kwargs(),
@@ -100,17 +110,72 @@ def tpu_fps() -> float:
     # degraded days, vs a 2.4 ms step), so a per-call loop benchmarks the
     # tunnel, not the chip. The carry chains each step on the previous
     # gradient so no iteration can be folded or overlapped away.
-    def scan_pass(v):
+    def scan_pass(v, meshes, cam):
         def body(v, _):
-            g = grad_fn(v)
+            g = grad_fn(v, meshes, cam)
             return v - 1e-6 * g, ()
 
         v, _ = jax.lax.scan(body, v, None, length=STEPS)
         return v
 
-    step = jax.jit(scan_pass)
-    v0 = meshes.verts
-    jax.block_until_ready(step(v0))  # compile + warm
+    if device_mesh is None:
+        return jax.jit(scan_pass), (meshes.verts, meshes, cam)
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    spec = lambda tree: jax.tree_util.tree_map(
+        lambda x: P("data", *([None] * (x.ndim - 1))), tree
+    )
+    step = jax.jit(
+        shard_map(
+            scan_pass,
+            mesh=device_mesh,
+            in_specs=(spec(meshes.verts), spec(meshes), spec(cam)),
+            out_specs=spec(meshes.verts),
+            # the pallas_call inside doesn't declare varying mesh axes;
+            # semantics are unaffected (no collectives in the pass)
+            check_vma=False,
+        )
+    )
+    return step, (meshes.verts, meshes, cam)
+
+
+def _batch_slice(tree, n: int):
+    """First-n batch slice of every array leaf (static fields untouched)."""
+    import jax
+
+    return jax.tree_util.tree_map(lambda x: x[:n], tree)
+
+
+def tpu_fps() -> float:
+    import jax
+
+    # Persistent compile cache (same dir as the apps): on a degraded-tunnel
+    # day the Mosaic/XLA compile alone takes 4-8 minutes; caching it means
+    # only the first-ever bench run after a kernel change pays it, and the
+    # watchdog retries below actually get to measure.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_app_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    # Multi-chip: shard the batch axis over every available chip and report
+    # per-chip throughput (SURVEY.md §2d's FPS/chip metric). Validated on
+    # the 8-virtual-CPU-device mesh (tests/test_parallel.py); engages
+    # automatically when the driver attaches hardware with >1 chip.
+    n_chips = len(jax.devices())
+    if n_chips > 1:
+        from jax.sharding import Mesh
+
+        device_mesh = Mesh(np.array(jax.devices()), ("data",))
+    else:
+        device_mesh = None
+
+    step, args = make_scan_step(device_mesh)
+    jax.block_until_ready(step(*args))  # compile + warm
 
     # Best-of-N timed passes: the tunnel's per-call cost varies minute to
     # minute (documented 1.6x day-to-day spread); a single pass can record
@@ -118,10 +183,9 @@ def tpu_fps() -> float:
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(step(v0))
+        jax.block_until_ready(step(*args))
         best = min(best, time.perf_counter() - t0)
-    n_chips = 1  # single-chip benchmark
-    return B * STEPS / best / n_chips
+    return B * n_chips * STEPS / best / n_chips
 
 
 def cpu_reference_fps(use_cache: bool = True) -> float:
@@ -205,7 +269,7 @@ def main():
     # the measurement in a subprocess with a hard timeout and retry.
     import subprocess
 
-    def _measure_once(timeout_s: float) -> float:
+    def _measure_once(timeout_s: float) -> dict:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--_measure"]
             + (["--quick"] if quick else []),
@@ -216,7 +280,7 @@ def main():
                 f"measure subprocess rc={proc.returncode}: "
                 f"{proc.stderr[-500:]}"
             )
-        return float(proc.stdout.strip().splitlines()[-1])
+        return json.loads(proc.stdout.strip().splitlines()[-1])
 
     last_err = None
     waits = (10, 30, 60) if not quick else (10, 10)
@@ -226,10 +290,11 @@ def main():
             # uncached compile alone measured 4-8 minutes (2026-08-19);
             # once the persistent cache has it, later attempts/runs are
             # measurement-only and the tighter window guards real hangs.
-            fps = _measure_once(
+            meas = _measure_once(
                 (600 if attempt == 0 else 240) if quick
                 else (900 if attempt == 0 else 420)
             )
+            fps = meas["fps_per_chip"]
             break
         except Exception as e:  # noqa: BLE001 - infra flakiness, retried
             last_err = e
@@ -250,6 +315,7 @@ def main():
                 "value": round(fps, 2),
                 "unit": "images/s",
                 "vs_baseline": round(vs, 2) if vs == vs else None,
+                "n_chips": meas.get("n_chips", 1),
             }
         )
     )
@@ -257,6 +323,10 @@ def main():
 
 if __name__ == "__main__":
     if "--_measure" in sys.argv:  # watchdog subprocess: one raw measurement
-        print(tpu_fps())
+        import jax as _jax
+
+        print(json.dumps(
+            {"fps_per_chip": tpu_fps(), "n_chips": len(_jax.devices())}
+        ))
     else:
         main()

@@ -287,3 +287,85 @@ def test_random_material_mode_is_deterministic_per_seed():
     s1, _ = gen.sample_scene(np.random.default_rng(7))
     s2, _ = gen.sample_scene(np.random.default_rng(7))
     assert type(s1.meshes.textures) is type(s2.meshes.textures)
+
+
+# -- ObjectLibrary ingestion (reference coco_data_generator.py:94-138) ----
+
+
+def _write_obj(path, verts, faces):
+    with open(path, "w") as f:
+        for v in verts:
+            f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+        for t in faces:
+            f.write(f"f {t[0]+1} {t[1]+1} {t[2]+1}\n")
+
+
+def test_from_obj_files_category_map(tmp_path):
+    sv, sf = icosphere(1)
+    cv, cf = cube(2.0)
+    _write_obj(tmp_path / "ball.obj", sv * 3.0 + 1.0, sf)
+    _write_obj(tmp_path / "crate.obj", cv, cf)
+    lib = ObjectLibrary.from_obj_files(
+        [str(tmp_path / "ball.obj"), str(tmp_path / "crate.obj")],
+        category_map={"ball": {"id": 7, "supercategory": "toys"}},
+    )
+    ball, crate = lib.entries
+    assert ball["category_id"] == 7 and ball["supercategory"] == "toys"
+    assert crate["category_id"] == 1  # enumerated around the mapped id
+    assert crate["name"] == "crate"
+    # normalized: centered, unit max radius
+    for e in lib.entries:
+        v = e["verts"]
+        np.testing.assert_allclose(v.mean(0), 0, atol=1e-5)
+        np.testing.assert_allclose(np.linalg.norm(v, axis=1).max(), 1.0, rtol=1e-5)
+    assert ball["faces"].shape == sf.shape
+
+
+def test_from_instances_json_and_generation(tmp_path):
+    """instances.json layout end-to-end: library loads with mapped ids and
+    metadata, and the generator writes those ids into the COCO categories."""
+    sv, sf = icosphere(1)
+    _write_obj(tmp_path / "m1.obj", sv, sf)
+    _write_obj(tmp_path / "m2.obj", sv * np.array([1, 0.6, 0.4], np.float32), sf)
+    with open(tmp_path / "instances.json", "w") as f:
+        json.dump({
+            "dataset_name": "unit_fixture",
+            "categories": [
+                {"id": 11, "name": "sphere", "supercategory": "round",
+                 "filename": "m1.obj"},
+                {"id": 22, "name": "squash", "supercategory": "round",
+                 "filename": "m2.obj"},
+            ],
+        }, f)
+    lib = ObjectLibrary.from_instances_json(str(tmp_path))
+    assert [e["category_id"] for e in lib.entries] == [11, 22]
+    assert lib.dataset_name == "unit_fixture"
+    assert lib.entries[0]["name"] == "sphere"
+
+    gen = COCODataGenerator(lib, DataGenConfig(
+        image_size=(H, W), views_per_scene=1, objects_per_scene=(1, 2),
+        normal_maps=False,
+    ))
+    coco = gen.generate(str(tmp_path / "out"), n_scenes=1,
+                        rng=np.random.default_rng(0), write_aux=False)
+    got = {c["id"]: c for c in coco["categories"]}
+    assert set(got) == {11, 22}
+    assert got[11]["supercategory"] == "round"
+    assert coco["info"]["description"] == "unit_fixture"
+    assert all(a["category_id"] in (11, 22) for a in coco["annotations"])
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/data/cow_mesh/cow.obj"),
+    reason="reference assets not mounted",
+)
+def test_from_obj_files_reference_meshes():
+    lib = ObjectLibrary.from_obj_files([
+        "/root/reference/data/cow_mesh/cow.obj",
+        "/root/reference/data/teapot.obj",
+    ])
+    assert [e["name"] for e in lib.entries] == ["cow", "teapot"]
+    assert [e["category_id"] for e in lib.entries] == [1, 2]
+    for e in lib.entries:
+        assert e["verts"].shape[0] > 1000 and e["faces"].shape[0] > 1000
+        np.testing.assert_allclose(e["verts"].mean(0), 0, atol=1e-4)

@@ -399,3 +399,34 @@ def test_sharded_icp_uneven_with_init_transform(eight_devices):
         np.asarray(plain.RTs.t), np.asarray(sharded.RTs.t),
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_bench_scan_step_sharded_matches_single(eight_devices, monkeypatch):
+    """The driver-bench north-star pass (bench.make_scan_step) sharded over
+    an 8-device data mesh must produce the SAME final verts as the
+    single-device scan on the identical total batch — proves bench.py's
+    multi-chip path end-to-end (VERDICT r2 #4) on the virtual CPU mesh."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent.parent))
+    import bench
+    from jax.sharding import Mesh
+
+    monkeypatch.setattr(bench, "B", 1)
+    monkeypatch.setattr(bench, "IMAGE", 64)
+    monkeypatch.setattr(bench, "LEVEL", 1)
+    monkeypatch.setattr(bench, "STEPS", 3)
+
+    dmesh = Mesh(np.array(eight_devices), ("data",))
+    step_s, args_s = bench.make_scan_step(dmesh)
+    out_sharded = np.asarray(jax.block_until_ready(step_s(*args_s)))
+    assert out_sharded.shape[0] == 8  # B * n_devices
+
+    # single-device reference over the SAME total batch
+    monkeypatch.setattr(bench, "B", 8)
+    step_1, args_1 = bench.make_scan_step(None)
+    out_single = np.asarray(jax.block_until_ready(step_1(*args_1)))
+
+    np.testing.assert_allclose(out_sharded, out_single, rtol=0, atol=1e-6)
+    # the scan must have moved the verts (a real render+backward ran)
+    assert np.abs(out_sharded - np.asarray(args_s[0])).max() > 0

@@ -115,6 +115,7 @@ class ObjectLibrary:
 
     def __init__(self, entries: Sequence[Dict]):
         self.entries = list(entries)
+        self.dataset_name: Optional[str] = None
 
     @staticmethod
     def primitives(n_categories: int = 3, level: int = 2) -> "ObjectLibrary":
@@ -131,6 +132,95 @@ class ObjectLibrary:
             {"verts": cv, "faces": cf, "category_id": 3, "name": "box"},
         ]
         return ObjectLibrary(entries[:max(1, n_categories)])
+
+    @staticmethod
+    def from_obj_files(
+        paths: Sequence[str],
+        category_map: Optional[Dict[str, Dict]] = None,
+        normalize: bool = True,
+        mm2m: bool = False,
+    ) -> "ObjectLibrary":
+        """Library from OBJ model files (the reference loads its target set
+        from instances.json-listed OBJs, coco_data_generator.py:94-138).
+
+        category_map: {name: {"id": int, ...extra metadata}} keyed by the
+        OBJ basename stem (an instances.json 'categories' entry without the
+        filename); unlisted names get enumerated ids after the mapped ones.
+        Extra keys (supercategory, ...) are carried into the entry and
+        surface in the written COCO categories table.
+        normalize: center + unit-max-radius scale (the canonical frame the
+        scene sampler's object_scale multiplies); mm2m: divide raw
+        coordinates by 1000 first (reference --mm2m,
+        coco_data_generator.py:125-126) — only meaningful with
+        normalize=False, where raw model scale is preserved.
+        """
+        import os as _os
+
+        from ..io.obj import load_obj
+
+        category_map = dict(category_map or {})
+        used = {int(v["id"]) for v in category_map.values()}
+        next_id = 1
+        entries = []
+        for path in paths:
+            data = load_obj(path, load_textures=False)
+            v = np.asarray(data.verts, np.float32)
+            if mm2m:
+                v = v / 1000.0
+            if normalize:
+                v = v - v.mean(0)
+                v = v / max(float(np.linalg.norm(v, axis=1).max()), 1e-9)
+            name = _os.path.splitext(_os.path.basename(path))[0]
+            meta = dict(category_map.get(name, {}))
+            if "id" in meta:
+                cid = int(meta.pop("id"))
+            else:
+                while next_id in used:
+                    next_id += 1
+                cid = next_id
+                used.add(cid)
+            meta.pop("filename", None)
+            entries.append({
+                "verts": v.astype(np.float32),
+                "faces": np.asarray(data.faces, np.int32),
+                "category_id": cid,
+                "name": meta.pop("name", name),
+                **meta,
+            })
+        return ObjectLibrary(entries)
+
+    @staticmethod
+    def from_instances_json(
+        model_path: str, normalize: bool = True, mm2m: bool = False,
+    ) -> "ObjectLibrary":
+        """Library from a model directory with the reference's
+        instances.json layout (coco_data_generator.py:94-138):
+        {"dataset_name": ..., "categories": [{"id", "name", "filename",
+        "supercategory"}, ...]} with per-category OBJ files relative to
+        model_path."""
+        import json as _json
+        import os as _os
+
+        json_fpath = _os.path.join(model_path, "instances.json")
+        if not _os.path.isfile(json_fpath):
+            raise FileNotFoundError(f"{json_fpath} not found")
+        with open(json_fpath) as f:
+            instances = _json.load(f)
+        paths, category_map = [], {}
+        for cat in instances["categories"]:
+            path = _os.path.join(model_path, cat["filename"])
+            if not _os.path.exists(path):
+                raise FileNotFoundError(f"object file not found: {path}")
+            paths.append(path)
+            stem = _os.path.splitext(_os.path.basename(path))[0]
+            category_map[stem] = {
+                k: v for k, v in cat.items() if k != "filename"
+            }
+        lib = ObjectLibrary.from_obj_files(
+            paths, category_map, normalize=normalize, mm2m=mm2m
+        )
+        lib.dataset_name = instances.get("dataset_name")
+        return lib
 
     def __len__(self):
         return len(self.entries)
@@ -500,9 +590,11 @@ class COCODataGenerator:
         for e in self.library.entries:
             cats[e["category_id"]] = {
                 "id": int(e["category_id"]), "name": e["name"],
-                "supercategory": "object",
+                "supercategory": e.get("supercategory", "object"),
             }
         coco = {"images": [], "annotations": [], "categories": list(cats.values())}
+        if getattr(self.library, "dataset_name", None):
+            coco["info"] = {"description": self.library.dataset_name}
         all_poses = []
         img_id = 0
         ann_id = 0
