@@ -35,6 +35,15 @@ def main():
                         "rigid-body poses (the reference's Blender physics "
                         "step); 'rest' is the fast bbox-on-plane pose")
     p.add_argument("--edge-maps", action="store_true")
+    p.add_argument("--room", action="store_true",
+                   help="enclose every scene in a floor+4-wall room with "
+                        "per-scene randomized material (the reference's 2 m "
+                        "BlenderProc room)")
+    p.add_argument("--min-visible-px", type=int, default=0,
+                   help="visibility-checked cameras: re-sample views until "
+                        ">=1 instance has this many visible pixels, and "
+                        "guarantee every written annotation has >= this "
+                        "many (the reference's BVH camera check analog)")
     p.add_argument("--no-normals", action="store_true",
                    help="skip the normals pass (saves a third of the "
                         "device->host transfer volume)")
@@ -83,6 +92,8 @@ def main():
         edge_maps=args.edge_maps,
         normal_maps=not args.no_normals,
         pack_outputs=not args.no_pack,
+        room=args.room,
+        min_visible_px=args.min_visible_px,
     )
     device_mesh = None
     if args.mesh_shape:

@@ -369,3 +369,93 @@ def test_from_obj_files_reference_meshes():
     for e in lib.entries:
         assert e["verts"].shape[0] > 1000 and e["faces"].shape[0] > 1000
         np.testing.assert_allclose(e["verts"].mean(0), 0, atol=1e-4)
+
+
+# -- room + visibility-checked cameras (reference coco_data_generator.py
+# :174-288 room, :316-349 BVH camera check) -------------------------------
+
+
+def test_room_planes_enclose_and_face_inward():
+    from torch_renderer_tpu.structures.scenes import room_planes
+
+    v, f = room_planes(1.5, 2.5, ceiling=True, subdiv=2)
+    assert v.shape == (6 * 9, 3) and f.shape == (6 * 4 * 2, 3)
+    assert np.abs(v[:, :2]).max() == 1.5 and v[:, 2].min() == 0 and v[:, 2].max() == 2.5
+    ctr = np.array([0.0, 0.0, 1.0])
+    for tri in f:
+        a, b, c = v[tri]
+        nrm = np.cross(b - a, c - a)
+        toward = ctr - (a + b + c) / 3
+        assert np.dot(nrm, toward) > 0  # inward winding
+
+
+def test_room_renders_as_background_not_annotation(tmp_path):
+    """--room: the room fills formerly-empty pixels (depth > 0 nearly
+    everywhere, seg carries the room id) but never generates annotations
+    and keeps object annotations intact."""
+    lib = ObjectLibrary.primitives(2)
+    cfg = DataGenConfig(
+        image_size=(H, W), views_per_scene=2, objects_per_scene=(1, 2),
+        normal_maps=False, room=True, camera_dist=(0.9, 1.2),
+    )
+    gen = COCODataGenerator(lib, cfg)
+    rng = np.random.default_rng(3)
+    scene, poses = gen.sample_scene(rng)
+    n_obj = len(poses)
+    assert len(scene.object_categories) == n_obj + 1  # + room
+    assert scene.object_categories[-1] == 0
+    rendered = gen.render_scene(scene, rng)
+    from torch_renderer_tpu.datagen.coco import SEG_BACKGROUND, unpack_depth
+
+    depth = unpack_depth(rendered["depth"])
+    seg = rendered["segmentation"]
+    # room behind everything: almost no true-background pixels remain
+    assert (depth > 0).mean() > 0.99
+    assert (seg == n_obj).any()          # room visible in seg
+    assert (seg == SEG_BACKGROUND).mean() < 0.01
+    # room surrounds: depth bounded by room diagonal
+    assert depth.max() < 2 * np.sqrt(2) * cfg.room_extent + cfg.room_height
+
+    coco = gen.generate(str(tmp_path), n_scenes=1,
+                        rng=np.random.default_rng(3), write_aux=False)
+    cats = {a["category_id"] for a in coco["annotations"]}
+    assert 0 not in cats and len(coco["annotations"]) > 0
+
+
+def test_visibility_checked_cameras_and_annotation_floor(tmp_path):
+    """min_visible_px: every written annotation carries >= the pixel floor,
+    and every image has at least one annotation (the camera re-sampling
+    keeps views interesting)."""
+    lib = ObjectLibrary.primitives(2)
+    N_PX = 120
+    cfg = DataGenConfig(
+        image_size=(H, W), views_per_scene=3, objects_per_scene=(1, 2),
+        normal_maps=False, min_visible_px=N_PX, room=True,
+    )
+    gen = COCODataGenerator(lib, cfg)
+    coco = gen.generate(str(tmp_path), n_scenes=2,
+                        rng=np.random.default_rng(0), write_aux=False)
+    assert len(coco["annotations"]) > 0
+    imgs_with_ann = set()
+    for a in coco["annotations"]:
+        assert a["area"] >= N_PX, a
+        imgs_with_ann.add(a["image_id"])
+    assert imgs_with_ann == {im["id"] for im in coco["images"]}
+
+
+def test_cam_clearance_rejects_close_cameras():
+    """Camera centers keep cam_clearance from every object centroid."""
+    lib = ObjectLibrary.primitives(1)
+    cfg = DataGenConfig(
+        image_size=(H, W), views_per_scene=6, objects_per_scene=(2, 3),
+        normal_maps=False, camera_dist=(0.35, 0.6), cam_clearance=0.33,
+        placement_extent=0.2,
+    )
+    gen = COCODataGenerator(lib, cfg)
+    rng = np.random.default_rng(1)
+    scene, poses = gen.sample_scene(rng)
+    centers = gen._object_centers(scene)
+    Rs, ts = gen._sample_view_poses(rng, 6, centers)
+    C = -np.einsum("nji,nj->ni", Rs, ts)
+    d = np.linalg.norm(C[:, None, :] - centers[None], axis=-1).min(axis=1)
+    assert (d >= cfg.cam_clearance).all(), d

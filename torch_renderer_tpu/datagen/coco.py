@@ -66,6 +66,28 @@ class DataGenConfig:
     material_mode: str = "random"      # vertex | uniform | texture | random
     texture_size: int = 128            # per-object tile size in texture mode
     min_visibility: float = 0.002      # drop annotations below this coverage
+    # Room geometry (reference coco_data_generator.py:174-188): floor + 4
+    # walls with per-scene randomized albedo (or a texture-atlas tile in
+    # textured scenes), merged into every scene as a non-annotated
+    # background object. room_extent must exceed camera_dist's max so the
+    # cameras stay inside.
+    room: bool = False
+    room_extent: float = 2.0
+    room_height: float = 2.0
+    # Visibility-checked camera sampling (the analog of the reference's
+    # BVH obstacle/interest check, coco_data_generator.py:316-349): when
+    # min_visible_px > 0, candidate views are pre-checked with a 1/4-res
+    # seg render and re-sampled (up to cam_resample_rounds) until at least
+    # min_visible_objects instances carry >= min_visible_px full-res-
+    # equivalent pixels; written annotations additionally require
+    # mask.sum() >= min_visible_px exactly at full res.
+    min_visible_px: int = 0
+    min_visible_objects: int = 1
+    cam_resample_rounds: int = 8
+    # Reject camera centers closer than this to any object centroid (the
+    # reference's 0.3 m camera obstacle clearance, :345-347). Applied
+    # host-side before any render; 0 disables.
+    cam_clearance: float = 0.3
     edge_maps: bool = False
     focal_scale: float = 0.9
     view_chunk: int = 8                # views rendered per device call
@@ -254,15 +276,6 @@ class COCODataGenerator:
         self.K = np.array(
             [[f, 0, W / 2.0], [0, f, H / 2.0], [0, 0, 1.0]], np.float32
         )
-        self.renderer = MeshRenderer(
-            self.K, (H, W), faces_per_pixel=1,
-            bin_size=config.bin_size, max_faces_per_bin=config.max_faces_per_bin,
-            active_tiles=config.active_tiles or None,
-            select_impl=config.select_impl,
-            # large selection chunks: the binned select otherwise degrades
-            # into hundreds of tiny sequential lax.map steps at 480x640
-            pixel_chunk=131072,
-        )
         # static scene padding budget: every sampled scene shares one
         # compiled shape (max objects x largest library entry)
         n_max = config.objects_per_scene[1]
@@ -270,7 +283,24 @@ class COCODataGenerator:
         self._pad_faces = n_max * max(
             np.asarray(e["faces"]).shape[0] for e in library.entries
         )
-        self._render_chunk = jax.jit(self._render_views)
+        if config.room:
+            from ..structures.scenes import room_planes
+
+            rv, rf = room_planes(config.room_extent, config.room_height)
+            self._room_geom = (rv, rf)
+            self._pad_verts += rv.shape[0]
+            self._pad_faces += rf.shape[0]
+        else:
+            self._room_geom = None
+        # max_faces_per_bin is a FLOOR: render_scene measures the true max
+        # tile occupancy of each concrete scene (count_overflow) and grows
+        # the budget monotonically — overflowing bins silently drop faces
+        # (wrong images, no error), and crowded scenes (room geometry, many
+        # objects, small images) can exceed any fixed default. Growth
+        # re-jits once per new budget.
+        self._mfb = config.max_faces_per_bin
+        self._vis_scale = 4
+        self._build_renderers()
         if config.placement_mode == "physics":
             from .physics import SettleConfig, collision_proxies
 
@@ -288,6 +318,66 @@ class COCODataGenerator:
                 f"placement_mode must be 'rest' or 'physics', "
                 f"got {config.placement_mode!r}"
             )
+
+    def _build_renderers(self) -> None:
+        """(Re)build the full-res renderer + jitted chunk, and — when the
+        camera visibility check is on — the 1/4-res seg-count renderer, at
+        the current self._mfb bin budget."""
+        config = self.config
+        H, W = config.image_size
+        n_max = config.objects_per_scene[1]
+        self.renderer = MeshRenderer(
+            self.K, (H, W), faces_per_pixel=1,
+            bin_size=config.bin_size, max_faces_per_bin=self._mfb,
+            active_tiles=config.active_tiles or None,
+            select_impl=config.select_impl,
+            # large selection chunks: the binned select otherwise degrades
+            # into hundreds of tiny sequential lax.map steps at 480x640
+            pixel_chunk=131072,
+        )
+        self._render_chunk = jax.jit(self._render_views)
+        if config.min_visible_px > 0:
+            # 1/4-res seg-only renderer for the camera visibility check:
+            # one batched render over ALL candidate views per round, jitted
+            # once (the per-object pixel counts come back as one (n, n_max)
+            # array; the host loop only decides which views to re-sample).
+            vs = self._vis_scale
+            Kv = self.K.copy()
+            Kv[:2] /= vs
+            self._vis_renderer = MeshRenderer(
+                Kv, (max(1, H // vs), max(1, W // vs)), faces_per_pixel=1,
+                bin_size=16, max_faces_per_bin=self._mfb,
+                select_impl=config.select_impl, pixel_chunk=131072,
+            )
+
+            def _count_visible(batched, Rs, ts, face_to_object):
+                from ..shading.gbuffer import instance_masks as _im
+
+                frags, _ = self._vis_renderer.rasterize(batched, Rs, ts)
+                masks = _im(frags, face_to_object, n_max)
+                return jnp.sum(masks, axis=(-2, -1))  # (B, n_max) int32
+
+            self._vis_counts = jax.jit(_count_visible)
+
+    def _ensure_bin_capacity(self, meshes_batched, Rs, ts) -> None:
+        """Grow self._mfb to cover the concrete scene+views' true max tile
+        occupancy with 1.3x headroom (outside jit; monotonic so re-jits are
+        rare). Same hazard/pattern as JointShapeTextureFitter
+        (opt/deform_color.py:117): overflow silently drops faces."""
+        import math
+
+        from ..rasterize.binning import count_overflow
+        from ..rasterize.geometry import setup_faces
+
+        cam = self.renderer.camera_with_pose(np.asarray(Rs), np.asarray(ts))
+        fd = setup_faces(meshes_batched, cam)
+        mx, _ = count_overflow(
+            fd, self.renderer.image_size, self.config.bin_size, 0, 0.0
+        )
+        need = max(64, int(math.ceil(float(mx) * 1.3 / 64.0)) * 64)
+        if need > self._mfb:
+            self._mfb = need
+            self._build_renderers()
 
     def _render_views(self, batched, Rs, ts, lights, face_to_object):
         from ..shading.phong import hard_phong_shader
@@ -429,14 +519,35 @@ class COCODataGenerator:
                 "name": entry["name"],
                 "R": R.tolist(), "t": t.tolist(),
             })
+        if self._room_geom is not None:
+            # room rides as one extra merged object AFTER the annotated
+            # objects (instance id n == len(poses)): present in rgb/depth/
+            # normals/seg, never annotated (the COCO writer loops over
+            # poses). Material randomization: per-scene albedo (or its own
+            # atlas tile in textured scenes).
+            rv, rf = self._room_geom
+            verts_list.append(rv)
+            faces_list.append(rf)
+            cats.append(0)  # background category
+            if textured:
+                tiles.append(random_texture(rng, cfg.texture_size))
+                uvs_list.append(planar_uvs(rng, rv))
+            else:
+                gray = rng.uniform(0.25, 0.8)
+                tint = rng.uniform(0.85, 1.0, 3)
+                colors_list.append(np.tile(
+                    (gray * tint).astype(np.float32), (rv.shape[0], 1)
+                ))
         if textured:
             # pad to the static max object count so the atlas (and with it
             # the compiled TexturesUV shape) is scene-count independent
-            n_max = cfg.objects_per_scene[1]
-            while len(tiles) < n_max:
+            n_slots = cfg.objects_per_scene[1] + (
+                1 if self._room_geom is not None else 0
+            )
+            while len(tiles) < n_slots:
                 tiles.append(np.zeros_like(tiles[0]))
             atlas, packed_uvs = pack_atlas(tiles, uvs_list + [
-                np.zeros((0, 2), np.float32)] * (n_max - len(uvs_list)))
+                np.zeros((0, 2), np.float32)] * (n_slots - len(uvs_list)))
             scene = merge_meshes(
                 verts_list, faces_list, None, cats,
                 pad_verts_to=self._pad_verts, pad_faces_to=self._pad_faces,
@@ -449,23 +560,124 @@ class COCODataGenerator:
             )
         return scene, poses
 
+    # -- camera sampling -----------------------------------------------------
+    def _object_centers(self, scene: SceneMeshes) -> np.ndarray:
+        """(n_obj, 3) centroid per ANNOTATED object (room/padding excluded),
+        host-side from the merged mesh + face-to-object table."""
+        n_obj = self._n_annotated(scene)
+        v = np.asarray(scene.meshes.verts[0])
+        fcs = np.asarray(scene.meshes.faces[0])
+        f2o = np.asarray(scene.face_to_object)
+        out = []
+        for o in range(n_obj):
+            vid = np.unique(fcs[f2o == o])
+            out.append(v[vid].mean(0) if vid.size else np.zeros(3, np.float32))
+        return (np.stack(out).astype(np.float32)
+                if out else np.zeros((0, 3), np.float32))
+
+    def _n_annotated(self, scene: SceneMeshes) -> int:
+        return len(scene.object_categories) - (
+            1 if self._room_geom is not None else 0
+        )
+
+    def _sample_view_poses(self, rng: np.random.Generator, n: int,
+                           obj_centers: np.ndarray):
+        """n look-at shell poses; camera centers keep cam_clearance distance
+        from every object centroid (reference's BVH obstacle check,
+        coco_data_generator.py:345-347 — rejection-resampled host-side)."""
+        cfg = self.config
+        # look at the scene's point of interest (object centroid area), with
+        # the camera shell centered slightly above the ground
+        poi = np.array([0.0, 0.0, cfg.object_scale], np.float32)
+
+        def draw(k):
+            # shell sampled in the Z-UP scene frame (the reference's
+            # bproc.sampler.shell, :321-327): elevation IS height above the
+            # ground plane, so cameras always stay above the floor.
+            # (look_at_view_transform's spherical parameterization is
+            # pytorch3d's y-up and would put 'elevation' along scene-y.)
+            dist = rng.uniform(*cfg.camera_dist, k).astype(np.float32)
+            elev = np.radians(
+                rng.uniform(*cfg.camera_elev, k)
+            ).astype(np.float32)
+            azim = np.radians(
+                rng.uniform(-180.0, 180.0, k)
+            ).astype(np.float32)
+            roll = rng.uniform(
+                -np.radians(cfg.max_inplane_deg),
+                np.radians(cfg.max_inplane_deg), k,
+            ).astype(np.float32)
+            eye = poi[None] + np.stack([
+                dist * np.cos(elev) * np.cos(azim),
+                dist * np.cos(elev) * np.sin(azim),
+                dist * np.sin(elev),
+            ], axis=-1)
+            from ..cameras.look_at import look_at_opencv
+
+            R, t = look_at_opencv(eye, np.broadcast_to(poi, eye.shape),
+                                  (0.0, 0.0, 1.0))
+            c, s = np.cos(roll), np.sin(roll)
+            zero, one = np.zeros_like(c), np.ones_like(c)
+            Rz = np.stack(
+                [c, -s, zero, s, c, zero, zero, zero, one], axis=-1
+            ).reshape(k, 3, 3)
+            R = np.asarray(Rz @ np.array(R), np.float32)
+            t = np.asarray(
+                np.einsum("nij,nj->ni", Rz, np.array(t)), np.float32
+            )
+            return R, t
+
+        Rs, ts = draw(n)
+        if cfg.cam_clearance > 0 and len(obj_centers):
+            for _ in range(64):  # host-side, cheap; never renders
+                C = -np.einsum("nji,nj->ni", Rs, ts)  # camera centers, world
+                d = np.linalg.norm(
+                    C[:, None, :] - obj_centers[None], axis=-1
+                ).min(axis=1)
+                bad = d < cfg.cam_clearance
+                if not bad.any():
+                    break
+                Rs[bad], ts[bad] = draw(int(bad.sum()))
+        return Rs, ts
+
     # -- rendering -----------------------------------------------------------
     def render_scene(self, scene: SceneMeshes, rng: np.random.Generator) -> Dict:
         cfg = self.config
         n = cfg.views_per_scene
-        dist = rng.uniform(*cfg.camera_dist, n).astype(np.float32)
-        elev = rng.uniform(*cfg.camera_elev, n).astype(np.float32)
-        azim = rng.uniform(-180.0, 180.0, n).astype(np.float32)
-        roll = np.radians(
-            rng.uniform(-cfg.max_inplane_deg, cfg.max_inplane_deg, n)
-        ).astype(np.float32)
-        # look at the scene's point of interest (object centroid area), with
-        # the camera shell centered slightly above the ground
-        poi = np.array([0.0, 0.0, cfg.object_scale], np.float32)
-        Rs, ts = look_at_view_transform(
-            dist, elev, azim, at=poi, up=(0.0, 0.0, 1.0),
-            inplane_rotation=roll, degrees=True,
+        centers = (
+            self._object_centers(scene)
+            if (cfg.cam_clearance > 0 or cfg.min_visible_px > 0)
+            else np.zeros((0, 3), np.float32)
         )
+        Rs, ts = self._sample_view_poses(rng, n, centers)
+        # size bins for THIS scene before any render (incl. the low-res
+        # visibility pre-check, which shares the budget)
+        self._ensure_bin_capacity(scene.meshes.extend(n), Rs, ts)
+        if cfg.min_visible_px > 0:
+            # low-res pre-check: re-sample views until >= min_visible_objects
+            # instances clear the (resolution-scaled) pixel threshold. The
+            # final full-res annotations re-check exactly; this loop only
+            # makes "interesting" views overwhelmingly likely (the
+            # reference's perform_obstacle_in_view_check analog).
+            n_obj = self._n_annotated(scene)
+            thresh = max(1, cfg.min_visible_px // (self._vis_scale ** 2))
+            vb = scene.meshes.extend(n)
+            for _ in range(cfg.cam_resample_rounds):
+                counts = np.asarray(self._vis_counts(
+                    vb, jnp.asarray(Rs), jnp.asarray(ts),
+                    scene.face_to_object,
+                ))  # (n, n_max); room (index n_obj) excluded by the slice
+                okv = (
+                    (counts[:, :n_obj] >= thresh).sum(axis=1)
+                    >= min(cfg.min_visible_objects, n_obj)
+                )
+                if okv.all():
+                    break
+                k = int((~okv).sum())
+                Rn, tn = self._sample_view_poses(rng, k, centers)
+                Rs[~okv], ts[~okv] = Rn, tn
+            # re-sampled poses may shift tile occupancy past the budget
+            self._ensure_bin_capacity(vb, Rs, ts)
 
         light_pos = rng.uniform(-1.5, 1.5, 3).astype(np.float32)
         light_pos[2] = abs(light_pos[2]) + 1.0
@@ -499,25 +711,57 @@ class COCODataGenerator:
             f2o = replicate(f2o, self.device_mesh)
         else:
             batched = scene.meshes.extend(vc)
-        pending = []
-        for v0 in range(0, n, vc):
-            idx = [min(v0 + i, n - 1) for i in range(vc)]  # repeat-pad tail
-            Rc, tc = Rs[idx, :], ts[idx, :]
-            if self.device_mesh is not None:
-                Rc, tc = shard_batch((Rc, tc), self.device_mesh)
-            chunk = self._render_chunk(batched, Rc, tc, lights, f2o)
-            keep = min(vc, n - v0)
-            if keep < vc:  # drop repeat-padded tail views ON device
-                chunk = tuple(arr[:keep] for arr in chunk)
-            for arr in chunk:
-                arr.copy_to_host_async()
-            pending.append(chunk)
 
-        cols = [[] for _ in range(len(pending[0]))]
-        for chunk in pending:
-            for col, arr in zip(cols, chunk):
-                col.append(np.asarray(arr))
-        stacked = [np.concatenate(c) for c in cols]
+        def full_render(Rs, ts):
+            pending = []
+            for v0 in range(0, n, vc):
+                idx = [min(v0 + i, n - 1) for i in range(vc)]  # repeat-pad tail
+                Rc, tc = Rs[idx, :], ts[idx, :]
+                if self.device_mesh is not None:
+                    Rc, tc = shard_batch((Rc, tc), self.device_mesh)
+                chunk = self._render_chunk(batched, Rc, tc, lights, f2o)
+                keep = min(vc, n - v0)
+                if keep < vc:  # drop repeat-padded tail views ON device
+                    chunk = tuple(arr[:keep] for arr in chunk)
+                for arr in chunk:
+                    arr.copy_to_host_async()
+                pending.append(chunk)
+
+            cols = [[] for _ in range(len(pending[0]))]
+            for chunk in pending:
+                for col, arr in zip(cols, chunk):
+                    col.append(np.asarray(arr))
+            return [np.concatenate(c) for c in cols]
+
+        stacked = full_render(Rs, ts)
+        if cfg.min_visible_px > 0:
+            # exact full-res guarantee: the 1/4-res pre-check is
+            # approximate near the threshold, so re-check each view's seg
+            # at full res and re-render re-sampled poses for views that
+            # still miss the floor (rare after the pre-check — typically
+            # zero extra passes).
+            n_obj = self._n_annotated(scene)
+            seg_i = -2 if (cfg.edge_maps and cfg.pack_outputs) else -1
+            bg = SEG_BACKGROUND if cfg.pack_outputs else -1
+            for _ in range(cfg.cam_resample_rounds):
+                seg = stacked[seg_i]
+                per_obj = np.stack(
+                    [(seg == o).sum(axis=(1, 2)) for o in range(n_obj)],
+                    axis=1,
+                )  # (n, n_obj)
+                okv = (
+                    (per_obj >= cfg.min_visible_px).sum(axis=1)
+                    >= min(cfg.min_visible_objects, n_obj)
+                )
+                if okv.all():
+                    break
+                k = int((~okv).sum())
+                Rn, tn = self._sample_view_poses(rng, k, centers)
+                Rs[~okv], ts[~okv] = Rn, tn
+                self._ensure_bin_capacity(
+                    scene.meshes.extend(n), Rs, ts
+                )
+                stacked = full_render(Rs, ts)
 
         names = ["rgb", "depth"]
         if cfg.normal_maps:
@@ -641,6 +885,8 @@ class COCODataGenerator:
                     frac = mask.mean()
                     if frac < cfg.min_visibility:
                         continue
+                    if cfg.min_visible_px > 0 and mask.sum() < cfg.min_visible_px:
+                        continue  # hard per-annotation pixel guarantee
                     bbox = self._mask_to_bbox(mask)
                     if bbox is None:
                         continue

@@ -153,3 +153,54 @@ def ground_plane(extent: float = 2.0, z: float = 0.0) -> Tuple[np.ndarray, np.nd
     )
     faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
     return verts, faces
+
+
+def room_planes(
+    extent: float = 2.0, height: float = 2.0, ceiling: bool = False,
+    subdiv: int = 8,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Floor + 4 walls (optional ceiling) enclosing [-extent, extent]^2 x
+    [0, height] — the reference's 5-plane 2 m room
+    (coco_data_generator.py:174-188; its emissive-ceiling light plane has no
+    analog here because the Phong light model casts no shadows).
+
+    Each plane is a subdiv x subdiv quad grid (vertices shared within the
+    plane: coplanar faces keep the vertex normals exactly the plane normal):
+    the rasterizer CULLS faces with any corner behind the near plane
+    (rasterize/geometry.py:232 — no near-plane clipping), so room-scale
+    triangles would vanish whenever a camera inside the room looks across
+    them; grid cells keep the cull to a sliver near the camera. The winding
+    orients every normal INWARD so Phong lighting from inside the room sees
+    front faces.
+
+    Returns (verts, faces) as ONE mergeable object:
+    verts ((5|6)*(subdiv+1)^2, 3), faces ((5|6)*subdiv^2*2, 3).
+    """
+    e, h = float(extent), float(height)
+    # each plane: (origin, edge_u, edge_v) with inward winding u x v
+    planes = [
+        ((-e, -e, 0.0), (2 * e, 0, 0), (0, 2 * e, 0)),   # floor, +z
+        ((-e, -e, 0.0), (0, 0, h), (2 * e, 0, 0)),       # wall y=-e, +y
+        ((-e, e, 0.0), (2 * e, 0, 0), (0, 0, h)),        # wall y=+e, -y
+        ((-e, -e, 0.0), (0, 2 * e, 0), (0, 0, h)),       # wall x=-e, +x
+        ((e, -e, 0.0), (0, 0, h), (0, 2 * e, 0)),        # wall x=+e, -x
+    ]
+    if ceiling:
+        planes.append(((-e, -e, h), (0, 2 * e, 0), (2 * e, 0, 0)))  # -z
+    n = max(1, int(subdiv))
+    verts, faces = [], []
+    for origin, eu, ev in planes:
+        base = len(verts)
+        o = np.asarray(origin, np.float32)
+        u = np.asarray(eu, np.float32) / n
+        v = np.asarray(ev, np.float32) / n
+        for j in range(n + 1):
+            for i in range(n + 1):
+                verts.append(o + i * u + j * v)
+        for j in range(n):
+            for i in range(n):
+                a = base + j * (n + 1) + i
+                b, c, d = a + 1, a + 1 + (n + 1), a + (n + 1)
+                faces.append((a, b, c))
+                faces.append((a, c, d))
+    return np.stack(verts).astype(np.float32), np.asarray(faces, np.int32)
