@@ -25,6 +25,14 @@ def main():
     p.add_argument("--iters", type=int, default=200)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--perturb-t", type=float, default=0.08)
+    p.add_argument("--object-pose", action="store_true",
+                   help="optimize ONE object 4x4 pose through the recorded "
+                        "fixed per-frame extrinsics (the reference's "
+                        "cam_ext @ object_mat chain, pose_optimizer.py:88-91) "
+                        "jointly over --frames")
+    p.add_argument("--frames", type=int, nargs="*", default=None,
+                   help="frame indices for --object-pose (default: every "
+                        "frame sharing --frame's object_id)")
     args = p.parse_args()
     setup_platform(args)
 
@@ -58,6 +66,45 @@ def main():
     rec = load_recorded_frames(args.pickle)
     i = args.frame
     H, W = rec["depth"].shape[1:]
+
+    if args.object_pose:
+        from torch_renderer_tpu.opt.pose_fit import ObjectPoseFitter
+
+        frames = args.frames
+        if frames is None:
+            frames = [
+                j for j, oid in enumerate(rec["object_id"])
+                if oid == rec["object_id"][i]
+            ]
+        F = len(frames)
+        fitter = ObjectPoseFitter(
+            rec["K"][frames], (H, W), rec["extrinsic"][frames],
+            PoseFitConfig(lr=args.lr, use_rgb=False),
+        )
+        refs = fitter.references_from_recorded(rec["depth"][frames])
+        obj_gt = rec["object_pose"][i]
+        rng = np.random.default_rng(args.seed)
+        obj0 = obj_gt.copy()
+        perturb = args.perturb_t * rng.standard_normal(3).astype(np.float32)
+        obj0[:3, 3] += perturb
+        params0 = ObjectPoseFitter.params_from_object_pose(obj0)
+
+        t_start = time.perf_counter()
+        params, hist = fitter.fit(
+            meshes.extend(F), refs, params0, n_steps=args.iters
+        )
+        jax.block_until_ready(params)
+        elapsed = time.perf_counter() - t_start
+        losses = np.asarray(hist["loss"])
+        M = np.asarray(fitter.object_pose(params))
+        err0 = float(np.linalg.norm(perturb))
+        err1 = float(np.linalg.norm(M[:3, 3] - obj_gt[:3, 3]))
+        print(f"object-pose fit over {F} frame(s) {frames}: "
+              f"loss {losses[0]:.5f} -> {losses[-1]:.5f}; "
+              f"object translation err {err0:.4f} -> {err1:.4f} m; "
+              f"{args.iters / elapsed:.1f} iters/sec (incl. compile)")
+        return
+
     fitter = DepthPoseFitter(
         rec["K"][i], (H, W), PoseFitConfig(lr=args.lr, use_rgb=False)
     )

@@ -137,3 +137,76 @@ def test_teapot_and_sphere_objs_load():
     assert tp.verts.shape[0] > 1000 and tp.faces.shape[0] > 1000
     sp = load_obj(os.path.join(REF, "data/sphere.obj"), load_textures=False)
     assert sp.verts.shape[0] == 2562
+
+
+def test_object_pose_chain_joint_over_frames():
+    """ObjectPoseFitter: the reference's parameterization (ONE trainable
+    object 4x4 through FIXED camera extrinsics, pose_optimizer.py:88-91) on
+    the real filtered_datas.pkl chain, fit jointly over multiple frames.
+
+    The pickle's 3 frames cannot constrain one static pose directly —
+    frames 0/1 share a single extrinsic but record two DIFFERENT
+    object_poses (two time steps), frame 2 is another object — so the
+    joint-frame evidence is built faithfully around frame 1: its real
+    K/extrinsic/recorded depth, plus two additional views of the SAME
+    recorded object_pose from rotated extrinsics (depths rendered with the
+    same proxy mesh the fit uses). The joint 3-view fit must decrease the
+    loss and shrink the OBJECT-pose translation error."""
+    import jax
+    import jax.numpy as jnp
+
+    from torch_renderer_tpu.io.fixtures import load_recorded_frames
+    from torch_renderer_tpu.ops.icosphere import icosphere
+    from torch_renderer_tpu.opt.pose_fit import ObjectPoseFitter, PoseFitConfig
+    from torch_renderer_tpu.structures.meshes import Meshes
+    from torch_renderer_tpu.transforms.so3 import euler_angles_to_matrix
+
+    rec = load_recorded_frames(os.path.join(REF, "filtered_datas.pkl"))
+    i = 1
+    K = rec["K"][i] / 4.0
+    K[2, 2] = 1.0
+    H, W = rec["depth"].shape[1:]
+    obj_gt = rec["object_pose"][i]
+
+    # two extra cameras: orbit the recorded extrinsic about the object
+    exts = [rec["extrinsic"][i]]
+    for yaw in (25.0, -30.0):
+        Rz = np.eye(4, dtype=np.float32)
+        Rz[:3, :3] = np.asarray(
+            euler_angles_to_matrix(
+                jnp.asarray([0.0, np.radians(yaw), 0.0]), "XYZ")
+        )
+        exts.append(rec["extrinsic"][i] @ Rz)
+    exts = np.stack(exts)
+    F = exts.shape[0]
+
+    verts, faces = icosphere(2)
+    mesh = Meshes.from_single(0.05 * np.asarray(verts), faces)
+    batched = mesh.extend(F)
+
+    fitter = ObjectPoseFitter(
+        np.tile(K[None], (F, 1, 1)), (H, W), exts,
+        PoseFitConfig(lr=5e-3, use_rgb=False),
+    )
+    # view 0: the REAL recorded depth; views 1-2: proxy renders of the same
+    # recorded object pose through the extra extrinsics
+    gt_params = ObjectPoseFitter.params_from_object_pose(obj_gt)
+    synth = fitter.render(batched, gt_params)
+    depth_refs = np.asarray(synth.depth).copy()
+    depth_refs[0] = rec["depth"][i]
+    refs = fitter.references_from_recorded(depth_refs)
+
+    perturb = np.array([0.04, -0.03, 0.05], np.float32)
+    obj0 = obj_gt.copy()
+    obj0[:3, 3] += perturb
+    params0 = ObjectPoseFitter.params_from_object_pose(obj0)
+
+    params, hist = fitter.fit(batched, refs, params0, n_steps=80)
+    jax.block_until_ready(params)
+    losses = np.asarray(hist["loss"])
+    M = np.asarray(fitter.object_pose(params))
+    err0 = float(np.linalg.norm(perturb))
+    err1 = float(np.linalg.norm(M[:3, 3] - obj_gt[:3, 3]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < 0.8 * losses[0], (losses[0], losses[-1])
+    assert err1 < 0.5 * err0, (err0, err1)

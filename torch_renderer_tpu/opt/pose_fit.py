@@ -27,6 +27,7 @@ from ..renderer import MeshRenderer
 from ..structures.meshes import Meshes
 from ..transforms.so3 import (
     matrix_to_quaternion,
+    quaternion_multiply,
     quaternion_normalize,
     quaternion_to_matrix,
 )
@@ -316,3 +317,58 @@ class DepthPoseFitter(CameraPoseFitter):
             depth = depth[None]
         mask = (depth > 0).astype(jnp.float32)
         return {"depth": depth, "sil": mask, "mask": mask}
+
+
+class ObjectPoseFitter(DepthPoseFitter):
+    """ONE trainable object pose observed through FIXED per-frame camera
+    extrinsics — the reference's parameterization (pose_optimizer.py:88-91:
+    the camera chain is `cam_ext @ object_mat` with only object_mat
+    trainable), fit JOINTLY over all recorded frames at once (the reference
+    runs a single frame; the chain is observable from every camera that saw
+    the object, so all frames constrain the same 7 DoF).
+
+    K: (F, 3, 3) per-frame intrinsics (or a shared (3, 3));
+    extrinsics: (F, 4, 4) OpenCV world->camera transforms.
+    Params: {"t": (1, 3), "quat": (1, 4)} — the object pose O
+    (object->world); frame f renders at (R_f R_o, R_f t_o + t_f).
+    Pass meshes.extend(F) (all frames render as one batch) and stack the
+    recorded depths (F, H, W) into references_from_recorded.
+    """
+
+    def __init__(self, K, image_size, extrinsics, config=None, **kw):
+        import numpy as _np
+
+        super().__init__(K, image_size, config, **kw)
+        ext = _np.asarray(extrinsics, _np.float32)
+        if ext.ndim == 2:
+            ext = ext[None]
+        self.cam_R = jnp.asarray(ext[:, :3, :3])
+        self.cam_t = jnp.asarray(ext[:, :3, 3])
+        self.cam_quat = matrix_to_quaternion(self.cam_R)
+        self.n_frames = int(ext.shape[0])
+
+    def compose(self, params: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+        """Per-frame composed camera params from the object pose. The
+        quaternion product with the unit cam_quat preserves |q_o|, so the
+        quat-norm regularizer acts identically through the chain."""
+        q_o = quaternion_normalize(params["quat"][0])
+        t_o = params["t"][0]
+        q = quaternion_multiply(self.cam_quat, q_o[None, :])
+        t = jnp.einsum("fij,j->fi", self.cam_R, t_o) + self.cam_t
+        return {"quat": q, "t": t}
+
+    def render(self, meshes: Meshes, params: Dict[str, jax.Array]):
+        return super().render(meshes, self.compose(params))
+
+    def object_pose(self, params: Dict[str, jax.Array]) -> jax.Array:
+        """(4, 4) fitted object pose matrix (object->world)."""
+        R = quaternion_to_matrix(quaternion_normalize(params["quat"]))[0]
+        M = jnp.eye(4, dtype=jnp.float32)
+        M = M.at[:3, :3].set(R)
+        return M.at[:3, 3].set(params["t"][0])
+
+    @staticmethod
+    def params_from_object_pose(object_mat) -> Dict[str, jax.Array]:
+        """Initial params from a (4, 4) object pose matrix."""
+        object_mat = jnp.asarray(object_mat, jnp.float32)
+        return pose_params_from_Rt(object_mat[:3, :3], object_mat[:3, 3])
