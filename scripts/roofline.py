@@ -1,0 +1,738 @@
+"""Roofline/MFU artifact: op-count bound vs measured time per hot kernel.
+
+The committed evidence (docs/BENCHMARKS.md "Roofline") that the hot Pallas
+kernels are saturated rather than stalled — VERDICT r2 weak-item #5 / task
+#7. For each kernel the script:
+
+  1. COUNTS the kernel's work with a jaxpr walker over a model function
+     that mirrors the kernel body's per-chunk math (the real `_signed_d2` /
+     `_moment_dq` / `_chunk_fragment_math` functions, not a re-derivation):
+     VPU element-ops (elementwise ops x slab elements, reductions at
+     operand size) and MXU FLOPs (2mkn per dot_general) are tallied
+     separately.
+  2. CALIBRATES what this chip actually sustains in the same units with
+     microbenchmark kernels that mirror the usage pattern: a 4-chain FMA
+     kernel for the VPU rate (counted with the SAME walker, so fused
+     hardware ops cancel out of the comparison), and dependent-accumulation
+     dot loops at each kernel's exact dot shape/orientation for the MXU
+     (small-m dots are latency-bound — peak-FLOPs would overstate the
+     bound ~10x at m=8).
+  3. MEASURES each kernel isolated on prebuilt inputs with the dependent-
+     carry scan harness (min-of-N repeats, net of the trivial-body floor —
+     the same protocol as scripts/profile_packed_bwd.py).
+
+  bound_ms = max(vpu_ops / vpu_rate, mxu_flops / mxu_rate(shape))
+  achieved = bound_ms / measured_ms     (1.0 = at the modeled floor)
+
+Scenes: the north-star soft-silhouette config (256^2, level-3 icosphere,
+B=8, packed layout — bench.py's protocol) for the soft kernels; the
+joint-fit config (128^2, level-4, K=8, bin 16 — docs/BENCHMARKS.md) for
+the top-K selection kernel; the joint-fit texture scale (256^2 RGB map,
+2 x 32768 points) for the texture sampler.
+
+Regenerate the table:  python scripts/roofline.py            (real TPU)
+Sanity-check op models: python scripts/roofline.py --cpu --counts-only
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import math
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+# ---------------------------------------------------------------------------
+# jaxpr op counter
+# ---------------------------------------------------------------------------
+
+# layout/bookkeeping primitives that cost ~nothing per element on TPU (or
+# are folded away by Mosaic): not counted.
+_SKIP = {
+    "broadcast_in_dim", "reshape", "squeeze", "expand_dims", "slice",
+    "dynamic_slice", "dynamic_update_slice", "concatenate", "transpose",
+    "iota", "pad", "stop_gradient", "copy", "rev",
+}
+_REDUCE = {
+    "reduce_sum", "reduce_max", "reduce_min", "reduce_and", "reduce_or",
+    "argmin", "argmax", "reduce_prod",
+}
+
+
+def count_ops(fn, *args):
+    """(vpu_element_ops, mxu_flops, {dot shapes}) of one call of fn.
+
+    Elementwise primitives count their largest output size; reductions
+    count their operand size (one traversal); dot_general counts 2mkn
+    FLOPs on the MXU tally and records (m, k, n, orientation) so the MXU
+    rate can be calibrated at the exact shape."""
+    import jax
+
+    jaxpr = jax.make_jaxpr(fn)(*args)
+    vpu = 0
+    mxu = 0
+    dots = []
+
+    def size(v):
+        s = 1
+        for d in v.aval.shape:
+            s *= int(d)
+        return s
+
+    def walk(jx):
+        nonlocal vpu, mxu
+        for eqn in jx.eqns:
+            name = eqn.primitive.name
+            if name in ("pjit", "custom_jvp_call", "custom_vjp_call",
+                        "custom_vjp_call_jaxpr", "remat", "checkpoint",
+                        "closed_call"):
+                sub = eqn.params.get("jaxpr") or eqn.params.get("call_jaxpr")
+                if sub is not None:
+                    walk(sub.jaxpr if hasattr(sub, "jaxpr") else sub)
+                continue
+            if name == "dot_general":
+                ((lc, rc), _) = eqn.params["dimension_numbers"]
+                lsh = eqn.invars[0].aval.shape
+                rsh = eqn.invars[1].aval.shape
+                k = 1
+                for d in lc:
+                    k *= int(lsh[d])
+                m = size(eqn.invars[0]) // k
+                n = size(eqn.invars[1]) // k
+                mxu += 2 * m * k * n
+                dots.append((m, k, n, tuple(lc), tuple(rc)))
+                continue
+            if name in _SKIP:
+                continue
+            if name in _REDUCE:
+                vpu += size(eqn.invars[0])
+                continue
+            vpu += max((size(v) for v in eqn.outvars), default=0)
+
+    walk(jaxpr.jaxpr)
+    return vpu, mxu, dots
+
+
+# ---------------------------------------------------------------------------
+# calibration kernels
+# ---------------------------------------------------------------------------
+
+
+def _calibrate(steps: int, repeats: int):
+    """Measured device rates: (vpu element-ops/s, {dot_shape: flops/s}).
+
+    The VPU kernel runs 4 independent mul+add chains (ILP-exposing, like
+    the kernels' independent slab ops); its op count uses the SAME walker
+    convention (8 counted ops per element per iteration). Each MXU shape
+    runs a dependent-accumulation dot loop — the kernels accumulate across
+    face chunks the same way."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    interp = jax.default_backend() != "tpu"
+    R = 200
+    S0, S1 = 256, 512
+
+    def vpu_kernel(x_ref, o_ref):
+        x = x_ref[...]
+
+        def body(i, acc):
+            a, b, c, d = acc
+            return (a * 1.0000001 + x, b * 0.9999999 + x,
+                    c * 1.0000002 + x, d * 0.9999998 + x)
+
+        a, b, c, d = jax.lax.fori_loop(
+            0, R, body, (x, x + 1.0, x + 2.0, x + 3.0))
+        o_ref[...] = a + b + c + d
+
+    x0 = jnp.ones((S0, S1), jnp.float32)
+    vpu_call = jax.jit(lambda x: pl.pallas_call(
+        vpu_kernel,
+        out_shape=jax.ShapeDtypeStruct((S0, S1), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interp,
+    )(x))
+    t = _scan_time(vpu_call, x0, steps, repeats)
+    floor = _scan_time(lambda x: jnp.sum(x), x0, steps, repeats)
+    vpu_rate = S0 * S1 * R * 8 / max(t - floor, 1e-9) * 1e3  # ops/s
+
+    def mxu_rate(m, k, n, orient):
+        RD = 100
+
+        def kern(a_ref, b_ref, o_ref):
+            def body(i, acc):
+                # feed the accumulator back into the lhs so the dot cannot
+                # be hoisted out of the loop as loop-invariant
+                a = a_ref[...] * (1.0 + 1e-30 * acc[0, 0])
+                return acc + jax.lax.dot_general(
+                    a, b_ref[...], (orient, ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+
+            o_ref[...] = jax.lax.fori_loop(
+                0, RD, body, jnp.zeros(o_ref.shape, jnp.float32))
+
+        lsh = _dot_operand_shape(m, k, orient[0])
+        rsh = _dot_operand_shape(n, k, orient[1])
+        a = jnp.ones(lsh, jnp.float32)
+        b = jnp.ones(rsh, jnp.float32)
+        osh = (m, n)
+        call = jax.jit(lambda a, b: pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct(osh, jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=interp,
+        )(a, b))
+        tm = _scan_time(lambda ab: call(*ab), (a, b), steps, repeats)
+        return RD * 2 * m * k * n / max(tm - floor, 1e-9) * 1e3  # flops/s
+
+    return vpu_rate, mxu_rate
+
+
+def _dot_operand_shape(free, k, contract_dims):
+    # 2-d operands only; contract dim is 0 or 1
+    return (k, free) if contract_dims == (0,) else (free, k)
+
+
+def _scan_time(fn, x0, steps, repeats):
+    """Dependent-carry scan timing (ms per call of fn), tunnel-safe."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(x):
+        def body(c, _):
+            out = fn(x)
+            dep = sum(jnp.sum(l).astype(jnp.float32)
+                      for l in jax.tree.leaves(out))
+            return c + 1e-30 * dep, ()
+
+        cf, _ = jax.lax.scan(body, 0.0, None, length=steps)
+        return cf
+
+    jax.block_until_ready(run(x0))
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(x0))
+        best = min(best, time.perf_counter() - t0)
+    return best / steps * 1e3
+
+
+# ---------------------------------------------------------------------------
+# op models (mirror the kernel bodies with the REAL math functions)
+# ---------------------------------------------------------------------------
+
+
+def soft_fwd_chunk_ops(tile):
+    import jax.numpy as jnp
+    from torch_renderer_tpu.rasterize import pallas_soft as ps
+
+    tp, fc = tile * tile, ps._FC
+    inv_sigma = 1e4
+
+    def body(q0, q1, q2, q3, q4, q5, valid, ev, xoff, yoff):
+        import jax
+
+        signed, _, _, _ = ps._signed_d2(
+            xoff, yoff, (q0, q1, q2, q3, q4, q5), valid)
+        contrib = jax.nn.softplus(-signed * inv_sigma)
+        oh = ps._packed_oh(ev)
+        return jax.lax.dot_general(
+            oh, contrib, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    row = jnp.zeros((1, fc), jnp.float32)
+    col = jnp.zeros((tp, 1), jnp.float32)
+    return count_ops(body, *([row] * 8), col, col)
+
+
+def soft_bwd_chunk_ops(tile):
+    import jax
+    import jax.numpy as jnp
+    from torch_renderer_tpu.rasterize import pallas_soft as ps
+
+    tp, fc = tile * tile, ps._FC
+    inv_sigma = 1e4
+
+    def body(q0, q1, q2, q3, q4, q5, valid, ev, xoff, yoff, g_rows):
+        q = (q0, q1, q2, q3, q4, q5)
+        signed, d2, inside, edges = ps._signed_d2(xoff, yoff, q, valid)
+        oh = ps._packed_oh(ev)
+        g_sel = jax.lax.dot_general(
+            g_rows, oh, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        rows = ps._moment_dq(inv_sigma, xoff, yoff, q, valid, signed, d2,
+                             inside, edges, g_sel, 0.0, 0.0)
+        return jnp.stack(rows)
+
+    row = jnp.zeros((1, fc), jnp.float32)
+    col = jnp.zeros((tp, 1), jnp.float32)
+    g = jnp.zeros((8, tp), jnp.float32)
+    return count_ops(body, *([row] * 8), col, col, g)
+
+
+def topk_chunk_ops(tile, blur, znear, clip_bary):
+    import jax.numpy as jnp
+    from torch_renderer_tpu.rasterize import pallas_hard as ph
+
+    tp, fc = tile * tile, ph._FC
+
+    def body(*args):
+        px, py = args[0], args[1]
+        q = args[2:8]
+        zf = args[8:11]
+        invzf = args[11:14]
+        valid = args[14]
+        return ph._chunk_fragment_math(
+            px, py, q, zf, invzf, blur, znear, clip_bary, valid)[0]
+
+    row = jnp.zeros((1, fc), jnp.float32)
+    col = jnp.zeros((tp, 1), jnp.float32)
+    return count_ops(body, col, col, *([row] * 13))
+
+
+def topk_extract_ops(tile, F):
+    """One of the K selection-only extraction passes over (tp, F)."""
+    import jax
+    import jax.numpy as jnp
+
+    tp = tile * tile
+
+    def body(prio, lane_iota):
+        zmin = jnp.min(prio, axis=-1)
+        amin = jnp.min(
+            jnp.where(prio == zmin[:, None], lane_iota, F), axis=-1)
+        live = zmin < 1e30
+        return jnp.stack([
+            jnp.where(live, amin.astype(jnp.float32), -1.0),
+            live.astype(jnp.float32),
+        ])
+
+    return count_ops(body, jnp.zeros((tp, F), jnp.float32),
+                     jnp.zeros((tp, F), jnp.int32))
+
+
+def texsample_fwd_ops(Hmp, Wmp, C, pb):
+    import jax
+    import jax.numpy as jnp
+    from torch_renderer_tpu.ops import pallas_texsample as pt
+
+    Z = C * Wmp
+
+    def body(maps, q):
+        oyT = pt._onehot_pair(q[0:1], q[2:3], Hmp, pb)
+        oxT = pt._onehot_pair(q[1:2], q[3:4], Wmp, pb)
+        rowsT = jax.lax.dot_general(
+            maps, oyT, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)
+        outs = []
+        for c in range(C):
+            seg = rowsT[c * Wmp:(c + 1) * Wmp]
+            outs.append(jnp.sum(oxT * seg, axis=0))
+        return jnp.stack(outs)
+
+    return count_ops(body, jnp.zeros((Hmp, Z), jnp.float32),
+                     jnp.zeros((4, pb), jnp.float32))
+
+
+def texsample_bwd_ops(Hmp, Wmp, C, pb):
+    import jax
+    import jax.numpy as jnp
+    from torch_renderer_tpu.ops import pallas_texsample as pt
+
+    Z = C * Wmp
+
+    def body(maps, q, g):
+        y0, x0, wy, wx = q[0:1], q[1:2], q[2:3], q[3:4]
+        oyT = pt._onehot_pair(y0, wy, Hmp, pb)
+        oxT = pt._onehot_pair(x0, wx, Wmp, pb)
+        y0i, x0i = y0.astype(jnp.int32), x0.astype(jnp.int32)
+        ioty = jax.lax.broadcasted_iota(jnp.int32, (Hmp, pb), 0)
+        droyT = jnp.where(ioty == y0i + 1, 1.0, 0.0) - jnp.where(
+            ioty == y0i, 1.0, 0.0)
+        iotx = jax.lax.broadcasted_iota(jnp.int32, (Wmp, pb), 0)
+        droxT = jnp.where(iotx == x0i + 1, 1.0, 0.0) - jnp.where(
+            iotx == x0i, 1.0, 0.0)
+        rowsT = jax.lax.dot_general(
+            maps, oyT, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)
+        drowT = jax.lax.dot_general(
+            maps, droyT, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)
+        dwy = jnp.zeros((1, pb), jnp.float32)
+        dwx = jnp.zeros((1, pb), jnp.float32)
+        tmps = []
+        for c in range(C):
+            gc = g[c:c + 1]
+            sl = slice(c * Wmp, (c + 1) * Wmp)
+            dwy = dwy + jnp.sum(oxT * drowT[sl], axis=0, keepdims=True) * gc
+            dwx = dwx + jnp.sum(droxT * rowsT[sl], axis=0, keepdims=True) * gc
+            tmps.append(oxT * gc)
+        tmp = jnp.concatenate(tmps, axis=0)
+        dmaps = jax.lax.dot_general(
+            oyT, tmp, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)
+        return dmaps, dwy, dwx
+
+    return count_ops(body, jnp.zeros((Hmp, Z), jnp.float32),
+                     jnp.zeros((4, pb), jnp.float32),
+                     jnp.zeros((8, pb), jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# scenes + prebuilt kernel inputs
+# ---------------------------------------------------------------------------
+
+
+def build_soft_planes():
+    """North-star scene -> packed planes (bench.py protocol)."""
+    import jax
+    import jax.numpy as jnp
+    from torch_renderer_tpu.cameras.perspective import PerspectiveCamera
+    from torch_renderer_tpu.ops.icosphere import icosphere
+    from torch_renderer_tpu.rasterize import binning
+    from torch_renderer_tpu.rasterize import pallas_soft as ps
+    from torch_renderer_tpu.rasterize.geometry import setup_face_planes
+    from torch_renderer_tpu.rasterize.soft import SOFT_CUTOFF
+    from torch_renderer_tpu.structures.meshes import Meshes
+
+    B, IMAGE, SIGMA, TILE = 8, 256, 1e-4, 16
+    verts, faces = icosphere(3)
+    f = 0.8 * IMAGE
+    K = np.array(
+        [[f, 0, IMAGE / 2.0], [0, f, IMAGE / 2.0], [0, 0, 1.0]], np.float32)
+    meshes = Meshes.from_single(verts, faces).extend(B)
+    cam = PerspectiveCamera.from_K(
+        K, (IMAGE, IMAGE),
+        R=np.broadcast_to(np.eye(3, dtype=np.float32), (B, 3, 3)),
+        t=np.tile(np.array([0.0, 0.0, 3.0], np.float32), (B, 1)))
+    fp0 = setup_face_planes(meshes, cam)
+    fpt = ps.suggest_faces_per_tile(fp0, (IMAGE, IMAGE))
+    act = ps.suggest_active_tiles(fp0, (IMAGE, IMAGE))
+    gl = ps.suggest_group_lanes(fp0, (IMAGE, IMAGE), active_tiles=act,
+                                faces_per_tile=fpt)
+    pad = math.sqrt(SOFT_CUTOFF * SIGMA)
+
+    def build(v):
+        fd = setup_face_planes(meshes.update_padded(v), cam)
+        bins = binning.bin_faces_active(fd, (IMAGE, IMAGE), TILE, pad, act)
+        A = bins.slot.shape[1]
+        Fmax = min(fpt, fd.num_faces)
+        ch, mask = binning.gather_rank_planes(
+            fd, bins, Fmax,
+            channels=("qx0", "qy0", "qx1", "qy1", "qx2", "qy2"))
+        valid = mask.astype(jnp.float32)
+        ox = bins.origin[..., 0:1]
+        oy = bins.origin[..., 1:2]
+        e = (jnp.arange(A, dtype=jnp.int32) % 8 + 1).astype(jnp.float32)
+        ev = e[None, :, None] * valid
+        slabs = jnp.stack(
+            [ch["qx0"] - ox, ch["qy0"] - oy, ch["qx1"] - ox, ch["qy1"] - oy,
+             ch["qx2"] - ox, ch["qy2"] - oy, ev], axis=-1)
+        capped = jnp.minimum(bins.count, Fmax)
+        a_pad = (-A) % ps._TN
+        if a_pad:
+            slabs = jnp.pad(slabs, ((0, 0), (0, a_pad), (0, 0), (0, 0)))
+            capped = jnp.pad(capped, ((0, 0), (0, a_pad)))
+        G = (A + a_pad) // ps._TN
+        S_g = gl + ((-gl) % ps._FC)
+        packed, n_valid = binning.pack_groups(slabs, capped, S_g)
+        n_chunks = -(-n_valid // ps._FC)
+        meta = jnp.zeros((B * G, 1, S_g), jnp.float32)
+        meta = meta.at[:, 0, 0].set(
+            n_chunks.reshape(-1).astype(jnp.float32))
+        return jnp.concatenate([jnp.swapaxes(packed, 1, 2), meta], axis=1)
+
+    import jax as _j
+
+    planes = _j.block_until_ready(_j.jit(build)(meshes.verts))
+    return planes, TILE, 1.0 / (min(IMAGE, IMAGE) / 2.0), SIGMA
+
+
+def build_topk_planes():
+    """Joint-fit scene (128^2, level-4, K=8) -> selection-kernel planes,
+    assembled exactly as rasterize_binned_pallas does."""
+    import jax
+    import jax.numpy as jnp
+    from torch_renderer_tpu.cameras.look_at import look_at_view_transform
+    from torch_renderer_tpu.cameras.perspective import PerspectiveCamera
+    from torch_renderer_tpu.ops.icosphere import icosphere
+    from torch_renderer_tpu.rasterize import pallas_hard as ph
+    from torch_renderer_tpu.rasterize.binning import (
+        bin_faces_active, count_overflow, gather_rank_planes,
+        suggest_active_tiles_fd,
+    )
+    from torch_renderer_tpu.rasterize.geometry import setup_faces
+    from torch_renderer_tpu.structures.meshes import Meshes
+
+    H = W = 128
+    TILE, K_HITS = 16, 8
+    B = 2  # views_per_step
+    verts, faces = icosphere(4)
+    meshes = Meshes.from_single(verts, faces).extend(B)
+    f = 0.8 * H
+    Km = np.array(
+        [[f, 0, W / 2.0], [0, f, H / 2.0], [0, 0, 1.0]], np.float32)
+    Rs, ts = look_at_view_transform(2.7, [20.0, 40.0], [30.0, 150.0])
+    cam = PerspectiveCamera.from_K(Km, (H, W), R=Rs, t=ts)
+    blur = math.log(1.0 / 1e-4 - 1.0) * 1e-4
+    pad_radius = math.sqrt(blur)
+
+    fd = setup_faces(meshes, cam)
+    mx, _ = count_overflow(fd, (H, W), TILE, 0, pad_radius)
+    mfb = max(128, int(math.ceil(float(mx) * 1.5 / 128.0)) * 128)
+    act = int(math.ceil(1.5 * suggest_active_tiles_fd(
+        fd, (H, W), TILE, pad_radius)))
+
+    def build(v):
+        fdv = setup_faces(meshes.update_padded(v), cam)
+        bins = bin_faces_active(fdv, (H, W), TILE, pad_radius, act)
+        F = fdv.num_faces
+        fid = jnp.broadcast_to(
+            jax.lax.broadcasted_iota(jnp.float32, (1, F, 1), 1), (B, F, 1))
+        ch, exg, mask = gather_rank_planes(
+            fdv, bins, min(mfb, F), extra=fid)
+        fidf = exg[..., -1]
+        Bv, T, Fmax = mask.shape
+        valid = mask.astype(jnp.float32)
+        origins = bins.origin
+        origin_row = jnp.zeros((Bv, T, Fmax), jnp.float32)
+        origin_row = origin_row.at[..., 0].set(origins[..., 0])
+        origin_row = origin_row.at[..., 1].set(origins[..., 1])
+        fc = ph._face_chunk_width(Fmax + ((-Fmax) % ph._FC))
+        n_chunks = -(-jnp.minimum(bins.count, Fmax) // fc)
+        zrow = jnp.zeros((Bv, T, Fmax), jnp.float32)
+        zrow = zrow.at[..., 0].set(n_chunks.astype(jnp.float32))
+        planes = jnp.stack(
+            [ch["qx0"], ch["qy0"], ch["qx1"], ch["qy1"], ch["qx2"],
+             ch["qy2"], ch["z0"], ch["z1"], ch["z2"],
+             ch["invz0"], ch["invz1"], ch["invz2"],
+             fidf, valid, origin_row, zrow], axis=2,
+        ).reshape(Bv * T, 16, Fmax)
+        f_pad = (-Fmax) % ph._FC
+        if f_pad:
+            planes = jnp.pad(planes, ((0, 0), (0, 0), (0, f_pad)))
+        n_pad = (-planes.shape[0]) % ph._TN
+        if n_pad:
+            planes = jnp.pad(planes, ((0, n_pad), (0, 0), (0, 0)))
+        return planes
+
+    planes = jax.block_until_ready(jax.jit(build)(meshes.verts))
+    inv_s = 1.0 / (min(H, W) / 2.0)
+    return planes, TILE, inv_s, blur, K_HITS
+
+
+def topk_select_call(planes, tile, inv_s, blur, K):
+    """The selection-only pallas_call, exactly as _tile_topk_reinterp
+    issues it (pallas_hard.py:452-466) minus the XLA re-interpolation."""
+    import functools as _ft
+
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from torch_renderer_tpu.rasterize import pallas_hard as ph
+
+    N, _, F = planes.shape
+    tp = tile * tile
+    fc = ph._face_chunk_width(F)
+    return pl.pallas_call(
+        _ft.partial(ph._topk_select_kernel, tile, inv_s, blur, 1e-5, True,
+                    K, F, fc),
+        grid=(N // ph._TN,),
+        in_specs=[pl.BlockSpec((ph._TN, 16, F), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((ph._TN, 8 * K, tp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, 8 * K, tp), jnp_f32()),
+        scratch_shapes=[pltpu.VMEM((tp, F), jnp_f32())],
+        interpret=ph._interpret(),
+    )(planes)
+
+
+def jnp_f32():
+    import jax.numpy as jnp
+
+    return jnp.float32
+
+
+# ---------------------------------------------------------------------------
+# main
+# ---------------------------------------------------------------------------
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--repeats", type=int, default=5)
+    ap.add_argument("--counts-only", action="store_true",
+                    help="print op models and exit (no timing)")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_app_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from torch_renderer_tpu.rasterize import pallas_soft as ps
+
+    rows = []
+
+    # ---- soft packed fwd/bwd (north-star) ----
+    planes, TILE, inv_s, SIGMA = build_soft_planes()
+    meta = np.asarray(planes[:, 7, 0])
+    chunks_soft = int(meta.sum())
+    tp = TILE * TILE
+    fwd_v, fwd_m, fwd_dots = soft_fwd_chunk_ops(TILE)
+    bwd_v, bwd_m, bwd_dots = soft_bwd_chunk_ops(TILE)
+    rows.append(dict(
+        name="soft fwd (packed)", calls=chunks_soft,
+        vpu=fwd_v * chunks_soft, mxu=fwd_m * chunks_soft,
+        dot=fwd_dots[0]))
+    rows.append(dict(
+        name="soft bwd (packed)", calls=chunks_soft,
+        vpu=bwd_v * chunks_soft, mxu=bwd_m * chunks_soft,
+        dot=bwd_dots[0]))
+
+    # ---- topk select (joint fit) ----
+    tplanes, TTILE, tinv_s, blur, K_HITS = build_topk_planes()
+    F_lanes = tplanes.shape[2]
+    nck = np.asarray(tplanes[:, 15, 0])
+    live_rows = int((nck > 0).sum())
+    chunks_topk = int(nck.sum())
+    ttp = TTILE * TTILE
+    t1_v, t1_m, _ = topk_chunk_ops(TTILE, blur, 1e-5, True)
+    t2_v, t2_m, _ = topk_extract_ops(TTILE, F_lanes)
+    rows.append(dict(
+        name="topk select", calls=chunks_topk,
+        vpu=t1_v * chunks_topk + t2_v * K_HITS * live_rows,
+        mxu=0, dot=None))
+
+    # ---- texsample fwd/bwd (joint-fit texture scale) ----
+    from torch_renderer_tpu.ops import pallas_texsample as pt
+
+    TH = TW = 256
+    C, P, Btex = 3, 32768, 2
+    Hmp, Wmp = pt._pad_up(TH, 8), pt._pad_up(TW, 128)
+    pb = pt._PB
+    nblk = pt._pad_up(P, pb) // pb
+    tex_blocks = Btex * nblk
+    xf_v, xf_m, xf_dots = texsample_fwd_ops(Hmp, Wmp, C, pb)
+    xb_v, xb_m, xb_dots = texsample_bwd_ops(Hmp, Wmp, C, pb)
+    rows.append(dict(
+        name="texsample fwd", calls=tex_blocks,
+        vpu=xf_v * tex_blocks, mxu=xf_m * tex_blocks, dot=xf_dots[0]))
+    rows.append(dict(
+        name="texsample bwd", calls=tex_blocks,
+        vpu=xb_v * tex_blocks, mxu=xb_m * tex_blocks, dot=xb_dots[0]))
+
+    if args.counts_only:
+        for r in rows:
+            print(f"{r['name']:18s} calls={r['calls']:6d} "
+                  f"vpu={r['vpu']/1e6:9.1f}M  mxu={r['mxu']/1e6:9.1f}MF")
+        return
+
+    # ---- calibration ----
+    print("calibrating device rates...", file=sys.stderr, flush=True)
+    vpu_rate, mxu_rate_fn = _calibrate(args.steps, args.repeats)
+    print(f"VPU sustained: {vpu_rate/1e12:.3f} T element-ops/s",
+          flush=True)
+
+    mxu_rates = {}
+
+    def mxu_ms(r):
+        if not r["mxu"]:
+            return 0.0
+        m, k, n, lc, rc = r["dot"]
+        key = (m, k, n, lc, rc)
+        if key not in mxu_rates:
+            mxu_rates[key] = mxu_rate_fn(m, k, n, (lc, rc))
+            print(f"MXU {m}x{k}x{n} c{lc}/{rc}: "
+                  f"{mxu_rates[key]/1e12:.3f} TFLOP/s", flush=True)
+        return r["mxu"] / mxu_rates[key] * 1e3
+
+    # ---- measured cuts ----
+    print("measuring kernels...", file=sys.stderr, flush=True)
+    floor = _scan_time(lambda p: jnp.sum(p), planes, args.steps,
+                       args.repeats)
+    print(f"harness floor: {floor:.3f} ms", flush=True)
+
+    def fwd_cut(p):
+        return jnp.sum(ps._tile_coverage_packed(p, TILE, inv_s, SIGMA))
+
+    t_fwd = _scan_time(fwd_cut, planes, args.steps, args.repeats) - floor
+    t_grad = _scan_time(
+        lambda p: jnp.sum(jax.grad(fwd_cut)(p) ** 2), planes,
+        args.steps, args.repeats) - floor  # fwd kernel DCE'd: bwd alone
+
+    t_topk = _scan_time(
+        lambda p: jnp.sum(topk_select_call(p, TTILE, tinv_s, blur, K_HITS)),
+        tplanes, args.steps, args.repeats) - floor
+
+    key = jax.random.PRNGKey(0)
+    maps = jax.random.uniform(key, (Btex, TH, TW, C), jnp.float32)
+    y0 = jax.random.randint(key, (Btex, P), 0, TH - 2).astype(jnp.float32)
+    x0 = jax.random.randint(key, (Btex, P), 0, TW - 2).astype(jnp.float32)
+    wy = jax.random.uniform(key, (Btex, P), jnp.float32)
+    wx = jax.random.uniform(key, (Btex, P), jnp.float32)
+
+    def tex_fwd_cut(mwx):
+        m, w = mwx
+        return jnp.sum(pt.sample_bilinear_pallas(m, y0, x0, wy, w))
+
+    def tex_bwd_cut(mwx):
+        g = jax.grad(lambda m, w: tex_fwd_cut((m, w)), argnums=(0, 1))
+        gm, gw = g(*mwx)
+        return jnp.sum(gm ** 2) + jnp.sum(gw ** 2)
+
+    tex_floor = _scan_time(lambda mw: jnp.sum(mw[1]), (maps, wx),
+                           args.steps, args.repeats)
+    t_texf = _scan_time(tex_fwd_cut, (maps, wx), args.steps,
+                        args.repeats) - tex_floor
+    t_texb = _scan_time(tex_bwd_cut, (maps, wx), args.steps,
+                        args.repeats) - tex_floor  # fwd DCE'd: bwd alone
+
+    measured = {
+        "soft fwd (packed)": t_fwd,
+        "soft bwd (packed)": t_grad,
+        "topk select": t_topk,
+        "texsample fwd": t_texf,
+        "texsample bwd": t_texb,
+    }
+
+    # ---- table ----
+    bounds = [(r["vpu"] / vpu_rate * 1e3, mxu_ms(r)) for r in rows]
+    print("\n| kernel | VPU ops | MXU flops | VPU bound | MXU bound |"
+          " bound ms | measured ms | achieved |")
+    print("|---|---|---|---|---|---|---|---|")
+    for r, (vb, mb) in zip(rows, bounds):
+        bound = max(vb, mb)
+        meas = measured[r["name"]]
+        frac = bound / meas if meas > 0 else float("nan")
+        print(f"| {r['name']} | {r['vpu']/1e6:.0f}M | {r['mxu']/1e6:.0f}M |"
+              f" {vb:.3f} | {mb:.3f} | {bound:.3f} | {meas:.3f} |"
+              f" {frac:.2f} |")
+
+
+if __name__ == "__main__":
+    main()
