@@ -269,31 +269,41 @@ def main():
     # the measurement in a subprocess with a hard timeout and retry.
     import subprocess
 
-    def _measure_once(timeout_s: float) -> dict:
+    def _sub_once(flag: str, timeout_s: float) -> dict:
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--_measure"]
+            [sys.executable, os.path.abspath(__file__), flag]
             + (["--quick"] if quick else []),
             capture_output=True, text=True, timeout=timeout_s,
         )
         if proc.returncode != 0:
             raise RuntimeError(
-                f"measure subprocess rc={proc.returncode}: "
+                f"{flag} subprocess rc={proc.returncode}: "
                 f"{proc.stderr[-500:]}"
             )
         return json.loads(proc.stdout.strip().splitlines()[-1])
 
+    # Phase 1 — COMPILE, decoupled from measurement: a warm-only
+    # subprocess compiles the pass into the persistent cache (own generous
+    # watchdog; a degraded-tunnel compile measured 4-8 minutes on
+    # 2026-08-19). Once it lands, every measurement attempt below is
+    # measurement-only under a tight window, so a slow compile can never
+    # eat a measurement attempt. Warm failures are non-fatal: the combined
+    # measure path below still compiles on demand.
+    for warm_try in range(2):
+        try:
+            _sub_once("--_warm", 600 if quick else 900)
+            break
+        except Exception as e:  # noqa: BLE001 - infra flakiness
+            print(f"bench warm attempt {warm_try + 1} failed: {e}",
+                  file=sys.stderr)
+            time.sleep(10)
+
+    # Phase 2 — MEASURE (tight watchdog, retried).
     last_err = None
     waits = (10, 30, 60) if not quick else (10, 10)
     for attempt, wait in enumerate(waits + (0,)):
         try:
-            # Generous first-attempt window: on a degraded-tunnel day the
-            # uncached compile alone measured 4-8 minutes (2026-08-19);
-            # once the persistent cache has it, later attempts/runs are
-            # measurement-only and the tighter window guards real hangs.
-            meas = _measure_once(
-                (600 if attempt == 0 else 240) if quick
-                else (900 if attempt == 0 else 420)
-            )
+            meas = _sub_once("--_measure", 240 if quick else 420)
             fps = meas["fps_per_chip"]
             break
         except Exception as e:  # noqa: BLE001 - infra flakiness, retried
@@ -321,8 +331,32 @@ def main():
     )
 
 
+def tpu_warm() -> None:
+    """Compile-only phase: build the pass into the persistent cache and run
+    it once (the first real execution also warms device state)."""
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_app_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    n_chips = len(jax.devices())
+    device_mesh = None
+    if n_chips > 1:
+        from jax.sharding import Mesh
+
+        device_mesh = Mesh(np.array(jax.devices()), ("data",))
+    step, args = make_scan_step(device_mesh)
+    jax.block_until_ready(step(*args))
+
+
 if __name__ == "__main__":
-    if "--_measure" in sys.argv:  # watchdog subprocess: one raw measurement
+    if "--_warm" in sys.argv:  # watchdog subprocess: compile-only phase
+        tpu_warm()
+        print(json.dumps({"warmed": True}))
+    elif "--_measure" in sys.argv:  # watchdog subprocess: one raw measurement
         import jax as _jax
 
         print(json.dumps(
