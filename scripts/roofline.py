@@ -11,18 +11,27 @@ kernels are saturated rather than stalled — VERDICT r2 weak-item #5 / task
      operand size) and MXU FLOPs (2mkn per dot_general) are tallied
      separately.
   2. CALIBRATES what this chip actually sustains in the same units with
-     microbenchmark kernels that mirror the usage pattern: a 4-chain FMA
-     kernel for the VPU rate (counted with the SAME walker, so fused
-     hardware ops cancel out of the comparison), and dependent-accumulation
-     dot loops at each kernel's exact dot shape/orientation for the MXU
-     (small-m dots are latency-bound — peak-FLOPs would overstate the
-     bound ~10x at m=8).
+     microbenchmark kernels that mirror the usage pattern: an 8-chain
+     deep-body elementwise kernel for the VPU rate (counted with the SAME
+     walker), and dependent-accumulation dot loops at each kernel's exact
+     dot shape/orientation for the MXU (small-m dots are latency-bound —
+     peak-FLOPs would overstate the bound ~10x at m=8).
   3. MEASURES each kernel isolated on prebuilt inputs with the dependent-
      carry scan harness (min-of-N repeats, net of the trivial-body floor —
      the same protocol as scripts/profile_packed_bwd.py).
 
   bound_ms = max(vpu_ops / vpu_rate, mxu_flops / mxu_rate(shape))
-  achieved = bound_ms / measured_ms     (1.0 = at the modeled floor)
+  achieved = bound_ms / measured_ms     (>= 1.0 = at/beyond the modeled
+                                         floor, i.e. saturated)
+
+  Reading `achieved`: the bound is CONSERVATIVE on the VPU side — the
+  walker counts every jaxpr eqn, but Mosaic fuses mul+add chains into
+  FMAs and CSEs the edge terms _signed_d2 shares across its three edges,
+  so the VPU-bound kernels sustain 1.4-2.6x the calibration loop's
+  counter-op rate. The MXU-dominated texsample rows (shape-calibrated
+  dots, no such slack) land at 1.0-1.2x and are the tightest direct
+  saturation evidence. Through-tunnel measured times vary ~+-20 percent
+  between sessions; compare within one run.
 
 Scenes: the north-star soft-silhouette config (256^2, level-3 icosphere,
 B=8, packed layout — bench.py's protocol) for the soft kernels; the
@@ -127,11 +136,10 @@ def count_ops(fn, *args):
 def _calibrate(steps: int, repeats: int):
     """Measured device rates: (vpu element-ops/s, {dot_shape: flops/s}).
 
-    The VPU kernel runs 4 independent mul+add chains (ILP-exposing, like
-    the kernels' independent slab ops); its op count uses the SAME walker
-    convention (8 counted ops per element per iteration). Each MXU shape
-    runs a dependent-accumulation dot loop — the kernels accumulate across
-    face chunks the same way."""
+    The VPU kernel runs 8 independent deep-body chains (ILP-exposing,
+    VMEM-amortizing); its op count comes from the SAME walker that counts
+    the kernels. Each MXU shape runs a dependent-accumulation dot loop —
+    the kernels accumulate across face chunks the same way."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -141,19 +149,43 @@ def _calibrate(steps: int, repeats: int):
     R = 200
     S0, S1 = 256, 512
 
+    def _vpu_chains(a, b, c, d, e, f, g, h, x):
+        """Eight INDEPENDENT chains of kernel-like math (fma, min/max,
+        compare+select, abs) — each chain reads only its own carry and x,
+        so the loop exposes 8-way ILP (a cross-linked first version was
+        latency-bound and understated the roof 3x). Counted with the same
+        jaxpr walker that counts the kernels, so any instruction fusion
+        (e.g. mul+add -> one FMA) cancels out of the comparison."""
+        def deep(v, c1, c2):
+            # 6 ops per chain per iteration: enough vreg work to amortize
+            # the loop-carry VMEM round trip (2-op chains measured
+            # VMEM-bound at ~1/3 of what the kernels sustain)
+            return ((v * c1 + x) * c2 + x) * c1 + x
+
+        a = deep(a, 1.0000001, 0.9999999)
+        b = jnp.minimum(deep(b, 0.9999998, 1.0000002), x * 2.0)
+        c = jnp.where(c > x, deep(c, 0.9999997, 1.0000003), x)
+        d = deep(d, 1.0000004, 0.9999996)
+        e = jnp.abs(deep(e, 0.9999995, 1.0000005))
+        f = jnp.maximum(deep(f, 1.0000006, 0.9999994), x * 0.5)
+        g = deep(g, 0.9999993, 1.0000007)
+        h = deep(h, 1.0000008, 0.9999992)
+        return a, b, c, d, e, f, g, h
+
+    x0 = jnp.ones((S0, S1), jnp.float32)
+    ops_per_iter, _, _ = count_ops(
+        _vpu_chains, *([x0] * 9))
+
     def vpu_kernel(x_ref, o_ref):
         x = x_ref[...]
 
         def body(i, acc):
-            a, b, c, d = acc
-            return (a * 1.0000001 + x, b * 0.9999999 + x,
-                    c * 1.0000002 + x, d * 0.9999998 + x)
+            return _vpu_chains(*acc, x)
 
-        a, b, c, d = jax.lax.fori_loop(
-            0, R, body, (x, x + 1.0, x + 2.0, x + 3.0))
-        o_ref[...] = a + b + c + d
+        acc = jax.lax.fori_loop(
+            0, R, body, tuple(x + float(i) for i in range(8)))
+        o_ref[...] = sum(acc)
 
-    x0 = jnp.ones((S0, S1), jnp.float32)
     vpu_call = jax.jit(lambda x: pl.pallas_call(
         vpu_kernel,
         out_shape=jax.ShapeDtypeStruct((S0, S1), jnp.float32),
@@ -163,16 +195,19 @@ def _calibrate(steps: int, repeats: int):
     )(x))
     t = _scan_time(vpu_call, x0, steps, repeats)
     floor = _scan_time(lambda x: jnp.sum(x), x0, steps, repeats)
-    vpu_rate = S0 * S1 * R * 8 / max(t - floor, 1e-9) * 1e3  # ops/s
+    vpu_rate = ops_per_iter * R / max(t - floor, 1e-9) * 1e3  # ops/s
 
     def mxu_rate(m, k, n, orient):
         RD = 100
 
         def kern(a_ref, b_ref, o_ref):
             def body(i, acc):
-                # feed the accumulator back into the lhs so the dot cannot
-                # be hoisted out of the loop as loop-invariant
-                a = a_ref[...] * (1.0 + 1e-30 * acc[0, 0])
+                # feed the accumulator back into the lhs ADDITIVELY so the
+                # dot cannot leave the loop: a multiplicative scalar gets
+                # factored out of the dot by the algebraic simplifier
+                # (dot(s*a, b) -> s*dot(a, b)) and the dot hoists as
+                # loop-invariant — measured as a 5e7 TFLOP/s "rate"
+                a = a_ref[...] + 1e-30 * acc[0, 0]
                 return acc + jax.lax.dot_general(
                     a, b_ref[...], (orient, ((), ())),
                     preferred_element_type=jnp.float32,
@@ -206,26 +241,34 @@ def _dot_operand_shape(free, k, contract_dims):
 
 
 def _scan_time(fn, x0, steps, repeats):
-    """Dependent-carry scan timing (ms per call of fn), tunnel-safe."""
+    """Dependent-carry scan timing (ms per call of fn), tunnel-safe.
+
+    The INPUT is the carry: each iteration perturbs the first (f32) leaf
+    by 1e-30 x the previous output, so fn is loop-variant and XLA cannot
+    hoist it out of the scan (fn(const) with only a scalar carry gets
+    computed exactly once — the first version of this harness measured
+    the floor for every kernel)."""
     import jax
     import jax.numpy as jnp
 
+    leaves0, treedef = jax.tree.flatten(x0)
+
     @jax.jit
-    def run(x):
-        def body(c, _):
-            out = fn(x)
+    def run(leaves):
+        def body(lvs, _):
+            out = fn(jax.tree.unflatten(treedef, lvs))
             dep = sum(jnp.sum(l).astype(jnp.float32)
                       for l in jax.tree.leaves(out))
-            return c + 1e-30 * dep, ()
+            return [lvs[0] + 1e-30 * dep] + list(lvs[1:]), ()
 
-        cf, _ = jax.lax.scan(body, 0.0, None, length=steps)
-        return cf
+        lf, _ = jax.lax.scan(body, list(leaves), None, length=steps)
+        return lf[0]
 
-    jax.block_until_ready(run(x0))
+    jax.block_until_ready(run(leaves0))
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        jax.block_until_ready(run(x0))
+        jax.block_until_ready(run(leaves0))
         best = min(best, time.perf_counter() - t0)
     return best / steps * 1e3
 
