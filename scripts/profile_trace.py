@@ -162,10 +162,11 @@ def _depth720():
     if not os.environ.get("PROFILE_NO_SPLIT"):
         split = suggest_occupancy_split_fd(fd0, (H, W), 32, 0.0, act, mfb)
     sel = "affine" if os.environ.get("PROFILE_AFFINE") else "auto"
+    unt = "pallas" if os.environ.get("PROFILE_UNTILE") else "xla"
     renderer = DepthRender(
         K, (H, W), pixel_chunk=1048576, bin_size=32,
         max_faces_per_bin=mfb, active_tiles=act, occupancy_split=split,
-        select_impl=sel,
+        select_impl=sel, untile_impl=unt,
     )
     batched = meshes.extend(vc)
     step = jax.jit(lambda m, R, t: renderer.render(m, R, t))

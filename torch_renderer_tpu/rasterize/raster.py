@@ -123,6 +123,15 @@ class RasterizationSettings:
     # to 1). Winner parity with "auto" except at eps-level z ties
     # (coplanar overlapping faces); opt-in for that reason.
     select_impl: str = "auto"
+    # Image-assembly engine for the XLA binned path's epilogue: "xla" =
+    # scatter_active_bg + untile_image (one-hot scatter dot + reshape/
+    # moveaxis — XLA materializes ~6 relayout copies, ~2.0 ms of the 720p
+    # 12-view depth call); "pallas" = the fused strip-assembly kernel
+    # (pallas_untile.untile_scatter_pallas): one pass per fragment field,
+    # bit-identical values, differentiable (backward is the exact XLA
+    # inverse). Fields whose VMEM working set exceeds the kernel's budget
+    # (large K bary stacks) fall back to the XLA epilogue per-field.
+    untile_impl: str = "xla"
 
     @property
     def clip_bary(self) -> bool:
@@ -538,12 +547,13 @@ def _rasterize_binned(fd: FaceRasterData, settings: RasterizationSettings) -> Fr
             bins, origins, settings.max_faces_per_bin
         )
 
+    finish_xla = None
     if settings.active_tiles is not None:
         from .binning import active_indicator
 
         ind = active_indicator(bins)
 
-        def finish(a, bg):
+        def finish_xla(a, bg):
             dtype = a.dtype
             if dtype == jnp.int32:  # scatter rides f32 (ids < 2^24: exact)
                 a = a.astype(jnp.float32)
@@ -552,9 +562,43 @@ def _rasterize_binned(fd: FaceRasterData, settings: RasterizationSettings) -> Fr
                 a = jnp.round(a).astype(jnp.int32)
             return untile_image(a, (H, W), tile, bins.n_tiles_hw)
     else:
-        def finish(a, bg):
+        def finish_xla(a, bg):
             del bg
             return untile_image(a, (H, W), tile, bins.n_tiles_hw)
+
+    if settings.untile_impl == "pallas":
+        from .pallas_untile import tile_slot_table, untile_scatter_pallas
+
+        if settings.active_tiles is not None:
+            A_rows = bins.invrank.shape[1]
+            table = tile_slot_table(bins.rank, A_rows, bins.n_tiles_hw)
+        else:
+            table = tile_slot_table(None, 0, bins.n_tiles_hw, batch=B)
+
+        def finish(a, bg):
+            trail = a.shape[3:]
+            Cc = 1
+            for d in trail:
+                Cc *= d
+            # whole-rows VMEM block at the kernel's lane-padded channel
+            # count: fall back per-field when it won't fit (e.g. (tp, K, 3)
+            # bary stacks at large K)
+            creq = 128 // math.gcd(128, tile)
+            Cp = -(-Cc // creq) * creq
+            if (a.shape[1] + 1) * tp * Cp * 4 > 8 << 20:
+                return finish_xla(a, bg)
+            dtype = a.dtype
+            r = a.reshape(B, a.shape[1], tp, Cc)
+            if dtype == jnp.int32:  # rides f32 (ids < 2^24: exact)
+                r = r.astype(jnp.float32)
+            img = untile_scatter_pallas(
+                r, table, float(bg), (H, W), tile, bins.n_tiles_hw
+            )
+            if dtype == jnp.int32:
+                img = jnp.round(img).astype(jnp.int32)
+            return img.reshape((B, H, W) + trail) if trail else img[..., 0]
+    else:
+        finish = finish_xla
 
     if K == 1:
         # re-add the K axis dropped inside per_chunk — size-1 expansions

@@ -96,6 +96,7 @@ class MeshRenderer(DifferentiableRenderer):
         group_lanes: Optional[int] = None,
         occupancy_split: Optional[Tuple[int, int]] = None,
         select_impl: str = "auto",
+        untile_impl: str = "xla",
         recon_points: bool = False,
     ):
         """shade_k: shade only the nearest shade_k fragment slots for RGB
@@ -123,6 +124,7 @@ class MeshRenderer(DifferentiableRenderer):
             group_lanes=group_lanes,
             occupancy_split=occupancy_split,
             select_impl=select_impl,
+            untile_impl=untile_impl,
         )
         self.blend = BlendParams(sigma=sigma, gamma=gamma, background_color=background_color)
         self.lights = lights if lights is not None else PointLights.make()
