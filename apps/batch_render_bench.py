@@ -111,7 +111,35 @@ def main():
         ts = jax.device_put(ts)
         jax.block_until_ready((Rs, ts))
 
-    render = jax.jit(lambda m, R, t: renderer.render(m, R, t))
+    # Multi-chip: shard each chunk's VIEW axis over every chip (views are
+    # independent — zero collectives). shard_map rather than sharded-inputs
+    # jit: the K=1 Pallas selection kernel is opaque to GSPMD's auto
+    # partitioner. Validated on the 8-virtual-CPU-device mesh
+    # (tests/test_apps_smoke.py); engages automatically on real multi-chip
+    # hardware. (SURVEY.md §2d's FPS/chip protocol, like bench.py.)
+    n_chips = len(jax.devices())
+    if n_chips > 1 and vc % n_chips == 0:
+        from jax import shard_map
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        device_mesh = Mesh(np.array(jax.devices()), ("data",))
+        spec = lambda tree: jax.tree_util.tree_map(
+            lambda x: P("data", *([None] * (x.ndim - 1))), tree
+        )
+        render = jax.jit(shard_map(
+            lambda m, R, t: renderer.render(m, R, t),
+            mesh=device_mesh,
+            in_specs=(spec(batched), P("data", None, None),
+                      P("data", None)),
+            out_specs=P("data", None, None),
+            check_vma=False,
+        ))
+        print(f"view axis sharded over {n_chips} chips "
+              f"({vc // n_chips} views/chip/call)")
+    else:
+        if n_chips > 1:
+            print(f"NOT sharding: view_chunk {vc} % {n_chips} chips != 0")
+        render = jax.jit(lambda m, R, t: renderer.render(m, R, t))
 
     def render_all():
         outs = []
@@ -125,7 +153,9 @@ def main():
                   name=f"batched depth render {N}x{H}x{W} (chunks of {vc})")
     print(res)
     fps = N / res.mean_s
-    print(f"throughput: {fps:.1f} depth images/sec (batched)")
+    print(f"throughput: {fps:.1f} depth images/sec (batched)"
+          + (f" = {fps / n_chips:.1f}/chip over {n_chips} chips"
+             if n_chips > 1 and vc % n_chips == 0 else ""))
 
     # serial single-view loop for comparison (the pyrender-style pattern)
     single = jax.jit(lambda m, R, t: renderer.render(m, R, t))

@@ -59,3 +59,17 @@ def test_icp_registration_smoke():
     out = _run("icp_registration.py", "--objects", "4", "--points", "64",
                "--icp-iters", "8")
     assert "err" in out.lower() or "converged" in out.lower()
+
+
+def test_batch_render_bench_sharded_smoke():
+    """batch_render_bench with the view axis sharded over the 8-virtual-CPU
+    mesh (conftest's XLA_FLAGS propagate to the subprocess env): the
+    shard_map path must engage, render, and report per-chip throughput."""
+    out = _run(
+        "batch_render_bench.py", "--n-views", "8", "--view-chunk", "8",
+        "--height", "64", "--width", "80", "--reps", "2",
+        "--raster-impl", "xla", "--bin-size", "16",
+    )
+    assert "view axis sharded over 8 chips" in out, out
+    assert "/chip over 8 chips" in out, out
+    assert "coverage" in out
