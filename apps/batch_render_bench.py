@@ -120,18 +120,17 @@ def main():
     n_chips = len(jax.devices())
     if n_chips > 1 and vc % n_chips == 0:
         from jax import shard_map
-        from jax.sharding import Mesh, PartitionSpec as P
 
-        device_mesh = Mesh(np.array(jax.devices()), ("data",))
-        spec = lambda tree: jax.tree_util.tree_map(
-            lambda x: P("data", *([None] * (x.ndim - 1))), tree
-        )
+        from torch_renderer_tpu.parallel.mesh import data_mesh, data_specs
+
+        device_mesh = data_mesh()
         render = jax.jit(shard_map(
             lambda m, R, t: renderer.render(m, R, t),
             mesh=device_mesh,
-            in_specs=(spec(batched), P("data", None, None),
-                      P("data", None)),
-            out_specs=P("data", None, None),
+            in_specs=(data_specs(batched), data_specs(Rs[:vc]),
+                      data_specs(ts[:vc])),
+            out_specs=data_specs(jax.ShapeDtypeStruct((vc, H, W),
+                                                      jnp.float32)),
             check_vma=False,
         ))
         print(f"view axis sharded over {n_chips} chips "

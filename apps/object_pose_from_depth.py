@@ -31,8 +31,13 @@ def main():
                         "cam_ext @ object_mat chain, pose_optimizer.py:88-91) "
                         "jointly over --frames")
     p.add_argument("--frames", type=int, nargs="*", default=None,
-                   help="frame indices for --object-pose (default: every "
-                        "frame sharing --frame's object_id)")
+                   help="frame indices for --object-pose (default: just "
+                        "--frame). Pass several ONLY when the recorded "
+                        "frames observe the SAME object pose: "
+                        "filtered_datas.pkl's frames 0/1 share an object id "
+                        "but record two DIFFERENT object_pose matrices (two "
+                        "time steps), so a joint fit over them would "
+                        "average contradictory references")
     args = p.parse_args()
     setup_platform(args)
 
@@ -70,12 +75,10 @@ def main():
     if args.object_pose:
         from torch_renderer_tpu.opt.pose_fit import ObjectPoseFitter
 
-        frames = args.frames
-        if frames is None:
-            frames = [
-                j for j, oid in enumerate(rec["object_id"])
-                if oid == rec["object_id"][i]
-            ]
+        # default: single frame — recorded datasets may store a DIFFERENT
+        # object pose per frame of the same object (filtered_datas.pkl
+        # does), and a joint fit needs frames that observe one static pose
+        frames = args.frames if args.frames else [i]
         F = len(frames)
         fitter = ObjectPoseFitter(
             rec["K"][frames], (H, W), rec["extrinsic"][frames],

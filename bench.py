@@ -122,17 +122,16 @@ def make_scan_step(device_mesh=None):
         return jax.jit(scan_pass), (meshes.verts, meshes, cam)
 
     from jax import shard_map
-    from jax.sharding import PartitionSpec as P
 
-    spec = lambda tree: jax.tree_util.tree_map(
-        lambda x: P("data", *([None] * (x.ndim - 1))), tree
-    )
+    from torch_renderer_tpu.parallel.mesh import data_specs
+
     step = jax.jit(
         shard_map(
             scan_pass,
             mesh=device_mesh,
-            in_specs=(spec(meshes.verts), spec(meshes), spec(cam)),
-            out_specs=spec(meshes.verts),
+            in_specs=(data_specs(meshes.verts), data_specs(meshes),
+                      data_specs(cam)),
+            out_specs=data_specs(meshes.verts),
             # the pallas_call inside doesn't declare varying mesh axes;
             # semantics are unaffected (no collectives in the pass)
             check_vma=False,
@@ -168,9 +167,9 @@ def tpu_fps() -> float:
     # automatically when the driver attaches hardware with >1 chip.
     n_chips = len(jax.devices())
     if n_chips > 1:
-        from jax.sharding import Mesh
+        from torch_renderer_tpu.parallel.mesh import data_mesh
 
-        device_mesh = Mesh(np.array(jax.devices()), ("data",))
+        device_mesh = data_mesh()
     else:
         device_mesh = None
 

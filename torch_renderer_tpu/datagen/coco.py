@@ -181,7 +181,7 @@ class ObjectLibrary:
         from ..io.obj import load_obj
 
         category_map = dict(category_map or {})
-        used = {int(v["id"]) for v in category_map.values()}
+        used = {int(v["id"]) for v in category_map.values() if "id" in v}
         next_id = 1
         entries = []
         for path in paths:
@@ -299,6 +299,7 @@ class COCODataGenerator:
         # objects, small images) can exceed any fixed default. Growth
         # re-jits once per new budget.
         self._mfb = config.max_faces_per_bin
+        self._vis_mfb = config.max_faces_per_bin
         self._vis_scale = 4
         self._build_renderers()
         if config.placement_mode == "physics":
@@ -346,7 +347,7 @@ class COCODataGenerator:
             Kv[:2] /= vs
             self._vis_renderer = MeshRenderer(
                 Kv, (max(1, H // vs), max(1, W // vs)), faces_per_pixel=1,
-                bin_size=16, max_faces_per_bin=self._mfb,
+                bin_size=16, max_faces_per_bin=self._vis_mfb,
                 select_impl=config.select_impl, pixel_chunk=131072,
             )
 
@@ -360,23 +361,46 @@ class COCODataGenerator:
             self._vis_counts = jax.jit(_count_visible)
 
     def _ensure_bin_capacity(self, meshes_batched, Rs, ts) -> None:
-        """Grow self._mfb to cover the concrete scene+views' true max tile
-        occupancy with 1.3x headroom (outside jit; monotonic so re-jits are
-        rare). Same hazard/pattern as JointShapeTextureFitter
-        (opt/deform_color.py:117): overflow silently drops faces."""
+        """Grow the bin budgets to cover the concrete scene+views' true max
+        tile occupancy with 1.3x headroom (outside jit; monotonic so
+        re-jits are rare). Same hazard/pattern as JointShapeTextureFitter
+        (opt/deform_color.py:117): overflow silently drops faces.
+
+        The 1/4-res visibility renderer gets its OWN budget: its
+        bin_size=16 tiles cover a 4x larger scene footprint than the
+        full-res tiles, so its max occupancy is typically much higher
+        (measured 584 vs 227 on the default room scene) and sharing the
+        full-res budget silently corrupted the visibility counts."""
         import math
 
         from ..rasterize.binning import count_overflow
-        from ..rasterize.geometry import setup_faces
+        from ..rasterize.geometry import setup_face_planes
 
         cam = self.renderer.camera_with_pose(np.asarray(Rs), np.asarray(ts))
-        fd = setup_faces(meshes_batched, cam)
+        # channel planes, not corner tensors (CLAUDE.md: (B,F,3,2) corners
+        # tile-pad up to 42x on TPU; count_overflow duck-types both)
+        fd = setup_face_planes(meshes_batched, cam)
+        changed = False
         mx, _ = count_overflow(
             fd, self.renderer.image_size, self.config.bin_size, 0, 0.0
         )
         need = max(64, int(math.ceil(float(mx) * 1.3 / 64.0)) * 64)
         if need > self._mfb:
             self._mfb = need
+            changed = True
+        if self.config.min_visible_px > 0:
+            vcam = self._vis_renderer.camera_with_pose(
+                np.asarray(Rs), np.asarray(ts)
+            )
+            vfd = setup_face_planes(meshes_batched, vcam)
+            vmx, _ = count_overflow(
+                vfd, self._vis_renderer.image_size, 16, 0, 0.0
+            )
+            vneed = max(64, int(math.ceil(float(vmx) * 1.3 / 64.0)) * 64)
+            if vneed > self._vis_mfb:
+                self._vis_mfb = vneed
+                changed = True
+        if changed:
             self._build_renderers()
 
     def _render_views(self, batched, Rs, ts, lights, face_to_object):
@@ -713,14 +737,15 @@ class COCODataGenerator:
             batched = scene.meshes.extend(vc)
 
         def full_render(Rs, ts):
+            nr = Rs.shape[0]
             pending = []
-            for v0 in range(0, n, vc):
-                idx = [min(v0 + i, n - 1) for i in range(vc)]  # repeat-pad tail
+            for v0 in range(0, nr, vc):
+                idx = [min(v0 + i, nr - 1) for i in range(vc)]  # repeat-pad tail
                 Rc, tc = Rs[idx, :], ts[idx, :]
                 if self.device_mesh is not None:
                     Rc, tc = shard_batch((Rc, tc), self.device_mesh)
                 chunk = self._render_chunk(batched, Rc, tc, lights, f2o)
-                keep = min(vc, n - v0)
+                keep = min(vc, nr - v0)
                 if keep < vc:  # drop repeat-padded tail views ON device
                     chunk = tuple(arr[:keep] for arr in chunk)
                 for arr in chunk:
@@ -742,7 +767,6 @@ class COCODataGenerator:
             # zero extra passes).
             n_obj = self._n_annotated(scene)
             seg_i = -2 if (cfg.edge_maps and cfg.pack_outputs) else -1
-            bg = SEG_BACKGROUND if cfg.pack_outputs else -1
             for _ in range(cfg.cam_resample_rounds):
                 seg = stacked[seg_i]
                 per_obj = np.stack(
@@ -755,13 +779,19 @@ class COCODataGenerator:
                 )
                 if okv.all():
                     break
-                k = int((~okv).sum())
-                Rn, tn = self._sample_view_poses(rng, k, centers)
-                Rs[~okv], ts[~okv] = Rn, tn
+                # re-render ONLY the re-sampled views (the passing ones
+                # would re-render to bit-identical images) and splice them
+                # back; chunk compiles are unchanged (full_render repeat-
+                # pads any count to the fixed view_chunk batch)
+                bad = np.nonzero(~okv)[0]
+                Rn, tn = self._sample_view_poses(rng, len(bad), centers)
+                Rs[bad], ts[bad] = Rn, tn
                 self._ensure_bin_capacity(
-                    scene.meshes.extend(n), Rs, ts
+                    scene.meshes.extend(len(bad)), Rn, tn
                 )
-                stacked = full_render(Rs, ts)
+                sub = full_render(Rs[bad], ts[bad])
+                for col, scol in zip(stacked, sub):
+                    col[bad] = scol
 
         names = ["rgb", "depth"]
         if cfg.normal_maps:

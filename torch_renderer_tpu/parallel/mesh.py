@@ -48,6 +48,22 @@ def make_mesh(
     return Mesh(dev_array, tuple(axis_names))
 
 
+def data_mesh(axis: str = DATA_AXIS, devices=None) -> Mesh:
+    """1-axis mesh over every available device (the bench/app batch-axis
+    sharding pattern)."""
+    devices = list(devices if devices is not None else jax.devices())
+    return Mesh(np.array(devices), (axis,))
+
+
+def data_specs(tree, axis: str = DATA_AXIS):
+    """PartitionSpec pytree: every leaf's LEADING dim sharded on `axis`,
+    the rest replicated — the in/out_specs of a batch-parallel shard_map
+    (bench.py, apps/batch_render_bench.py)."""
+    return jax.tree_util.tree_map(
+        lambda x: P(axis, *([None] * (x.ndim - 1))), tree
+    )
+
+
 def batch_spec(mesh: Mesh, ndim: int, axis: str = DATA_AXIS) -> NamedSharding:
     """NamedSharding that shards dim 0 over `axis`, replicates the rest."""
     return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
