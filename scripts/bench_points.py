@@ -1,0 +1,140 @@
+"""Point-renderer throughput: splat rasterization + the three compositors.
+
+Fills the one benchmark gap in docs/BENCHMARKS.md: the reference's point
+renderers (AlphaPointRender / NormPointRender / PulsarPointRender,
+torch_renderer.py:163-230 — upstream marked untested and carrying a `T=Ts`
+NameError) have working equivalents here but no committed numbers. This
+measures forward renders and a gradient step (grad of a feature-MSE loss
+w.r.t. the point positions — the point-cloud analysis-by-synthesis core)
+with the dependent-carry scan harness (min-of-N, net of a trivial-body
+floor; tunnel-safe).
+
+  python scripts/bench_points.py [--cpu] [--points 50000] [--image 256]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--points", type=int, default=20000)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--image", type=int, default=256)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--repeats", type=int, default=5)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_app_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from torch_renderer_tpu.renderer import (
+        AlphaPointRender,
+        NormPointRender,
+        PulsarPointRender,
+        PulsarRenderer,
+    )
+    from torch_renderer_tpu.structures.pointclouds import Pointclouds
+
+    B, P, S = args.batch, args.points, args.image
+    rng = np.random.default_rng(0)
+    pts = rng.standard_normal((B, P, 3)).astype(np.float32) * 0.8
+    feats = rng.uniform(0.0, 1.0, (B, P, 3)).astype(np.float32)
+    pcd = Pointclouds(
+        points=jnp.asarray(pts),
+        num_points=jnp.full((B,), P, jnp.int32),
+        features=jnp.asarray(feats),
+    )
+    f = 0.8 * S
+    K = np.array([[f, 0, S / 2.0], [0, f, S / 2.0], [0, 0, 1.0]], np.float32)
+    R = np.broadcast_to(np.eye(3, dtype=np.float32), (B, 3, 3))
+    t = np.tile(np.array([0.0, 0.0, 2.5], np.float32), (B, 1))
+
+    from torch_renderer_tpu.rasterize.points import (
+        PointsRasterizationSettings,
+        suggest_points_per_bin,
+    )
+
+    # auto-size the bin budget from the concrete cloud (overflow silently
+    # drops points)
+    probe = PointsRasterizationSettings(
+        image_size=(S, S), radius=0.01, bin_size=16)
+    mpb = suggest_points_per_bin(
+        pcd,
+        AlphaPointRender(K, (S, S)).camera_with_pose(R, t),
+        probe,
+    )
+    print(f"auto max_points_per_bin = {mpb}")
+    bkw = dict(radius=0.01, bin_size=16, max_points_per_bin=mpb)
+    renderers = {
+        "alpha (dense)": AlphaPointRender(K, (S, S), radius=0.01),
+        "alpha (binned)": AlphaPointRender(K, (S, S), **bkw),
+        "norm (binned)": NormPointRender(K, (S, S), **bkw),
+        "pulsar_splat (binned)": PulsarPointRender(K, (S, S), **bkw),
+        "pulsar_sphere (binned)": PulsarRenderer(K, (S, S), **bkw),
+    }
+
+    def scan_time(fn, x0):
+        @jax.jit
+        def run(x):
+            def body(c, _):
+                out = fn(c)
+                dep = sum(jnp.sum(l).astype(jnp.float32)
+                          for l in jax.tree.leaves(out))
+                return c + 1e-30 * dep, ()
+
+            cf, _ = jax.lax.scan(body, x, None, length=args.steps)
+            return cf
+
+        jax.block_until_ready(run(x0))
+        best = float("inf")
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            jax.block_until_ready(run(x0))
+            best = min(best, time.perf_counter() - t0)
+        return best / args.steps * 1e3
+
+    import dataclasses
+
+    p0 = pcd.points
+    floor = scan_time(lambda p: jnp.sum(p), p0)
+    print(f"floor {floor:.3f} ms | {B}x{P} points at {S}^2, K="
+          f"{probe.points_per_pixel}")
+    print("| renderer | forward ms | grad step ms | imgs/s (fwd) |")
+    print("|---|---|---|---|")
+    for name, r in renderers.items():
+        def fwd(p, r=r):
+            pc = dataclasses.replace(pcd, points=p)
+            return r.render(pc, R, t)
+
+        def gstep(p, r=r):
+            def loss(p):
+                return jnp.sum(fwd(p, r) ** 2)
+
+            return jax.grad(loss)(p)
+
+        tf = scan_time(fwd, p0) - floor
+        tg = scan_time(gstep, p0) - floor
+        print(f"| {name} | {tf:.3f} | {tg:.3f} | {B / tf * 1e3:.0f} |",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

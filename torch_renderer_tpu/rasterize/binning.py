@@ -922,3 +922,30 @@ def untile_image(per_tile: jax.Array, image_size, tile: int, n_tiles_hw):
     img = jnp.moveaxis(img, 3, 2).reshape((B, TH * tile, TW * tile) + trailing)
     H, W = image_size
     return img[:, :H, :W]
+
+
+def count_bbox_overflow(bbox_min, bbox_max, valid, image_size, tile: int):
+    """Max candidate count over tiles for bbox binning (sizing helper for
+    bin_bboxes' per_tile, like count_overflow for faces). Call with
+    concrete data outside jit; chunks the item axis so 100k-point clouds
+    don't materialize a (B, T, N) boolean."""
+    H, W = image_size
+    s = min(H, W) / 2.0
+    TH, TW, origin = tile_grid(image_size, tile)
+    tile_extent = tile / s
+    t_lo = origin[None, :, None, :]
+    t_hi = t_lo + tile_extent
+    N = valid.shape[-1]
+    chunk = 8192
+    counts = None
+    for n0 in range(0, N, chunk):
+        lo_c = bbox_min[:, n0:n0 + chunk]
+        hi_c = bbox_max[:, n0:n0 + chunk]
+        v_c = valid[:, n0:n0 + chunk]
+        overlap = jnp.all(
+            (lo_c[:, None, :, :] <= t_hi) & (hi_c[:, None, :, :] >= t_lo),
+            axis=-1,
+        ) & v_c[:, None, :]
+        c = jnp.sum(overlap.astype(jnp.int32), axis=-1)
+        counts = c if counts is None else counts + c
+    return int(jnp.max(counts))

@@ -16,7 +16,7 @@ PointsRasterizationSettings.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple, Union
+from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -36,11 +36,17 @@ class PointFragments:
     idx:    (B, H, W, K) int32 point index, -1 = empty, sorted near-to-far.
     zbuf:   (B, H, W, K) camera z of the point, -1 for empty.
     dists2: (B, H, W, K) squared pixel-to-center distance in NDC, -1 empty.
+    features: optional (B, H, W, K, C) per-hit point features, 0 at empty
+        slots — produced by the binned path when `extra` channels ride its
+        candidate gather (the winner one-hot einsum pulls them with the
+        geometry, so compositors skip the near-scalar per-pixel gather AND
+        its scatter-add backward; gather_point_features is the fallback).
     """
 
     idx: jax.Array
     zbuf: jax.Array
     dists2: jax.Array
+    features: Optional[jax.Array] = None
 
     @property
     def mask(self) -> jax.Array:
@@ -109,15 +115,22 @@ def _select_chunk(pix, q, z, valid, radius2, K: int):
 
 
 def _rasterize_points_binned(
-    q, z, valid, radius2, settings: PointsRasterizationSettings
+    q, z, valid, radius2, settings: PointsRasterizationSettings, extra=None,
 ) -> PointFragments:
-    """Coarse-to-fine point rasterization: bin points into pixel tiles by
-    radius-expanded bbox, then per-tile top-K selection + differentiable
-    recomputation via masked one-hot reductions over the tile's candidate
-    lanes (mirrors raster._rasterize_binned; no arbitrary-index gathers)."""
+    """Coarse-to-fine point rasterization with the mesh path's machinery
+    (raster._rasterize_binned): RANK binning (prefix-count slots, no
+    top_k sort), one-hot MXU candidate gathers, per-pixel K extraction by
+    iota-argmin passes, and ONE winner one-hot einsum per hit that pulls
+    all candidate channels together — the winner's d2 is then recomputed
+    differentiably from its gathered x/y (gradients flow through the
+    gather einsum, never a scatter). Replaced the top_k + per-k masked-
+    reduction formulation: 107 -> 41 ms forward on the 4x20k-point 256^2
+    K=8 TPU benchmark, then -> 27.5 ms with the compositor's feature
+    channels riding this gather as `extra` (scripts/bench_points.py;
+    dense path 247 ms)."""
     from .binning import (
-        bin_bboxes,
-        gather_bin_channels,
+        bin_ranks,
+        gather_rank_channels,
         tile_pixel_coords,
         untile_image,
     )
@@ -126,27 +139,38 @@ def _rasterize_points_binned(
     K = settings.points_per_pixel
     tile = settings.bin_size
     B, N = z.shape
-
-    r = jnp.sqrt(radius2)
-    bins = bin_bboxes(
-        jax.lax.stop_gradient(q - r[..., None]),
-        jax.lax.stop_gradient(q + r[..., None]),
-        valid, (H, W), tile, settings.max_points_per_bin,
-    )
-    T = bins.face_idx.shape[1]
-    Pmax = bins.face_idx.shape[2]
     tp = tile * tile
 
-    # per-tile candidate channels: x, y, z, r2 (differentiable gather)
-    planes = jnp.stack([q[..., 0], q[..., 1], z, radius2], axis=-1)
-    ch = gather_bin_channels(planes, bins)           # (B, T, Pmax, 4)
-    vmask = bins.face_mask                           # (B, T, Pmax)
+    r = jnp.sqrt(radius2)
+    bins = bin_ranks(
+        jax.lax.stop_gradient(q - r[..., None]),
+        jax.lax.stop_gradient(q + r[..., None]),
+        valid, (H, W), tile,
+    )
+    T = bins.slot.shape[1]
+    Pmax = min(settings.max_points_per_bin, N)
+
+    # candidate channels x, y, z, r2 + the global point id riding the
+    # one-hot contraction as one f32 channel (exact below 2^24)
+    fid = jnp.broadcast_to(
+        jax.lax.broadcasted_iota(jnp.float32, (1, N, 1), 1), (B, N, 1)
+    )
+    cols = [jnp.stack([q[..., 0], q[..., 1], z, radius2], axis=-1), fid]
+    CE = 0
+    if extra is not None:                            # (B, N, CE) features
+        CE = extra.shape[-1]
+        cols.append(extra)
+    planes = jnp.concatenate(cols, axis=-1)          # (B, N, 5+CE)
+    ch = gather_rank_channels(planes, bins, Pmax)    # (B, T, Pmax, 5+CE)
+    capped = jnp.minimum(bins.count, Pmax)
+    valid_t = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, 1, Pmax), 2)
+        < capped[:, :, None]
+    )
 
     local = tile_pixel_coords((H, W), tile)          # (tp, 2)
-    flat = lambda a: a.reshape((B * T,) + a.shape[2:])
-    chf = flat(ch)
-    vf = flat(vmask)
-    fidx = flat(bins.face_idx)
+    chf = ch.reshape(B * T, Pmax, 5 + CE)
+    vf = valid_t.reshape(B * T, Pmax)
     of = jnp.broadcast_to(bins.tile_origin[None], (B, T, 2)).reshape(B * T, 2)
 
     NT = B * T
@@ -158,55 +182,67 @@ def _rasterize_points_binned(
     ).reshape((n_chunks, tiles_per_chunk) + a.shape[1:])
 
     iota_p = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Pmax), 2)
+    k_eff = min(K, Pmax)
 
     def per_chunk(args):
-        chc, v, fi, o = args
+        g, v, o = args                               # (c, Pmax, 5), ...
         px = local[None, :, 0] + o[:, 0:1]           # (c, tp)
         py = local[None, :, 1] + o[:, 1:2]
-        x = chc[..., 0][:, None, :]                  # (c, 1, Pmax)
-        y = chc[..., 1][:, None, :]
-        zc = chc[..., 2][:, None, :]
-        r2 = chc[..., 3][:, None, :]
+        gs = jax.lax.stop_gradient(g)
+        x = gs[..., 0][:, None, :]                   # (c, 1, Pmax)
+        y = gs[..., 1][:, None, :]
+        zc = gs[..., 2][:, None, :]
+        r2 = gs[..., 3][:, None, :]
         dx = px[..., None] - x                       # (c, tp, Pmax)
         dy = py[..., None] - y
-        d2 = dx * dx + dy * dy
+        cover = (dx * dx + dy * dy <= r2) & v[:, None, :]
+        priority = jnp.where(cover, zc * jnp.ones_like(dx), INF)
 
-        cover = (jax.lax.stop_gradient(d2) <= r2) & v[:, None, :] & (
-            jax.lax.stop_gradient(zc) > settings.znear
-        )
-        priority = jnp.where(
-            cover, jax.lax.stop_gradient(zc) * jnp.ones_like(d2), INF
-        )
-        k_eff = min(K, Pmax)
-        negz, idx_local = jax.lax.top_k(-priority, k_eff)  # (c, tp, K)
-        idx_local = jnp.where(negz > -INF, idx_local, -1)
-        if k_eff < K:
-            idx_local = jnp.pad(
-                idx_local, ((0, 0), (0, 0), (0, K - k_eff)),
-                constant_values=-1,
+        # K nearest-z extraction passes (iota-argmin, the mesh selection
+        # form; beats a lane sort) + ONE winner one-hot einsum per hit
+        zbufs, d2s, idxs, lives, featl = [], [], [], [], []
+        for _ in range(k_eff):
+            zmin = jnp.min(priority, axis=-1)        # (c, tp)
+            amin = jnp.min(
+                jnp.where(priority == zmin[..., None], iota_p, Pmax),
+                axis=-1,
             )
-
-        zbufs, d2s, idxs = [], [], []
-        for k in range(min(K, Pmax)):
-            mk = idx_local[:, :, k][..., None] == iota_p  # (c, tp, Pmax)
-            mf = mk.astype(d2.dtype)
-            zbufs.append(jnp.sum(jnp.where(mk, zc, 0.0), axis=-1))
-            d2s.append(jnp.sum(mf * d2, axis=-1))
-            idxs.append(jnp.sum(mk * fi[:, None, :], axis=-1).astype(jnp.int32))
-        for _ in range(Pmax, K):  # clouds smaller than K slots
+            live = zmin < INF
+            mk = (amin[..., None] == iota_p) & live[..., None]
+            priority = jnp.where(mk, INF, priority)
+            sel = jnp.einsum(
+                "cfn,ctf->cnt", g, mk.astype(jnp.float32),
+                precision=jax.lax.Precision.HIGHEST,
+            )                                        # (c, 5, tp)
+            wx, wy, wz = sel[:, 0], sel[:, 1], sel[:, 2]
+            ddx = px - wx
+            ddy = py - wy
+            zbufs.append(wz)
+            d2s.append(ddx * ddx + ddy * ddy)
+            idxs.append(jnp.round(sel[:, 4]).astype(jnp.int32))
+            lives.append(live)
+            if CE:
+                featl.append(jnp.moveaxis(sel[:, 5:], 1, -1))  # (c, tp, CE)
+        for _ in range(k_eff, K):                    # clouds smaller than K
             zbufs.append(jnp.zeros_like(zbufs[0]))
             d2s.append(jnp.zeros_like(d2s[0]))
             idxs.append(jnp.zeros_like(idxs[0]))
+            lives.append(jnp.zeros_like(lives[0]))
+            if CE:
+                featl.append(jnp.zeros_like(featl[0]))
 
-        live = idx_local >= 0
+        live = jnp.stack(lives, axis=-1)
         zbuf = jnp.where(live, jnp.stack(zbufs, axis=-1), -1.0)
         dist2 = jnp.where(live, jnp.stack(d2s, axis=-1), -1.0)
         pidx = jnp.where(live, jnp.stack(idxs, axis=-1), -1)
+        if CE:
+            feats = jnp.where(
+                live[..., None], jnp.stack(featl, axis=-2), 0.0
+            )  # (c, tp, K, CE)
+            return pidx, zbuf, dist2, feats
         return pidx, zbuf, dist2
 
-    pidx, zbuf, dist2 = jax.lax.map(
-        per_chunk, (padc(chf), padc(vf), padc(fidx), padc(of))
-    )
+    outs = jax.lax.map(per_chunk, (padc(chf), padc(vf), padc(of)))
 
     def finish(a):
         a = a.reshape((n_chunks * tiles_per_chunk, tp) + a.shape[3:])[:NT]
@@ -214,7 +250,8 @@ def _rasterize_points_binned(
         return untile_image(a, (H, W), tile, bins.n_tiles_hw)
 
     return PointFragments(
-        idx=finish(pidx), zbuf=finish(zbuf), dists2=finish(dist2)
+        idx=finish(outs[0]), zbuf=finish(outs[1]), dists2=finish(outs[2]),
+        features=finish(outs[3]) if CE else None,
     )
 
 
@@ -222,11 +259,15 @@ def rasterize_points(
     pcls: Pointclouds, camera: PerspectiveCamera,
     settings: PointsRasterizationSettings,
     radius: Union[None, jax.Array] = None,
+    extra: Union[None, jax.Array] = None,
 ) -> PointFragments:
     """Rasterize point clouds into per-pixel top-K fragments.
 
     radius: optional per-point override (B, N) in NDC units (the Pulsar-style
     sphere radius path); default settings.radius for all points.
+    extra: optional (B, N, C) per-point channels (features) gathered with
+    the candidates on the BINNED path and returned per hit on
+    PointFragments.features (ignored by the dense path).
     """
     H, W = settings.image_size
     K = settings.points_per_pixel
@@ -239,7 +280,9 @@ def rasterize_points(
     radius2 = radius_arr * radius_arr
 
     if settings.bin_size is not None:
-        return _rasterize_points_binned(q, z, valid, radius2, settings)
+        return _rasterize_points_binned(
+            q, z, valid, radius2, settings, extra=extra
+        )
 
     pix_all = pixel_coords_raster((H, W))
     HW = pix_all.shape[0]
@@ -274,3 +317,29 @@ def rasterize_points(
         zbuf=reshape(jnp.where(live, zg, -1.0)),
         dists2=reshape(jnp.where(live, d2, -1.0)),
     )
+
+
+def suggest_points_per_bin(
+    pcls: Pointclouds, camera: PerspectiveCamera,
+    settings: PointsRasterizationSettings,
+    radius=None, margin: float = 1.3, multiple: int = 32,
+) -> int:
+    """Smallest safe max_points_per_bin for this concrete cloud+camera
+    (overflowing tiles silently drop high-index points, like face bins).
+    Call OUTSIDE jit; the result is a static setting."""
+    import math
+
+    from .binning import count_bbox_overflow
+
+    q, z, valid = project_points_screen(pcls, camera, settings.znear)
+    B, N = z.shape
+    if radius is None:
+        r = jnp.full((B, N), settings.radius, jnp.float32)
+    else:
+        r = jnp.broadcast_to(jnp.asarray(radius, jnp.float32), (B, N))
+    mx = count_bbox_overflow(
+        q - r[..., None], q + r[..., None], valid,
+        settings.image_size, settings.bin_size or 16,
+    )
+    want = int(math.ceil(float(mx) * margin / multiple)) * multiple
+    return max(multiple, min(want, N))

@@ -137,12 +137,24 @@ def pulsar_sphere_composite(
     H, W = image_size
     B, _, _, K = fragments.idx.shape
 
-    safe = jnp.maximum(fragments.idx, 0).reshape(B, -1)
-    gat = lambda arr: jax.vmap(lambda a, i: a[i])(arr, safe)
-    c = gat(centers_cam).reshape(B, H, W, K, 3)
-    r = gat(radius_world[..., None]).reshape(B, H, W, K)
-    o = gat(opacity[..., None]).reshape(B, H, W, K)
-    f = gat(features).reshape(B, H, W, K, features.shape[-1])
+    if fragments.features is not None and fragments.features.shape[-1] == (
+        5 + features.shape[-1]
+    ):
+        # binned path: all per-hit channels rode the candidate gather +
+        # winner one-hot einsum (PointFragments.features, packed by
+        # PulsarRenderer.render) — no near-scalar per-pixel gathers
+        hc = fragments.features
+        c = hc[..., :3]
+        r = hc[..., 3]
+        o = hc[..., 4]
+        f = hc[..., 5:]
+    else:
+        safe = jnp.maximum(fragments.idx, 0).reshape(B, -1)
+        gat = lambda arr: jax.vmap(lambda a, i: a[i])(arr, safe)
+        c = gat(centers_cam).reshape(B, H, W, K, 3)
+        r = gat(radius_world[..., None]).reshape(B, H, W, K)
+        o = gat(opacity[..., None]).reshape(B, H, W, K)
+        f = gat(features).reshape(B, H, W, K, features.shape[-1])
 
     # unit pixel rays in camera space (pixel centers at index + 0.5)
     u = (jnp.arange(W, dtype=jnp.float32) + 0.5)[None, None, :]
