@@ -82,13 +82,29 @@ def main():
         probe,
     )
     print(f"auto max_points_per_bin = {mpb}")
+    # the sphere renderer selects with per-sphere NDC radii r_ndc =
+    # r_w*fmax/(ndc_scale*(z - r_w)) — size ITS budget against those
+    # (near-camera spheres dwarf a fixed-NDC-radius budget; an undersized
+    # bin silently drops spheres and the row would benchmark a degraded
+    # workload)
+    sph = PulsarRenderer(K, (S, S), radius=0.01, bin_size=16)
+    cam_s = sph.camera_with_pose(R, t)
+    pts_cam = cam_s.world_to_camera(pcd.points)
+    fmax = jnp.maximum(cam_s.fx, cam_s.fy)[:, None]
+    r_ndc = 0.01 * fmax / (
+        cam_s.ndc_scale
+        * jnp.maximum(pts_cam[..., 2] - 0.01, sph.settings.znear)
+    )
+    mpb_s = suggest_points_per_bin(pcd, cam_s, probe, radius=r_ndc)
+    print(f"auto max_points_per_bin (sphere r_ndc) = {mpb_s}")
     bkw = dict(radius=0.01, bin_size=16, max_points_per_bin=mpb)
     renderers = {
         "alpha (dense)": AlphaPointRender(K, (S, S), radius=0.01),
         "alpha (binned)": AlphaPointRender(K, (S, S), **bkw),
         "norm (binned)": NormPointRender(K, (S, S), **bkw),
         "pulsar_splat (binned)": PulsarPointRender(K, (S, S), **bkw),
-        "pulsar_sphere (binned)": PulsarRenderer(K, (S, S), **bkw),
+        "pulsar_sphere (binned)": PulsarRenderer(
+            K, (S, S), radius=0.01, bin_size=16, max_points_per_bin=mpb_s),
     }
 
     def scan_time(fn, x0):

@@ -242,3 +242,41 @@ def test_renderer_binned_kwargs_and_suggest():
 
     g = jax.grad(loss)(pcd.points)
     assert bool(jnp.all(jnp.isfinite(g))) and float(jnp.abs(g).max()) > 0
+
+
+def test_splat_weights_follow_radius_override():
+    """A per-point radius override must drive the splat WEIGHTS, not just
+    the selection: with the settings radius tiny and the override large,
+    splats selected at the override radius would be zero-weighted (w =
+    1 - d2/r_settings^2 < 0 clipped) if the weights ignored it."""
+    import dataclasses
+
+    from torch_renderer_tpu.renderer import PulsarPointRender
+
+    B, P, S = 1, 200, 64
+    rng = np.random.default_rng(2)
+    pcd = Pointclouds(
+        points=jnp.asarray(
+            rng.standard_normal((B, P, 3)).astype(np.float32) * 0.3),
+        num_points=jnp.full((B,), P, jnp.int32),
+        features=jnp.asarray(
+            rng.uniform(0.2, 1, (B, P, 3)).astype(np.float32)),
+    )
+    f = 0.8 * S
+    K = np.array([[f, 0, S / 2], [0, f, S / 2], [0, 0, 1]], np.float32)
+    R = np.eye(3, dtype=np.float32)
+    t = np.array([0.0, 0.0, 2.5], np.float32)
+
+    for kw in ({}, {"bin_size": 16, "max_points_per_bin": 128}):
+        r = PulsarPointRender(K, (S, S), radius=1e-4, **kw)
+        img = np.asarray(r.render(pcd, R, t, radius=np.full((B, P), 0.05,
+                                                            np.float32)))
+        # alpha channel must show substantial coverage (weights alive)
+        assert img[..., -1].max() > 0.5, img[..., -1].max()
+        big = r.render(pcd, R, t,
+                       radius=np.full((B, P), 0.05, np.float32))
+        small_sel = PulsarPointRender(K, (S, S), radius=0.05, **kw)
+        ref = small_sel.render(pcd, R, t)
+        np.testing.assert_allclose(
+            np.asarray(big), np.asarray(ref), atol=2e-5
+        )  # override==settings must agree

@@ -141,6 +141,19 @@ def _rasterize_points_binned(
     B, N = z.shape
     tp = tile * tile
 
+    # rank binning materializes (B, T, N) overlap/slot tensors (the price
+    # of prefix-count slots; the mesh path pays the same at (B, T, F)).
+    # Guard the envelope with a clear error instead of an opaque OOM —
+    # larger tiles shrink T quadratically.
+    from .binning import tile_grid as _tg
+
+    TH_, TW_, _ = _tg((H, W), tile)
+    if B * TH_ * TW_ * N > 1 << 30:
+        raise ValueError(
+            f"rank binning envelope B*T*N = {B}x{TH_ * TW_}x{N} exceeds "
+            "2^30 elements (~4 GB int32); raise bin_size (T shrinks "
+            "quadratically) or reduce the cloud"
+        )
     r = jnp.sqrt(radius2)
     bins = bin_ranks(
         jax.lax.stop_gradient(q - r[..., None]),
@@ -337,9 +350,15 @@ def suggest_points_per_bin(
         r = jnp.full((B, N), settings.radius, jnp.float32)
     else:
         r = jnp.broadcast_to(jnp.asarray(radius, jnp.float32), (B, N))
+    if settings.bin_size is None:
+        raise ValueError(
+            "suggest_points_per_bin needs settings.bin_size (the budget is "
+            "per-tile; sizing for a default tile then rendering at another "
+            "bin_size would overflow and silently drop points)"
+        )
     mx = count_bbox_overflow(
         q - r[..., None], q + r[..., None], valid,
-        settings.image_size, settings.bin_size or 16,
+        settings.image_size, settings.bin_size,
     )
     want = int(math.ceil(float(mx) * margin / multiple)) * multiple
     return max(multiple, min(want, N))

@@ -278,21 +278,55 @@ class PointsRenderer(DifferentiableRenderer):
         ), cam
 
     def _splats(self, pointclouds, R, tvec, radius=None):
+        import jax
+        import jax.numpy as jnp
+
         from .shading.compositing import gather_point_features, splat_weights
 
-        # binned path: features ride the candidate gather + winner einsum
-        # (PointFragments.features) instead of the near-scalar per-pixel
-        # TPU gather whose backward is a serializing scatter-add
-        extra = (
-            pointclouds.features
-            if self.settings.bin_size is not None else None
-        )
+        # binned path: features (and any per-point radius override) ride
+        # the candidate gather + winner einsum (PointFragments.features)
+        # instead of the near-scalar per-pixel TPU gather whose backward
+        # is a serializing scatter-add
+        binned = self.settings.bin_size is not None
+        r_arr = None
+        if radius is not None:
+            B, N = pointclouds.points.shape[:2]
+            r_arr = jnp.broadcast_to(
+                jnp.asarray(radius, jnp.float32), (B, N)
+            )
+        nf = 0
+        extra = None
+        if binned:
+            cols = []
+            if pointclouds.features is not None:
+                cols.append(pointclouds.features)
+                nf = pointclouds.features.shape[-1]
+            if r_arr is not None:
+                cols.append(r_arr[..., None])
+            if cols:
+                extra = jnp.concatenate(cols, axis=-1)
         frags, _ = self.rasterize(pointclouds, R, tvec, radius, extra=extra)
-        w = splat_weights(frags, self.settings.radius)
-        feats = (
-            frags.features if frags.features is not None
-            else gather_point_features(pointclouds, frags)
-        )
+
+        # splat weights follow the RASTERIZATION radius: with a per-point
+        # override, w = 1 - d2/r_settings^2 would silently zero out (or
+        # over-weight) splats selected at a different radius
+        if r_arr is None:
+            w = splat_weights(frags, self.settings.radius)
+        else:
+            if frags.features is not None:
+                r_hit = frags.features[..., nf]
+            else:
+                safe = jnp.maximum(frags.idx, 0)
+                B = r_arr.shape[0]
+                r_hit = jax.vmap(lambda a, i: a[i])(
+                    r_arr, safe.reshape(B, -1)
+                ).reshape(frags.idx.shape)
+            w = splat_weights(frags, r_hit)
+
+        if frags.features is not None and nf:
+            feats = frags.features[..., :nf]
+        else:
+            feats = gather_point_features(pointclouds, frags)
         return frags, w, feats
 
 
@@ -347,7 +381,14 @@ class PulsarRenderer(PointsRenderer):
     pulsar_sphere_composite). Returns (B, H, W, C+1).
 
     radius: default world-space sphere radius (per-point override via
-    render(..., radius=)); opacity defaults to 1."""
+    render(..., radius=)); opacity defaults to 1.
+
+    Binned selection (bin_size=): size max_points_per_bin against the
+    NDC selection radii this renderer actually rasterizes with — the
+    world radius r_w maps to r_ndc = r_w*fmax/(ndc_scale*(z - r_w)),
+    which blows up for spheres near the camera and can dwarf a budget
+    sized for a fixed NDC radius (suggest_points_per_bin accepts
+    radius=r_ndc). Overflowing tiles silently drop spheres."""
 
     def __init__(
         self, K, image_size, gamma: float = 1e-2,
@@ -404,12 +445,14 @@ class PulsarRenderer(PointsRenderer):
         frags = rasterize_points(
             pointclouds, cam, self.settings, r_ndc, extra=extra
         )
+        packed = frags.features if extra is not None else None
         bcast = lambda a: jnp.broadcast_to(a, (B,))
         return pulsar_sphere_composite(
             frags, pts_cam, r_w, o, feats,
             bcast(cam.fx), bcast(cam.fy), bcast(cam.cx), bcast(cam.cy),
             self._image_size, gamma=self.gamma, znear=self.znear,
             zfar=self.zfar, background=self.background, eps=self.eps,
+            packed_hit_channels=packed,
         )
 
 

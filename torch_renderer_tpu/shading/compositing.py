@@ -33,8 +33,15 @@ def gather_point_features(
     return jnp.where(fragments.mask[..., None], g, 0.0)
 
 
-def splat_weights(fragments: PointFragments, radius: float) -> jax.Array:
-    """pytorch3d splat weight: w = 1 - d^2 / r^2, clipped to [0, 1]."""
+def splat_weights(fragments: PointFragments, radius) -> jax.Array:
+    """pytorch3d splat weight: w = 1 - d^2 / r^2, clipped to [0, 1].
+
+    radius: scalar, or an array broadcastable to fragments.dists2 (the
+    per-HIT rasterization radius when a per-point override was used —
+    weights must follow the radius the splats were selected with)."""
+    radius = jnp.asarray(radius, jnp.float32)
+    if radius.ndim:  # guard dead slots (0-filled per-hit radius)
+        radius = jnp.where(fragments.mask, radius, 1.0)
     w = 1.0 - fragments.dists2 / (radius * radius)
     return jnp.where(fragments.mask, jnp.clip(w, 0.0, 1.0), 0.0)
 
@@ -111,6 +118,7 @@ def pulsar_sphere_composite(
     zfar: float = 10.0,
     background: float = 0.0,
     eps: float = 1e-3,
+    packed_hit_channels=None,
 ) -> jax.Array:
     """True sphere-based Pulsar blending (Lassner & Zollhoefer, CVPR 2021;
     arXiv 2004.07484) — the model the reference's PulsarPointRender wraps
@@ -137,13 +145,13 @@ def pulsar_sphere_composite(
     H, W = image_size
     B, _, _, K = fragments.idx.shape
 
-    if fragments.features is not None and fragments.features.shape[-1] == (
-        5 + features.shape[-1]
-    ):
+    if packed_hit_channels is not None:
         # binned path: all per-hit channels rode the candidate gather +
-        # winner one-hot einsum (PointFragments.features, packed by
-        # PulsarRenderer.render) — no near-scalar per-pixel gathers
-        hc = fragments.features
+        # winner one-hot einsum (packed [center xyz, radius, opacity,
+        # features] by PulsarRenderer.render — an EXPLICIT argument, not
+        # sniffed from fragments, so a plain feature ride can never be
+        # misread as this layout) — no near-scalar per-pixel gathers
+        hc = packed_hit_channels
         c = hc[..., :3]
         r = hc[..., 3]
         o = hc[..., 4]
