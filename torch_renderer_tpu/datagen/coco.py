@@ -235,6 +235,14 @@ class ObjectLibrary:
                 raise FileNotFoundError(f"object file not found: {path}")
             paths.append(path)
             stem = _os.path.splitext(_os.path.basename(path))[0]
+            if stem in category_map:
+                # from_obj_files keys categories by basename stem; two
+                # filenames sharing a stem would silently merge categories
+                raise ValueError(
+                    f"duplicate OBJ basename stem {stem!r} in instances.json "
+                    "categories (e.g. a/x.obj and b/x.obj): stems must be "
+                    "unique because category metadata is keyed by them"
+                )
             category_map[stem] = {
                 k: v for k, v in cat.items() if k != "filename"
             }
@@ -662,6 +670,17 @@ class COCODataGenerator:
                 if not bad.any():
                     break
                 Rs[bad], ts[bad] = draw(int(bad.sum()))
+            else:
+                import warnings
+
+                warnings.warn(
+                    f"{int(bad.sum())} camera pose(s) still within "
+                    f"cam_clearance={cfg.cam_clearance} m of an object "
+                    "after 64 resample rounds (crowded scene?); keeping "
+                    "the closest draws — widen camera_dist or shrink "
+                    "the clearance",
+                    stacklevel=2,
+                )
         return Rs, ts
 
     # -- rendering -----------------------------------------------------------

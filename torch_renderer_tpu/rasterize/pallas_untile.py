@@ -157,7 +157,8 @@ untile_scatter_pallas.defvjp(_untile_fwd, _untile_bwd)
 
 
 def tile_slot_table(rank, A: int, n_tiles_hw, batch: int = 1) -> jax.Array:
-    """(B, Tpad) int32 slot table for untile_scatter_pallas from
+    """(B, Tpad) float32 slot table (small exact ints — the kernel's
+    dynamic-sublane VMEM load needs f32 lanes) for untile_scatter_pallas from
     ActiveBins.rank ((B, T), >= A meaning 'no active slot'): clips empties
     to the background slot A and pads the lane axis to a 128-multiple.
     For the uncompacted grid pass `rank=None` (identity table; `batch`

@@ -154,6 +154,14 @@ def _rasterize_points_binned(
             "2^30 elements (~4 GB int32); raise bin_size (T shrinks "
             "quadratically) or reduce the cloud"
         )
+    if N >= 1 << 24:
+        # the global point id rides the one-hot contraction as an f32
+        # channel; ids at/above 2^24 round and silently corrupt
+        # PointFragments.idx
+        raise ValueError(
+            f"cloud size N = {N} >= 2^24: point ids are carried as f32 "
+            "channels (exact only below 2^24); split the cloud"
+        )
     r = jnp.sqrt(radius2)
     bins = bin_ranks(
         jax.lax.stop_gradient(q - r[..., None]),
