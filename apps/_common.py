@@ -17,6 +17,12 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--cpu", action="store_true", help="run on CPU backend")
     p.add_argument("--obj", type=str, default=None, help="input OBJ mesh path")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--check-budgets", action="store_true",
+        help="runtime guard for every silent-drop budget (face/point bins, "
+             "active tiles, group lanes): warn on the host whenever a true "
+             "candidate count exceeds its configured budget",
+    )
     return p
 
 
@@ -27,6 +33,14 @@ def setup_platform(args) -> None:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if getattr(args, "check_budgets", False):
+        # process-wide default, set BEFORE any trace (the binned paths read
+        # it at trace time); per-settings check_budgets values still win
+        from torch_renderer_tpu.rasterize.binning import (
+            set_budget_check_default,
+        )
+
+        set_budget_check_default("warn")
     # Persistent compilation cache: repeat app runs with unchanged shapes
     # skip the (multi-minute on the tunneled TPU) XLA/Mosaic compiles.
     cache_dir = os.path.join(

@@ -27,6 +27,70 @@ import numpy as np
 
 from .geometry import FaceRasterData
 
+# ---------------------------------------------------------------------------
+# Opt-in runtime budget guards
+# ---------------------------------------------------------------------------
+#
+# Every fixed-size budget in this module (faces/points per bin, active
+# tiles, packed group lanes) silently DROPS overflowing work — the price of
+# static shapes. The suggest_* helpers size budgets outside jit, but moving
+# footprints can outgrow them mid-fit (a real incident: tile=32 with
+# faces_per_tile=128 overflowed on the bench scene and rendered alpha wrong
+# by 0.85 with no signal). check_budget() is the opt-in runtime guard: the
+# binned paths call it with the TRUE candidate counts they already compute,
+# and it either warns on the host (mode="warn", jax.debug.callback — works
+# under jit/scan on any backend) or emits a checkify check
+# (mode="checkify"; the caller must be wrapped with
+# utils.debug.checked_budgets, otherwise JAX fails at trace time with a
+# "not functionalized" error). pytorch3d's CUDA binner warns on bin
+# overflow the same way (reference camera_pose_optimizer.py:112-115
+# settings comments size bins against that warning).
+
+_BUDGET_CHECK_DEFAULT = [None]
+
+
+def set_budget_check_default(mode) -> None:
+    """Process-wide default for the binned paths' check_budgets settings
+    (None | 'warn' | 'checkify'); an explicit per-settings value wins. Set
+    BEFORE the first traced call — the default is read at trace time, so
+    flipping it later does not affect already-compiled functions (apps'
+    --check-budgets flag sets it at startup)."""
+    if mode not in (None, "warn", "checkify"):
+        raise ValueError(f"unknown budget check mode {mode!r}")
+    _BUDGET_CHECK_DEFAULT[0] = mode
+
+
+def resolve_budget_check(mode):
+    return _BUDGET_CHECK_DEFAULT[0] if mode is None else mode
+
+
+def check_budget(name: str, actual: jax.Array, budget: int, mode,
+                 hint: str = "") -> None:
+    """Emit a runtime overflow guard: `actual` (traced int scalar — the true
+    max candidate count) must be <= `budget` (static). mode None = no-op."""
+    mode = resolve_budget_check(mode)
+    if mode is None:
+        return
+    msg = (f"{name} overflow: max count {{a}} > budget {budget} — "
+           f"overflowing work is silently dropped. {hint}").rstrip()
+    if mode == "checkify":
+        from jax.experimental import checkify
+
+        checkify.check(actual <= budget, msg, a=actual)
+    elif mode == "warn":
+        def _cb(a):
+            if int(a) > budget:
+                import warnings
+
+                warnings.warn(
+                    msg.format(a=int(a)), RuntimeWarning, stacklevel=2
+                )
+
+        jax.debug.callback(_cb, actual)
+    else:
+        raise ValueError(f"unknown budget check mode {mode!r}")
+
+
 # Non-overlap sentinel for rank slots. Must never collide with a live
 # slot index for ANY n_slots a gather might use: the sublane soft layout
 # rounds per-tile slots up to a granule (and callers may size per_tile
@@ -922,6 +986,32 @@ def untile_image(per_tile: jax.Array, image_size, tile: int, n_tiles_hw):
     img = jnp.moveaxis(img, 3, 2).reshape((B, TH * tile, TW * tile) + trailing)
     H, W = image_size
     return img[:, :H, :W]
+
+
+def count_bbox_active_tiles(bbox_min, bbox_max, valid, image_size, tile: int):
+    """Max over the batch of the non-empty tile count for bbox binning
+    (sizing helper for bin_ranks_active on point clouds, cf.
+    count_active_tiles for faces). Call with concrete data outside jit;
+    chunks the item axis like count_bbox_overflow."""
+    H, W = image_size
+    s = min(H, W) / 2.0
+    TH, TW, origin = tile_grid(image_size, tile)
+    tile_extent = tile / s
+    t_lo = origin[None, :, None, :]
+    t_hi = t_lo + tile_extent
+    N = valid.shape[-1]
+    chunk = 8192
+    nonempty = None
+    for n0 in range(0, N, chunk):
+        lo_c = bbox_min[:, n0:n0 + chunk]
+        hi_c = bbox_max[:, n0:n0 + chunk]
+        v_c = valid[:, n0:n0 + chunk]
+        any_c = jnp.any(jnp.all(
+            (lo_c[:, None, :, :] <= t_hi) & (hi_c[:, None, :, :] >= t_lo),
+            axis=-1,
+        ) & v_c[:, None, :], axis=-1)  # (B, T)
+        nonempty = any_c if nonempty is None else (nonempty | any_c)
+    return int(jnp.max(jnp.sum(nonempty.astype(jnp.int32), axis=-1)))
 
 
 def count_bbox_overflow(bbox_min, bbox_max, valid, image_size, tile: int):

@@ -60,7 +60,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .binning import bin_faces_ranked, gather_rank_planes, untile_image
+from .binning import (
+    bin_faces_ranked,
+    check_budget,
+    gather_rank_planes,
+    untile_image,
+)
 from .fragments import EMPTY_DIST, Fragments
 from .geometry import FaceRasterData
 
@@ -717,9 +722,19 @@ def rasterize_binned_pallas(
             fd_sel, (H, W), tile, pad_radius, settings.active_tiles
         )
         origins = bins.origin                                 # (B, A, 2)
+        check_budget(
+            "active_tiles", jnp.max(bins.n_active), settings.active_tiles,
+            settings.check_budgets,
+            hint="size with binning.suggest_active_tiles_fd",
+        )
     else:
         bins = bin_faces_ranked(fd_sel, (H, W), tile, pad_radius)
         origins = None
+    check_budget(
+        "max_faces_per_bin", jnp.max(bins.count),
+        min(settings.max_faces_per_bin, fd.num_faces), settings.check_budgets,
+        hint="size with pallas_soft.suggest_faces_per_tile / count_overflow",
+    )
     B = fd.valid.shape[0]
     F = fd.num_faces
     fid = jnp.broadcast_to(
@@ -880,6 +895,16 @@ def rasterize_packed_pallas(
     )
     A = bins.slot.shape[1]
     Fmax = min(settings.max_faces_per_bin, F)
+    check_budget(
+        "active_tiles", jnp.max(bins.n_active), settings.active_tiles,
+        settings.check_budgets,
+        hint="size with binning.suggest_active_tiles_fd",
+    )
+    check_budget(
+        "max_faces_per_bin", jnp.max(bins.count), Fmax,
+        settings.check_budgets,
+        hint="size with pallas_soft.suggest_faces_per_tile / count_overflow",
+    )
 
     # one gather serves both stages: the kernel's stop-grad selection
     # channels AND the differentiable re-interpolation planes
@@ -917,6 +942,11 @@ def rasterize_packed_pallas(
 
     packed, n_valid = pack_groups(slabs, capped, S_g)   # (B*G, S_g, 9)
     cg, off = group_offsets(capped, Fmax)               # (B, G, 8)
+    check_budget(
+        "group_lanes", jnp.max(jnp.sum(cg, axis=-1)), S_g,
+        settings.check_budgets,
+        hint="size with binning.suggest_group_lanes_fd",
+    )
     ev = packed_ev_row(cg, n_valid, S_g).reshape(B * G, 1, S_g)
     n_chunks = -(-n_valid // _FC)                       # (B, G)
     meta = jnp.zeros((B * G, 1, S_g), jnp.float32)

@@ -708,6 +708,7 @@ def soft_silhouette_pallas_fd(
     group_lanes: int | None = None,
     hi_tiles: int | None = None,
     lo_lanes: int = 32,
+    check_budgets: str | None = None,
 ) -> jax.Array:
     """Tile-binned soft coverage (B, H, W) through the fused Pallas kernel.
 
@@ -766,15 +767,22 @@ def soft_silhouette_pallas_fd(
             fd, image_size, sigma, tile, faces_per_tile, active_tiles,
             group_lanes, return_sum, pad,
             hi_tiles=hi_tiles, lo_lanes=lo_lanes,
+            check_budgets=check_budgets,
         )
     # rank-binning: candidate slots come from a prefix count of the overlap
     # mask (no top_k sort) and the slot one-hot feeds the gather contraction
     # directly — see binning.bin_ranks. Replaced the bin_faces top_k path,
     # which was ~1.5 ms of the 7 ms north-star step.
+    from .binning import check_budget
+
     if active_tiles is not None:
         bins = bin_faces_active(fd, image_size, tile, pad, active_tiles)
         T_run = bins.slot.shape[1]                          # = A
         origins = bins.origin                               # (B, A, 2)
+        check_budget(
+            "active_tiles", jnp.max(bins.n_active), active_tiles,
+            check_budgets, hint="size with suggest_active_tiles",
+        )
     else:
         bins = bin_faces_ranked(fd, image_size, tile, pad)
         T_run = bins.slot.shape[1]                          # = T
@@ -782,6 +790,10 @@ def soft_silhouette_pallas_fd(
     TH, TW = bins.n_tiles_hw
     T = TH * TW
     Fmax = min(faces_per_tile, fd.num_faces)
+    check_budget(
+        "faces_per_tile", jnp.max(bins.count), Fmax, check_budgets,
+        hint="size with suggest_faces_per_tile",
+    )
 
     # per-tile corner channels via the one-hot MXU gather (TPU arbitrary-
     # index gathers run nearly scalar; see binning.gather_rank_planes)
@@ -999,7 +1011,7 @@ def suggest_occupancy_split(
 def _soft_silhouette_pallas_packed(
     fd: FaceRasterData, image_size, sigma, tile, faces_per_tile,
     active_tiles, group_lanes, return_sum, pad,
-    hi_tiles=None, lo_lanes: int = 32,
+    hi_tiles=None, lo_lanes: int = 32, check_budgets: str | None = None,
 ) -> jax.Array:
     """Group-packed assembly: active-compact, gather per-tile corner
     channels (the usual one-hot MXU gather), translate each tile's
@@ -1024,6 +1036,22 @@ def _soft_silhouette_pallas_packed(
     bins = bin_faces_active(fd, image_size, tile, pad, active_tiles,
                             order="count" if split else "tile")
     A = bins.slot.shape[1]
+    from .binning import check_budget
+
+    check_budget(
+        "active_tiles", jnp.max(bins.n_active), active_tiles,
+        check_budgets, hint="size with suggest_active_tiles",
+    )
+    check_budget(
+        "faces_per_tile", jnp.max(bins.count), Fmax, check_budgets,
+        hint="size with suggest_faces_per_tile",
+    )
+    if split:
+        check_budget(
+            "occupancy_split lo_lanes", jnp.max(bins.count[:, hi_tiles:]),
+            min(lo_lanes, Fmax), check_budgets,
+            hint="size with suggest_occupancy_split",
+        )
     if split and (hi_tiles % _TN or hi_tiles >= A):
         raise ValueError(
             f"hi_tiles must be a multiple of {_TN} and < active tiles "
@@ -1086,6 +1114,10 @@ def _soft_silhouette_pallas_packed(
     from .binning import packed_ev_row
 
     cg = jnp.minimum(capped, Fmax).reshape(B, G, _TN)
+    check_budget(
+        "group_lanes", jnp.max(jnp.sum(cg, axis=-1)), S_g, check_budgets,
+        hint="size with suggest_group_lanes",
+    )
     ev = packed_ev_row(cg, n_valid, S_g).reshape(B * G, 1, S_g)
 
     meta = jnp.zeros((B * G, 1, S_g), jnp.float32)

@@ -132,6 +132,14 @@ class RasterizationSettings:
     # inverse). Fields whose VMEM working set exceeds the kernel's budget
     # (large K bary stacks) fall back to the XLA epilogue per-field.
     untile_impl: str = "xla"
+    # Opt-in runtime guard for every silent-drop budget on the binned paths
+    # (face bins, active tiles, occupancy-split tail lanes): None (off, or
+    # the process default from binning.set_budget_check_default), "warn"
+    # (host warning via jax.debug.callback whenever a true candidate count
+    # exceeds its budget), or "checkify" (emits checkify checks; wrap the
+    # calling function with utils.debug.checked_budgets). Costs one count
+    # reduction per budget — the counts already exist on these paths.
+    check_budgets: Optional[str] = None
 
     @property
     def clip_bary(self) -> bool:
@@ -356,6 +364,7 @@ def _rasterize_binned(fd: FaceRasterData, settings: RasterizationSettings) -> Fr
     from .binning import (
         bin_faces_active,
         bin_faces_ranked,
+        check_budget,
         gather_rank_channels,
         scatter_active_bg,
         tile_pixel_coords,
@@ -383,9 +392,19 @@ def _rasterize_binned(fd: FaceRasterData, settings: RasterizationSettings) -> Fr
             order="count" if split is not None else "tile",
         )
         origins = bins.origin                                 # (B, A, 2)
+        check_budget(
+            "active_tiles", jnp.max(bins.n_active), settings.active_tiles,
+            settings.check_budgets,
+            hint="size with binning.suggest_active_tiles_fd",
+        )
     else:
         bins = bin_faces_ranked(fd_sel, (H, W), tile, pad_radius)
         origins = None
+    check_budget(
+        "max_faces_per_bin", jnp.max(bins.count),
+        min(settings.max_faces_per_bin, fd.num_faces), settings.check_budgets,
+        hint="size with pallas_soft.suggest_faces_per_tile / count_overflow",
+    )
     B = fd.valid.shape[0]
     F = fd.num_faces
     fid = jnp.broadcast_to(
@@ -532,6 +551,13 @@ def _rasterize_binned(fd: FaceRasterData, settings: RasterizationSettings) -> Fr
         hi, lo_lanes = split
         A = bins.slot.shape[1]
         hi = max(1, int(hi))
+        # tail tiles run at lo_lanes; counts are DESCENDING so the first
+        # tail tile carries the max
+        check_budget(
+            "occupancy_split lo_lanes", jnp.max(bins.count[:, hi:]),
+            int(lo_lanes), settings.check_budgets,
+            hint="size with binning.suggest_occupancy_split_fd",
+        )
         sub = lambda lo_, hi_: bins._replace(
             slot=bins.slot[:, lo_:hi_], count=bins.count[:, lo_:hi_]
         )

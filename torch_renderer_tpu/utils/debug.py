@@ -31,6 +31,26 @@ def anomaly_detection(nans: bool = True, infs: bool = True):
         jax.config.update("jax_debug_infs", old_infs)
 
 
+def checked_budgets(fn: Callable, *, jit: bool = True) -> Callable:
+    """Functionalize the binned paths' budget guards (check_budgets=
+    'checkify' on RasterizationSettings / PointsRasterizationSettings /
+    the soft-silhouette entry points): returns fn' that raises
+    checkify.JaxRuntimeError on the host whenever a silent-drop budget
+    (face/point bins, active tiles, group lanes, occupancy-split tail)
+    overflowed during the call. With check_budgets='warn' no wrapper is
+    needed (the guard is a host warning via jax.debug.callback)."""
+    cfn = checkify.checkify(fn, errors=checkify.user_checks)
+    if jit:
+        cfn = jax.jit(cfn)
+
+    def wrapper(*args, **kwargs):
+        err, out = cfn(*args, **kwargs)
+        checkify.check_error(err)
+        return out
+
+    return wrapper
+
+
 def checked(fn: Callable, *, jit: bool = True) -> Callable:
     """Wrap fn with checkify float checks; returns fn' that raises on the
     host if any check fired. Works under jit/scan (errors are values)."""
