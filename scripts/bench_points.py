@@ -69,6 +69,7 @@ def main():
 
     from torch_renderer_tpu.rasterize.points import (
         PointsRasterizationSettings,
+        suggest_active_tiles_points,
         suggest_points_per_bin,
     )
 
@@ -97,14 +98,25 @@ def main():
     )
     mpb_s = suggest_points_per_bin(pcd, cam_s, probe, radius=r_ndc)
     print(f"auto max_points_per_bin (sphere r_ndc) = {mpb_s}")
+    act = suggest_active_tiles_points(
+        pcd, AlphaPointRender(K, (S, S)).camera_with_pose(R, t), probe)
+    act_s = suggest_active_tiles_points(pcd, cam_s, probe, radius=r_ndc)
+    print(f"auto active_tiles = {act} (sphere {act_s})")
     bkw = dict(radius=0.01, bin_size=16, max_points_per_bin=mpb)
     renderers = {
         "alpha (dense)": AlphaPointRender(K, (S, S), radius=0.01),
-        "alpha (binned)": AlphaPointRender(K, (S, S), **bkw),
+        "alpha (binned xla)": AlphaPointRender(K, (S, S), impl="xla", **bkw),
+        "alpha (binned pallas)": AlphaPointRender(
+            K, (S, S), impl="pallas", **bkw),
+        "alpha (binned pallas+act)": AlphaPointRender(
+            K, (S, S), impl="pallas", active_tiles=act, **bkw),
         "norm (binned)": NormPointRender(K, (S, S), **bkw),
         "pulsar_splat (binned)": PulsarPointRender(K, (S, S), **bkw),
         "pulsar_sphere (binned)": PulsarRenderer(
             K, (S, S), radius=0.01, bin_size=16, max_points_per_bin=mpb_s),
+        "pulsar_sphere (binned+act)": PulsarRenderer(
+            K, (S, S), radius=0.01, bin_size=16, max_points_per_bin=mpb_s,
+            active_tiles=act_s),
     }
 
     def scan_time(fn, x0):

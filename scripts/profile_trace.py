@@ -231,11 +231,72 @@ def _jointfit():
     return jax.jit(one_step), (params, opt_state, jax.random.PRNGKey(0))
 
 
+def _points():
+    """One binned alpha-compositor point render (scripts/bench_points.py's
+    4x20k-point 256^2 K=8 config). PROFILE_GRAD=1 profiles the grad step
+    (feature-MSE loss w.r.t. positions); PROFILE_SPHERE=1 profiles the
+    per-sphere-radius Pulsar renderer (the 32-50 ms session-spread case)."""
+    import dataclasses
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from torch_renderer_tpu.rasterize.points import (
+        PointsRasterizationSettings,
+        suggest_points_per_bin,
+    )
+    from torch_renderer_tpu.renderer import AlphaPointRender, PulsarRenderer
+    from torch_renderer_tpu.structures.pointclouds import Pointclouds
+
+    B, P, S = 4, 20000, 256
+    rng = np.random.default_rng(0)
+    pts = rng.standard_normal((B, P, 3)).astype(np.float32) * 0.8
+    feats = rng.uniform(0.0, 1.0, (B, P, 3)).astype(np.float32)
+    pcd = Pointclouds(
+        points=jnp.asarray(pts), num_points=jnp.full((B,), P, jnp.int32),
+        features=jnp.asarray(feats),
+    )
+    f = 0.8 * S
+    K = np.array([[f, 0, S / 2.0], [0, f, S / 2.0], [0, 0, 1.0]], np.float32)
+    R = np.broadcast_to(np.eye(3, dtype=np.float32), (B, 3, 3))
+    t = np.tile(np.array([0.0, 0.0, 2.5], np.float32), (B, 1))
+    probe = PointsRasterizationSettings(
+        image_size=(S, S), radius=0.01, bin_size=16)
+    if os.environ.get("PROFILE_SPHERE"):
+        sph = PulsarRenderer(K, (S, S), radius=0.01, bin_size=16)
+        cam_s = sph.camera_with_pose(R, t)
+        pts_cam = cam_s.world_to_camera(pcd.points)
+        fmax = jnp.maximum(cam_s.fx, cam_s.fy)[:, None]
+        r_ndc = 0.01 * fmax / (
+            cam_s.ndc_scale
+            * jnp.maximum(pts_cam[..., 2] - 0.01, sph.settings.znear))
+        mpb = suggest_points_per_bin(pcd, cam_s, probe, radius=r_ndc)
+        r = PulsarRenderer(K, (S, S), radius=0.01, bin_size=16,
+                           max_points_per_bin=mpb)
+    else:
+        r0 = AlphaPointRender(K, (S, S))
+        mpb = suggest_points_per_bin(pcd, r0.camera_with_pose(R, t), probe)
+        r = AlphaPointRender(K, (S, S), radius=0.01, bin_size=16,
+                             max_points_per_bin=mpb)
+
+    def fwd(p):
+        pc = dataclasses.replace(pcd, points=p)
+        return r.render(pc, R, t)
+
+    if os.environ.get("PROFILE_GRAD"):
+        step = jax.jit(jax.grad(lambda p: jnp.sum(fwd(p) ** 2)))
+    else:
+        step = jax.jit(fwd)
+    return step, (pcd.points,)
+
+
 WORKLOADS = {
     "northstar": _northstar,
     "posefit": _posefit,
     "depth720": _depth720,
     "jointfit": _jointfit,
+    "points": _points,
 }
 
 

@@ -180,6 +180,105 @@ def test_binned_matches_dense_gradients():
     )
 
 
+def test_binned_active_tiles_exact_fragments():
+    """Active-tile compaction (PointsRasterizationSettings.active_tiles) is
+    bit-exact vs the uncompacted binned path — fragments AND gradients —
+    with headroom or at the exact non-empty count."""
+    from torch_renderer_tpu.rasterize.points import (
+        suggest_active_tiles_points,
+    )
+
+    rng = np.random.default_rng(3)
+    pts = rng.normal(0, 0.15, size=(2, 400, 3)).astype(np.float32)
+    pts[..., 2] += 2.5  # tight cloud: leaves some of the 16 tiles empty
+    pcl = Pointclouds.from_padded(jnp.asarray(pts))
+    camera = cam()
+    base = PointsRasterizationSettings(
+        (H, W), radius=0.04, points_per_pixel=4,
+        bin_size=16, max_points_per_bin=128,
+    )
+    act = suggest_active_tiles_points(pcl, camera, base)
+    assert act < 16  # the compaction is a real reduction on this cloud
+    plain = rasterize_points(pcl, camera, base)
+    import dataclasses
+
+    for a in (act, 16):  # suggested budget and the full grid
+        comp = rasterize_points(
+            pcl, camera, dataclasses.replace(base, active_tiles=a)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(plain.idx), np.asarray(comp.idx))
+        np.testing.assert_array_equal(
+            np.asarray(plain.zbuf), np.asarray(comp.zbuf))
+        np.testing.assert_array_equal(
+            np.asarray(plain.dists2), np.asarray(comp.dists2))
+
+    # gradients (through zbuf+dists2 like the dense-parity test), and
+    # feature channels riding the gather
+    w = jnp.cos(jnp.arange(H * W, dtype=jnp.float32)).reshape(1, H, W)
+
+    def loss(points, active):
+        frags = rasterize_points(
+            Pointclouds.from_padded(points), camera,
+            dataclasses.replace(base, active_tiles=active),
+            extra=jnp.ones((2, points.shape[1], 2)) * points[..., 2:3],
+        )
+        m = frags.mask
+        contrib = (jnp.where(m, frags.zbuf, 0.0)
+                   + jnp.where(m, frags.dists2, 0.0)
+                   + jnp.sum(frags.features, axis=-1))
+        return jnp.sum(jnp.sum(contrib, axis=-1) * w)
+
+    g_plain = jax.grad(lambda p: loss(p, None))(pcl.points)
+    g_comp = jax.grad(lambda p: loss(p, act))(pcl.points)
+    assert np.isfinite(np.asarray(g_comp)).all()
+    np.testing.assert_allclose(
+        np.asarray(g_plain), np.asarray(g_comp), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_binned_pallas_select_exact_fragments():
+    """The fused Pallas selection kernel (points.impl='pallas'; interpret
+    mode off-TPU) is bit-exact vs the XLA K-extraction loop — fragments,
+    features, and gradients (both impls share the differentiable winner
+    one-hot einsum epilogue; the kernel only replaces the selection)."""
+    import dataclasses
+
+    pcl = _random_cloud()
+    camera = cam()
+    base = PointsRasterizationSettings(
+        (H, W), radius=0.04, points_per_pixel=4,
+        bin_size=16, max_points_per_bin=128, impl="xla",
+    )
+    extra = jnp.ones((2, 400, 2)) * pcl.points[..., 2:3]
+    a = rasterize_points(pcl, camera, base, extra=extra)
+    for act in (None, 16):  # composes with active-tile compaction
+        s = dataclasses.replace(base, impl="pallas", active_tiles=act)
+        b = rasterize_points(pcl, camera, s, extra=extra)
+        np.testing.assert_array_equal(np.asarray(a.idx), np.asarray(b.idx))
+        np.testing.assert_array_equal(np.asarray(a.zbuf), np.asarray(b.zbuf))
+        np.testing.assert_array_equal(
+            np.asarray(a.dists2), np.asarray(b.dists2))
+        np.testing.assert_array_equal(
+            np.asarray(a.features), np.asarray(b.features))
+
+    def loss(p, impl):
+        s = dataclasses.replace(base, impl=impl)
+        fr = rasterize_points(
+            Pointclouds.from_padded(p), camera, s,
+            extra=jnp.ones((2, 400, 2)) * p[..., 2:3])
+        m = fr.mask
+        return (jnp.sum(jnp.where(m, fr.zbuf, 0.0)
+                        + jnp.where(m, fr.dists2, 0.0))
+                + jnp.sum(fr.features))
+
+    g1 = jax.grad(lambda p: loss(p, "xla"))(pcl.points)
+    g2 = jax.grad(lambda p: loss(p, "pallas"))(pcl.points)
+    assert np.isfinite(np.asarray(g2)).all()
+    np.testing.assert_allclose(
+        np.asarray(g1), np.asarray(g2), atol=1e-5, rtol=1e-5)
+
+
 def test_binned_small_cloud_fewer_points_than_k():
     pcl = Pointclouds.from_padded(jnp.asarray([[[0.0, 0.0, 2.0]]]))
     frags = rasterize_points(

@@ -71,6 +71,28 @@ class PointsRasterizationSettings:
     pixel_chunk: int = 8192
     bin_size: Union[None, int] = None
     max_points_per_bin: int = 128
+    # Binned-path K-extraction engine: "xla" = the iota-argmin passes as
+    # XLA reductions (measured 16.9 ms of the 27.8 ms forward at the
+    # 4x20k/256^2/K=8 bench — each pass re-reads the (tp, Pmax) priority
+    # slab from HBM); "pallas" = the fused selection kernel
+    # (pallas_points.points_select_pallas) that keeps the slab in VMEM
+    # across all K passes (selection only — the differentiable winner
+    # one-hot einsum epilogue is shared, so fragments are bit-exact
+    # between impls); "auto" = pallas on TPU, xla elsewhere.
+    impl: str = "auto"
+    # Active-tile compaction (the mesh path's lever, binning.bin_ranks_active):
+    # compact the tile axis to this many non-empty tiles before the candidate
+    # gather + per-tile K extraction, scattering the fragments back to the
+    # full grid afterwards (exact; empty tiles carry background). The bin
+    # gather's one-hot (T x Pmax x N) contraction dominates the binned
+    # forward, and point clouds rarely cover every tile — size with
+    # suggest_active_tiles_points (tiles beyond the budget are DROPPED,
+    # like overflowing point bins).
+    active_tiles: Union[None, int] = None
+    # Opt-in runtime guard for the silent-drop point-bin budget: None (off /
+    # process default), "warn", or "checkify" — see
+    # RasterizationSettings.check_budgets / binning.check_budget.
+    check_budgets: Union[None, str] = None
 
 
 def project_points_screen(
@@ -163,13 +185,35 @@ def _rasterize_points_binned(
             "channels (exact only below 2^24); split the cloud"
         )
     r = jnp.sqrt(radius2)
-    bins = bin_ranks(
-        jax.lax.stop_gradient(q - r[..., None]),
-        jax.lax.stop_gradient(q + r[..., None]),
-        valid, (H, W), tile,
-    )
-    T = bins.slot.shape[1]
+    lo = jax.lax.stop_gradient(q - r[..., None])
+    hi = jax.lax.stop_gradient(q + r[..., None])
+    compact = settings.active_tiles is not None
+    if compact:
+        from .binning import bin_ranks_active
+
+        bins = bin_ranks_active(
+            lo, hi, valid, (H, W), tile, settings.active_tiles
+        )
+        origins = bins.origin                                # (B, A, 2)
+        from .binning import check_budget
+
+        check_budget(
+            "active_tiles", jnp.max(bins.n_active), settings.active_tiles,
+            settings.check_budgets,
+            hint="size with points.suggest_active_tiles_points",
+        )
+    else:
+        bins = bin_ranks(lo, hi, valid, (H, W), tile)
+        origins = None
+    T = bins.slot.shape[1]                                   # = A if compact
     Pmax = min(settings.max_points_per_bin, N)
+    from .binning import check_budget
+
+    check_budget(
+        "max_points_per_bin", jnp.max(bins.count), Pmax,
+        settings.check_budgets,
+        hint="size with points.suggest_points_per_bin",
+    )
 
     # candidate channels x, y, z, r2 + the global point id riding the
     # one-hot contraction as one f32 channel (exact below 2^24)
@@ -192,7 +236,9 @@ def _rasterize_points_binned(
     local = tile_pixel_coords((H, W), tile)          # (tp, 2)
     chf = ch.reshape(B * T, Pmax, 5 + CE)
     vf = valid_t.reshape(B * T, Pmax)
-    of = jnp.broadcast_to(bins.tile_origin[None], (B, T, 2)).reshape(B * T, 2)
+    if origins is None:
+        origins = jnp.broadcast_to(bins.tile_origin[None], (B, T, 2))
+    of = origins.reshape(B * T, 2)
 
     NT = B * T
     tiles_per_chunk = max(1, min(settings.pixel_chunk // tp, NT))
@@ -204,6 +250,41 @@ def _rasterize_points_binned(
 
     iota_p = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Pmax), 2)
     k_eff = min(K, Pmax)
+
+    def winner_channels(g, mk, px, py):
+        """ONE differentiable one-hot einsum per hit pulls all candidate
+        channels together; d2 recomputed from the winner's gathered x/y so
+        gradients flow through the gather, never a scatter."""
+        sel = jnp.einsum(
+            "cfn,ctf->cnt", g, mk.astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST,
+        )                                            # (c, 5+CE, tp)
+        wx, wy, wz = sel[:, 0], sel[:, 1], sel[:, 2]
+        ddx = px - wx
+        ddy = py - wy
+        d2 = ddx * ddx + ddy * ddy
+        idx = jnp.round(sel[:, 4]).astype(jnp.int32)
+        feat = jnp.moveaxis(sel[:, 5:], 1, -1) if CE else None  # (c, tp, CE)
+        return wz, d2, idx, feat
+
+    def stack_k(zbufs, d2s, idxs, lives, featl):
+        for _ in range(k_eff, K):                    # clouds smaller than K
+            zbufs.append(jnp.zeros_like(zbufs[0]))
+            d2s.append(jnp.zeros_like(d2s[0]))
+            idxs.append(jnp.zeros_like(idxs[0]))
+            lives.append(jnp.zeros_like(lives[0]))
+            if CE:
+                featl.append(jnp.zeros_like(featl[0]))
+        live = jnp.stack(lives, axis=-1)
+        zbuf = jnp.where(live, jnp.stack(zbufs, axis=-1), -1.0)
+        dist2 = jnp.where(live, jnp.stack(d2s, axis=-1), -1.0)
+        pidx = jnp.where(live, jnp.stack(idxs, axis=-1), -1)
+        if CE:
+            feats = jnp.where(
+                live[..., None], jnp.stack(featl, axis=-2), 0.0
+            )  # (c, tp, K, CE)
+            return pidx, zbuf, dist2, feats
+        return pidx, zbuf, dist2
 
     def per_chunk(args):
         g, v, o = args                               # (c, Pmax, 5), ...
@@ -231,48 +312,100 @@ def _rasterize_points_binned(
             live = zmin < INF
             mk = (amin[..., None] == iota_p) & live[..., None]
             priority = jnp.where(mk, INF, priority)
-            sel = jnp.einsum(
-                "cfn,ctf->cnt", g, mk.astype(jnp.float32),
-                precision=jax.lax.Precision.HIGHEST,
-            )                                        # (c, 5, tp)
-            wx, wy, wz = sel[:, 0], sel[:, 1], sel[:, 2]
-            ddx = px - wx
-            ddy = py - wy
+            wz, d2, idx, feat = winner_channels(g, mk, px, py)
             zbufs.append(wz)
-            d2s.append(ddx * ddx + ddy * ddy)
-            idxs.append(jnp.round(sel[:, 4]).astype(jnp.int32))
+            d2s.append(d2)
+            idxs.append(idx)
             lives.append(live)
             if CE:
-                featl.append(jnp.moveaxis(sel[:, 5:], 1, -1))  # (c, tp, CE)
-        for _ in range(k_eff, K):                    # clouds smaller than K
-            zbufs.append(jnp.zeros_like(zbufs[0]))
-            d2s.append(jnp.zeros_like(d2s[0]))
-            idxs.append(jnp.zeros_like(idxs[0]))
-            lives.append(jnp.zeros_like(lives[0]))
+                featl.append(feat)
+        return stack_k(zbufs, d2s, idxs, lives, featl)
+
+    def per_chunk_pallas(args):
+        # selection came from the fused kernel (lane/live per k); only the
+        # differentiable winner einsums + fragment math run here
+        g, o, lane_c, live_c = args                  # lane_c (c, K', tp)
+        px = local[None, :, 0] + o[:, 0:1]
+        py = local[None, :, 1] + o[:, 1:2]
+        zbufs, d2s, idxs, lives, featl = [], [], [], [], []
+        for k in range(k_eff):
+            lv = live_c[:, k, :]
+            mk = (lane_c[:, k, :, None] == iota_p) & lv[..., None]
+            wz, d2, idx, feat = winner_channels(g, mk, px, py)
+            zbufs.append(wz)
+            d2s.append(d2)
+            idxs.append(idx)
+            lives.append(lv)
             if CE:
-                featl.append(jnp.zeros_like(featl[0]))
+                featl.append(feat)
+        return stack_k(zbufs, d2s, idxs, lives, featl)
 
-        live = jnp.stack(lives, axis=-1)
-        zbuf = jnp.where(live, jnp.stack(zbufs, axis=-1), -1.0)
-        dist2 = jnp.where(live, jnp.stack(d2s, axis=-1), -1.0)
-        pidx = jnp.where(live, jnp.stack(idxs, axis=-1), -1)
-        if CE:
-            feats = jnp.where(
-                live[..., None], jnp.stack(featl, axis=-2), 0.0
-            )  # (c, tp, K, CE)
-            return pidx, zbuf, dist2, feats
-        return pidx, zbuf, dist2
+    if settings.impl not in ("auto", "xla", "pallas"):
+        raise ValueError(f"unknown impl {settings.impl!r}")
+    use_pallas = settings.impl == "pallas" or (
+        settings.impl == "auto" and jax.default_backend() == "tpu"
+    )
+    if use_pallas:
+        from .pallas_points import _PC, _TN, points_select_pallas
 
-    outs = jax.lax.map(per_chunk, (padc(chf), padc(vf), padc(of)))
+        # assemble the kernel's (N, 8, Ppad) slab: stop-grad channel rows
+        # x/y/z/r2 + valid + origin/count meta rows, lanes 128-padded
+        Ppad = Pmax + (-Pmax) % _PC
+        ksl = jax.lax.stop_gradient(
+            jnp.swapaxes(ch[..., :4], 2, 3))         # (B, T, 4, Pmax)
+        padp = lambda a: jnp.pad(
+            a, ((0, 0), (0, 0), (0, 0), (0, Ppad - Pmax)))
+        vrow = valid_t.astype(jnp.float32)[:, :, None, :]
+        zrow = jnp.zeros((B, T, 1, Ppad), jnp.float32)
+        orow = jnp.zeros((B, T, 1, Ppad), jnp.float32)
+        orow = orow.at[..., 0, 0].set(origins[..., 0])
+        orow = orow.at[..., 0, 1].set(origins[..., 1])
+        crow = jnp.zeros((B, T, 1, Ppad), jnp.float32)
+        crow = crow.at[..., 0, 0].set(
+            (-(-jnp.minimum(capped, Pmax) // _PC)).astype(jnp.float32))
+        planes_k = jnp.concatenate(
+            [padp(ksl), padp(vrow), zrow, orow, crow], axis=2
+        ).reshape(B * T, 8, Ppad)
+        padN = (-(B * T)) % _TN
+        if padN:
+            planes_k = jnp.pad(planes_k, ((0, padN), (0, 0), (0, 0)))
+        s = min(H, W) / 2.0
+        lane, live = points_select_pallas(
+            planes_k, tile, 1.0 / s, settings.znear, k_eff
+        )
+        lane = lane[:NT]
+        live = live[:NT]
+        outs = jax.lax.map(
+            per_chunk_pallas,
+            (padc(chf), padc(of), padc(lane), padc(live)),
+        )
+    else:
+        outs = jax.lax.map(per_chunk, (padc(chf), padc(vf), padc(of)))
 
-    def finish(a):
+    if compact:
+        from .binning import active_indicator, scatter_active_bg
+
+        ind = active_indicator(bins)
+
+    def finish(a, bg):
         a = a.reshape((n_chunks * tiles_per_chunk, tp) + a.shape[3:])[:NT]
         a = a.reshape((B, T, tp) + a.shape[2:])
+        if compact:
+            # scatter the active slots back to the full tile grid (exact
+            # one-hot contraction; int ids ride f32 — exact below 2^24,
+            # guarded above)
+            dtype = a.dtype
+            if dtype == jnp.int32:
+                a = a.astype(jnp.float32)
+            a = scatter_active_bg(a, bins, bg, indicator=ind)
+            if dtype == jnp.int32:
+                a = jnp.round(a).astype(jnp.int32)
         return untile_image(a, (H, W), tile, bins.n_tiles_hw)
 
     return PointFragments(
-        idx=finish(outs[0]), zbuf=finish(outs[1]), dists2=finish(outs[2]),
-        features=finish(outs[3]) if CE else None,
+        idx=finish(outs[0], -1), zbuf=finish(outs[1], -1.0),
+        dists2=finish(outs[2], -1.0),
+        features=finish(outs[3], 0.0) if CE else None,
     )
 
 
@@ -370,3 +503,35 @@ def suggest_points_per_bin(
     )
     want = int(math.ceil(float(mx) * margin / multiple)) * multiple
     return max(multiple, min(want, N))
+
+
+def suggest_active_tiles_points(
+    pcls: Pointclouds, camera: PerspectiveCamera,
+    settings: PointsRasterizationSettings,
+    radius=None, margin: float = 1.5, multiple: int = 8,
+) -> int:
+    """Smallest safe active-tile budget for this concrete cloud+camera
+    (max non-empty tile count over the batch, with headroom — clouds whose
+    footprint moves during a fit need the margin; tiles beyond the budget
+    are DROPPED like overflowing point bins). Call OUTSIDE jit; pass as
+    PointsRasterizationSettings.active_tiles."""
+    import math
+
+    from .binning import count_bbox_active_tiles, tile_grid
+
+    q, z, valid = project_points_screen(pcls, camera, settings.znear)
+    B, N = z.shape
+    if radius is None:
+        r = jnp.full((B, N), settings.radius, jnp.float32)
+    else:
+        r = jnp.broadcast_to(jnp.asarray(radius, jnp.float32), (B, N))
+    if settings.bin_size is None:
+        raise ValueError("suggest_active_tiles_points needs settings.bin_size")
+    n = count_bbox_active_tiles(
+        q - r[..., None], q + r[..., None], valid,
+        settings.image_size, settings.bin_size,
+    )
+    TH, TW, _ = tile_grid(settings.image_size, settings.bin_size)
+    T = TH * TW
+    want = int(math.ceil(n * margin / multiple)) * multiple
+    return max(multiple, min(want, T))

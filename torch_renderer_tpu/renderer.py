@@ -98,6 +98,7 @@ class MeshRenderer(DifferentiableRenderer):
         select_impl: str = "auto",
         untile_impl: str = "xla",
         recon_points: bool = False,
+        check_budgets: Optional[str] = None,
     ):
         """shade_k: shade only the nearest shade_k fragment slots for RGB
         (silhouette/depth keep all K); at the default gamma=1e-4 the
@@ -125,6 +126,7 @@ class MeshRenderer(DifferentiableRenderer):
             occupancy_split=occupancy_split,
             select_impl=select_impl,
             untile_impl=untile_impl,
+            check_budgets=check_budgets,
         )
         self.blend = BlendParams(sigma=sigma, gamma=gamma, background_color=background_color)
         self.lights = lights if lights is not None else PointLights.make()
@@ -253,6 +255,7 @@ class PointsRenderer(DifferentiableRenderer):
         radius: float = 0.01, points_per_pixel: int = 8,
         pixel_chunk: int = 8192,
         bin_size=None, max_points_per_bin: int = 128,
+        active_tiles=None, impl: str = "auto", check_budgets=None,
     ):
         """bin_size: coarse-to-fine point binning (strongly recommended
         past ~10k points: dense selection is O(pixels x points) — measured
@@ -267,6 +270,8 @@ class PointsRenderer(DifferentiableRenderer):
             image_size=self._image_size, radius=radius,
             points_per_pixel=points_per_pixel, pixel_chunk=pixel_chunk,
             bin_size=bin_size, max_points_per_bin=max_points_per_bin,
+            active_tiles=active_tiles, impl=impl,
+            check_budgets=check_budgets,
         )
 
     def rasterize(self, pointclouds, R, tvec, radius=None, extra=None):
