@@ -126,6 +126,57 @@ def test_coco_generation_end_to_end(tmp_path):
     assert 0 <= x < 64 and 0 <= y < 48 and w > 0 and h > 0
 
 
+def test_distractors_occlude_but_never_annotate(tmp_path):
+    """Distractor objects (reference BOP distractor mix,
+    coco_data_generator.py:140-152): rendered and occluding — their pixels
+    appear in seg at instance ids >= n_annotated — yet no annotation or
+    category ever references them."""
+    lib = ObjectLibrary.primitives(2)  # categories 1, 2 = targets
+    dlib = ObjectLibrary.primitives(3)  # reused geometry as distractors
+    cfg = DataGenConfig(
+        image_size=(48, 64), views_per_scene=2, objects_per_scene=(2, 2),
+        distractors_per_scene=(2, 2), min_visibility=0.0005,
+    )
+    gen = COCODataGenerator(lib, cfg, distractor_library=dlib)
+    rng = np.random.default_rng(5)
+    scene, poses = gen.sample_scene(rng)
+    assert scene.n_annotated == 2
+    assert len(poses) == 2  # distractors carry no pose entries
+    assert len(scene.object_categories) == 4
+    assert all(c == 0 for c in scene.object_categories[2:])  # background ids
+    rendered = gen.render_scene(scene, rng)
+    seg = np.asarray(rendered["segmentation"])
+    seg_ids = set(np.unique(seg).tolist())
+    # distractor instances (ids 2, 3) actually rasterize somewhere
+    assert seg_ids & {2, 3}, seg_ids
+
+    coco = gen.generate(str(tmp_path), n_scenes=2,
+                        rng=np.random.default_rng(7))
+    cat_ids = {c["id"] for c in coco["categories"]}
+    assert cat_ids == {1, 2}  # distractor geometry adds no categories
+    assert all(a["category_id"] in cat_ids for a in coco["annotations"])
+    # every poses.json object is a target too
+    with open(tmp_path / "poses.json") as f:
+        pose_log = json.load(f)
+    for frame in pose_log:
+        assert len(frame["objects"]) <= 2
+
+
+def test_distractor_flagged_entries_in_main_library():
+    """Entries flagged {'distractor': True} inside the main library are
+    split out of the target set (and the categories table)."""
+    lib = ObjectLibrary.primitives(3)
+    lib.entries[2] = dict(lib.entries[2], distractor=True)
+    cfg = DataGenConfig(
+        image_size=(48, 64), views_per_scene=1, objects_per_scene=(2, 2),
+        distractors_per_scene=(1, 1),
+    )
+    gen = COCODataGenerator(lib, cfg)
+    assert len(gen._targets) == 2 and len(gen._distract) == 1
+    scene, poses = gen.sample_scene(np.random.default_rng(0))
+    assert scene.n_annotated == 2 and len(scene.object_categories) == 3
+
+
 def test_packed_outputs_dtypes_and_roundtrip():
     """pack_outputs=True ships u8/u16/i8 off device; unpack helpers recover
     float values to within quantization error of the float path."""

@@ -52,6 +52,13 @@ class DataGenConfig:
     image_size: Tuple[int, int] = (480, 640)
     views_per_scene: int = 25          # reference renders 25 rgbd per scene
     objects_per_scene: Tuple[int, int] = (2, 5)
+    # Distractor objects per scene (the reference mixes BOP distractors
+    # into every scene, coco_data_generator.py:140-152): rendered and
+    # OCCLUDING in rgb/depth/normals/seg, but never annotated and absent
+    # from the categories table. Sampled from library entries flagged
+    # {"distractor": True} and/or the distractor_library passed to
+    # COCODataGenerator; (0, 0) disables.
+    distractors_per_scene: Tuple[int, int] = (0, 0)
     placement_extent: float = 0.35
     object_scale: float = 0.12
     # "rest": bbox-bottom-on-plane with random yaw (fast, static).
@@ -267,9 +274,28 @@ class COCODataGenerator:
     the single-device generator."""
 
     def __init__(self, library: ObjectLibrary,
-                 config: DataGenConfig = DataGenConfig(), device_mesh=None):
+                 config: DataGenConfig = DataGenConfig(), device_mesh=None,
+                 distractor_library: Optional[ObjectLibrary] = None):
         self.library = library
         self.config = config
+        # annotation targets vs distractors (reference BOP distractor mix,
+        # coco_data_generator.py:140-152): entries flagged distractor=True
+        # (and everything in distractor_library) render + occlude but are
+        # never annotated
+        self._targets = [
+            e for e in library.entries if not e.get("distractor")
+        ]
+        self._distract = [e for e in library.entries if e.get("distractor")]
+        if distractor_library is not None:
+            self._distract += list(distractor_library.entries)
+        if not self._targets:
+            raise ValueError("library has no non-distractor entries")
+        if config.distractors_per_scene[1] > 0 and not self._distract:
+            raise ValueError(
+                "distractors_per_scene > 0 but no distractor entries: flag "
+                "library entries {'distractor': True} or pass "
+                "distractor_library"
+            )
         self.device_mesh = device_mesh
         if device_mesh is not None:
             from ..parallel.mesh import DATA_AXIS
@@ -285,12 +311,21 @@ class COCODataGenerator:
             [[f, 0, W / 2.0], [0, f, H / 2.0], [0, 0, 1.0]], np.float32
         )
         # static scene padding budget: every sampled scene shares one
-        # compiled shape (max objects x largest library entry)
+        # compiled shape (max objects x largest library entry, plus the
+        # distractor budget)
         n_max = config.objects_per_scene[1]
-        self._pad_verts = n_max * max(e["verts"].shape[0] for e in library.entries)
+        self._pad_verts = n_max * max(
+            e["verts"].shape[0] for e in self._targets)
         self._pad_faces = n_max * max(
-            np.asarray(e["faces"]).shape[0] for e in library.entries
+            np.asarray(e["faces"]).shape[0] for e in self._targets
         )
+        nd_max = config.distractors_per_scene[1]
+        if nd_max > 0:
+            self._pad_verts += nd_max * max(
+                e["verts"].shape[0] for e in self._distract)
+            self._pad_faces += nd_max * max(
+                np.asarray(e["faces"]).shape[0] for e in self._distract
+            )
         if config.room:
             from ..structures.scenes import room_planes
 
@@ -317,7 +352,7 @@ class COCODataGenerator:
                 collision_proxies(
                     np.asarray(e["verts"], np.float32) * config.object_scale
                 )
-                for e in library.entries
+                for e in self._targets + self._distract
             ]
             self._settle_cfg = SettleConfig(
                 extent=config.placement_extent + config.object_scale
@@ -476,7 +511,8 @@ class COCODataGenerator:
         scene shares one compiled sim."""
         from .physics import drop_poses, settle_poses
 
-        n_max = self.config.objects_per_scene[1]
+        n_max = (self.config.objects_per_scene[1]
+                 + self.config.distractors_per_scene[1])
         n = len(picks)
         pad_pick = int(picks[0])
         idx = [int(p) for p in picks] + [pad_pick] * (n_max - n)
@@ -499,9 +535,20 @@ class COCODataGenerator:
         cfg = self.config
         lo, hi = cfg.objects_per_scene
         n = int(rng.integers(lo, hi + 1))
-        picks = rng.integers(0, len(self.library), n)
+        d_lo, d_hi = cfg.distractors_per_scene
+        n_d = int(rng.integers(d_lo, d_hi + 1)) if d_hi > 0 else 0
+        # one combined pick list: targets index self._targets, distractors
+        # index self._distract (offset by len(self._targets) so the physics
+        # proxies table — built over targets + distractors — lines up)
+        picks = list(rng.integers(0, len(self._targets), n))
+        if n_d:
+            picks += [
+                len(self._targets) + int(p)
+                for p in rng.integers(0, len(self._distract), n_d)
+            ]
+        entries_all = self._targets + self._distract
         xy = sample_nonoverlapping_xy(
-            rng, n, radius=cfg.object_scale, extent=cfg.placement_extent
+            rng, n + n_d, radius=cfg.object_scale, extent=cfg.placement_extent
         )
         # Image-texture materials are a per-SCENE choice: a textured scene
         # carries TexturesUV, a vertex-colored one TexturesVertex, and the
@@ -521,7 +568,8 @@ class COCODataGenerator:
         verts_list, faces_list, colors_list, cats, poses = [], [], [], [], []
         tiles, uvs_list = [], []
         for i, pick in enumerate(picks):
-            entry = self.library.entries[int(pick)]
+            entry = entries_all[int(pick)]
+            annotated = i < n  # distractors follow the targets in the list
             if settled is not None:
                 R, t_i = settled[0][i], settled[1][i]
                 com = self._proxies[int(pick)][1]
@@ -544,13 +592,14 @@ class COCODataGenerator:
                 uvs_list.append(planar_uvs(rng, entry["verts"]))
             else:
                 colors_list.append(self._object_colors(rng, v))
-            cats.append(entry["category_id"])
-            t = v.mean(axis=0)
-            poses.append({
-                "category_id": int(entry["category_id"]),
-                "name": entry["name"],
-                "R": R.tolist(), "t": t.tolist(),
-            })
+            cats.append(entry["category_id"] if annotated else 0)
+            if annotated:
+                t = v.mean(axis=0)
+                poses.append({
+                    "category_id": int(entry["category_id"]),
+                    "name": entry["name"],
+                    "R": R.tolist(), "t": t.tolist(),
+                })
         if self._room_geom is not None:
             # room rides as one extra merged object AFTER the annotated
             # objects (instance id n == len(poses)): present in rgb/depth/
@@ -573,8 +622,9 @@ class COCODataGenerator:
         if textured:
             # pad to the static max object count so the atlas (and with it
             # the compiled TexturesUV shape) is scene-count independent
-            n_slots = cfg.objects_per_scene[1] + (
-                1 if self._room_geom is not None else 0
+            n_slots = (
+                cfg.objects_per_scene[1] + cfg.distractors_per_scene[1]
+                + (1 if self._room_geom is not None else 0)
             )
             while len(tiles) < n_slots:
                 tiles.append(np.zeros_like(tiles[0]))
@@ -590,6 +640,7 @@ class COCODataGenerator:
                 verts_list, faces_list, colors_list, cats,
                 pad_verts_to=self._pad_verts, pad_faces_to=self._pad_faces,
             )
+        scene = dataclasses.replace(scene, n_annotated=n)
         return scene, poses
 
     # -- camera sampling -----------------------------------------------------
@@ -608,6 +659,8 @@ class COCODataGenerator:
                 if out else np.zeros((0, 3), np.float32))
 
     def _n_annotated(self, scene: SceneMeshes) -> int:
+        if scene.n_annotated is not None:
+            return scene.n_annotated
         return len(scene.object_categories) - (
             1 if self._room_geom is not None else 0
         )
@@ -880,7 +933,7 @@ class COCODataGenerator:
         io_futures = []
 
         cats = {}
-        for e in self.library.entries:
+        for e in self._targets:  # distractors never enter the table
             cats[e["category_id"]] = {
                 "id": int(e["category_id"]), "name": e["name"],
                 "supercategory": e.get("supercategory", "object"),

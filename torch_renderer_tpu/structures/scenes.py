@@ -26,11 +26,15 @@ class SceneMeshes:
     meshes: single-batch (B=1) padded Meshes containing every object.
     face_to_object: (F,) int32 object index per face (-1 for padding).
     object_categories: (N,) int32 category id per object.
+    n_annotated: objects [0, n_annotated) are annotation targets; objects
+    at/after it (distractors, room geometry) render and occlude but never
+    appear in annotations. None = every object is a target (legacy).
     """
 
     meshes: Meshes
     face_to_object: jax.Array
     object_categories: np.ndarray
+    n_annotated: Optional[int] = None
 
 
 def merge_meshes(
