@@ -63,6 +63,18 @@ def main():
                    help="model directory with the reference's "
                         "instances.json layout (categories with id/name/"
                         "filename/supercategory); overrides --objs")
+    p.add_argument("--load-textures", action="store_true",
+                   help="ingest the OBJs' own MTL/UV textures: textured "
+                        "scenes render each model with its real map")
+    p.add_argument("--texture-dir", type=str, default=None,
+                   help="directory of texture image files: textured scenes "
+                        "draw object/room materials from these (the "
+                        "reference's random texture folder)")
+    p.add_argument("--distractor-objs", type=str, nargs="*", default=None,
+                   help="OBJ paths rendered as occluding, non-annotated "
+                        "distractors (the reference's BOP distractor mix)")
+    p.add_argument("--distractors", type=str, default="0,0",
+                   help="min,max distractors per scene")
     args = p.parse_args()
     setup_platform(args)
 
@@ -77,17 +89,26 @@ def main():
     )
 
     if args.instances:
-        library = ObjectLibrary.from_instances_json(args.instances)
+        library = ObjectLibrary.from_instances_json(
+            args.instances, load_textures=args.load_textures)
     elif args.objs:
-        library = ObjectLibrary.from_obj_files(args.objs)
+        library = ObjectLibrary.from_obj_files(
+            args.objs, load_textures=args.load_textures)
     else:
         library = ObjectLibrary.primitives()
+    distractor_library = None
+    if args.distractor_objs:
+        distractor_library = ObjectLibrary.from_obj_files(
+            args.distractor_objs, load_textures=args.load_textures)
+    d_lo, d_hi = (int(x) for x in args.distractors.split(","))
 
     cfg = DataGenConfig(
         image_size=(args.height, args.width),
         views_per_scene=args.views_per_scene,
         objects_per_scene=(args.min_objects, args.max_objects),
+        distractors_per_scene=(d_lo, d_hi),
         material_mode=args.material_mode,
+        texture_dir=args.texture_dir,
         placement_mode=args.placement,
         edge_maps=args.edge_maps,
         normal_maps=not args.no_normals,
@@ -103,7 +124,8 @@ def main():
         device_mesh = make_mesh(shape)
         print(f"device mesh {dict(device_mesh.shape)} over "
               f"{len(device_mesh.devices.flat)} devices")
-    gen = COCODataGenerator(library, cfg, device_mesh=device_mesh)
+    gen = COCODataGenerator(library, cfg, device_mesh=device_mesh,
+                            distractor_library=distractor_library)
 
     t0 = time.perf_counter()
     coco = gen.generate(args.out_dir, args.scenes,

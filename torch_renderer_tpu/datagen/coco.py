@@ -44,7 +44,7 @@ from ..structures.scenes import (
     sample_nonoverlapping_xy,
 )
 from ..transforms.so3 import euler_angles_to_matrix
-from .texgen import pack_atlas, planar_uvs, random_texture
+from .texgen import pack_atlas, planar_uvs, random_texture, resize_texture
 
 
 @dataclasses.dataclass(frozen=True)
@@ -72,6 +72,12 @@ class DataGenConfig:
     max_inplane_deg: float = 25.0
     material_mode: str = "random"      # vertex | uniform | texture | random
     texture_size: int = 128            # per-object tile size in texture mode
+    # Directory of real texture image files (the reference randomizes
+    # materials from a texture folder, coco_data_generator.py:253-266):
+    # textured scenes draw object/room tiles from these images (resized to
+    # texture_size) instead of procedural patterns. Objects carrying their
+    # OWN texture (ObjectLibrary load_textures=True) always keep it.
+    texture_dir: Optional[str] = None
     min_visibility: float = 0.002      # drop annotations below this coverage
     # Room geometry (reference coco_data_generator.py:174-188): floor + 4
     # walls with per-scene randomized albedo (or a texture-atlas tile in
@@ -168,6 +174,7 @@ class ObjectLibrary:
         category_map: Optional[Dict[str, Dict]] = None,
         normalize: bool = True,
         mm2m: bool = False,
+        load_textures: bool = False,
     ) -> "ObjectLibrary":
         """Library from OBJ model files (the reference loads its target set
         from instances.json-listed OBJs, coco_data_generator.py:94-138).
@@ -182,6 +189,13 @@ class ObjectLibrary:
         coordinates by 1000 first (reference --mm2m,
         coco_data_generator.py:125-126) — only meaningful with
         normalize=False, where raw model scale is preserved.
+        load_textures: ingest MTL/UV textures (the reference keeps objects'
+        own materials, coco_data_generator.py:253-266): entries whose OBJ
+        carries a texture map + vt coordinates get "texture" ((Hm, Wm, 3)
+        f32) and per-vertex "verts_uvs" ((V', 2)) fields — vertices are
+        split at UV seams (unique (v, vt) pairs) so the UVs reuse the face
+        table, and textured scenes render the object with its real map
+        instead of a procedural tile.
         """
         import os as _os
 
@@ -192,8 +206,25 @@ class ObjectLibrary:
         next_id = 1
         entries = []
         for path in paths:
-            data = load_obj(path, load_textures=False)
+            data = load_obj(path, load_textures=load_textures)
             v = np.asarray(data.verts, np.float32)
+            faces = np.asarray(data.faces, np.int32)
+            verts_uvs = None
+            texture = None
+            if (load_textures and data.texture_image is not None
+                    and data.faces_uvs is not None):
+                # split vertices at UV seams: unique (vertex, vt) pairs ->
+                # per-vertex UVs that reuse the face table (merge_meshes /
+                # pack_atlas consume per-VERTEX UVs)
+                pairs = np.stack(
+                    [faces.ravel(), np.asarray(data.faces_uvs,
+                                               np.int32).ravel()], axis=1)
+                uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
+                faces = inv.reshape(-1, 3).astype(np.int32)
+                v = v[uniq[:, 0]]
+                verts_uvs = np.asarray(
+                    data.verts_uvs, np.float32)[uniq[:, 1]]
+                texture = np.asarray(data.texture_image, np.float32)
             if mm2m:
                 v = v / 1000.0
             if normalize:
@@ -209,18 +240,23 @@ class ObjectLibrary:
                 cid = next_id
                 used.add(cid)
             meta.pop("filename", None)
-            entries.append({
+            entry = {
                 "verts": v.astype(np.float32),
-                "faces": np.asarray(data.faces, np.int32),
+                "faces": faces,
                 "category_id": cid,
                 "name": meta.pop("name", name),
                 **meta,
-            })
+            }
+            if texture is not None:
+                entry["texture"] = texture
+                entry["verts_uvs"] = verts_uvs
+            entries.append(entry)
         return ObjectLibrary(entries)
 
     @staticmethod
     def from_instances_json(
         model_path: str, normalize: bool = True, mm2m: bool = False,
+        load_textures: bool = False,
     ) -> "ObjectLibrary":
         """Library from a model directory with the reference's
         instances.json layout (coco_data_generator.py:94-138):
@@ -254,7 +290,8 @@ class ObjectLibrary:
                 k: v for k, v in cat.items() if k != "filename"
             }
         lib = ObjectLibrary.from_obj_files(
-            paths, category_map, normalize=normalize, mm2m=mm2m
+            paths, category_map, normalize=normalize, mm2m=mm2m,
+            load_textures=load_textures,
         )
         lib.dataset_name = instances.get("dataset_name")
         return lib
@@ -344,6 +381,27 @@ class COCODataGenerator:
         self._mfb = config.max_faces_per_bin
         self._vis_mfb = config.max_faces_per_bin
         self._vis_scale = 4
+        # real texture image pool (resized lazily to the tile size) + a
+        # cache of entries' own resized texture tiles
+        self._texture_pool: list = []
+        if config.texture_dir:
+            import glob as _glob
+
+            from ..io.obj import _load_image
+
+            exts = ("*.png", "*.jpg", "*.jpeg", "*.bmp")
+            files = sorted(sum(
+                (_glob.glob(os.path.join(config.texture_dir, e))
+                 for e in exts), []))
+            self._texture_pool = [
+                im for im in (_load_image(p) for p in files) if im is not None
+            ]
+            if not self._texture_pool:
+                raise ValueError(
+                    f"texture_dir {config.texture_dir!r} contains no "
+                    "readable images"
+                )
+        self._tile_cache: Dict[int, np.ndarray] = {}
         self._build_renderers()
         if config.placement_mode == "physics":
             from .physics import SettleConfig, collision_proxies
@@ -503,6 +561,26 @@ class COCODataGenerator:
         jitter = 0.5 + 0.5 * np.tanh(verts * rng.uniform(1.0, 4.0))
         return np.clip(base[None] * jitter, 0.0, 1.0).astype(np.float32)
 
+    def _object_tile(self, rng: np.random.Generator, entry: Dict) -> np.ndarray:
+        """Texture tile for one object: the entry's OWN texture (real MTL
+        map, resized once and cached), else a texture_dir image, else a
+        procedural pattern."""
+        tex = entry.get("texture")
+        if tex is not None:
+            key = id(entry)
+            if key not in self._tile_cache:
+                self._tile_cache[key] = resize_texture(
+                    tex, self.config.texture_size)
+            return self._tile_cache[key]
+        return self._pool_or_procedural_tile(rng)
+
+    def _pool_or_procedural_tile(self, rng: np.random.Generator) -> np.ndarray:
+        if self._texture_pool:
+            img = self._texture_pool[int(rng.integers(
+                0, len(self._texture_pool)))]
+            return resize_texture(img, self.config.texture_size)
+        return random_texture(rng, self.config.texture_size)
+
     def _settle_scene(self, rng: np.random.Generator, picks, xy):
         """Physics placement: drop the picked objects at the sampled xy with
         random orientations, run the jitted rigid-body settle, and return
@@ -588,8 +666,12 @@ class COCODataGenerator:
             verts_list.append(v)
             faces_list.append(np.asarray(entry["faces"]))
             if textured:
-                tiles.append(random_texture(rng, cfg.texture_size))
-                uvs_list.append(planar_uvs(rng, entry["verts"]))
+                tiles.append(self._object_tile(rng, entry))
+                uvs_list.append(
+                    np.asarray(entry["verts_uvs"], np.float32)
+                    if entry.get("texture") is not None
+                    else planar_uvs(rng, entry["verts"])
+                )
             else:
                 colors_list.append(self._object_colors(rng, v))
             cats.append(entry["category_id"] if annotated else 0)
@@ -611,7 +693,7 @@ class COCODataGenerator:
             faces_list.append(rf)
             cats.append(0)  # background category
             if textured:
-                tiles.append(random_texture(rng, cfg.texture_size))
+                tiles.append(self._pool_or_procedural_tile(rng))
                 uvs_list.append(planar_uvs(rng, rv))
             else:
                 gray = rng.uniform(0.25, 0.8)

@@ -112,6 +112,32 @@ def planar_uvs(rng: np.random.Generator, verts: np.ndarray) -> np.ndarray:
     return ((p - lo) / np.maximum(hi - lo, 1e-6)).astype(np.float32)
 
 
+def resize_texture(img: np.ndarray, size: int) -> np.ndarray:
+    """Bilinear-resize an (H0, W0, 3) f32 image to (size, size, 3) — pure
+    numpy (real texture files enter the fixed-tile-size atlas through this;
+    reference analog: Blender scales material images freely)."""
+    img = np.asarray(img, np.float32)
+    H0, W0 = img.shape[:2]
+    if (H0, W0) == (size, size):
+        return img
+
+    def axis_coords(n0):
+        c = (np.arange(size, dtype=np.float32) + 0.5) * n0 / size - 0.5
+        c = np.clip(c, 0.0, n0 - 1)
+        i0 = np.floor(c).astype(np.int64)
+        i1 = np.minimum(i0 + 1, n0 - 1)
+        return i0, i1, (c - i0).astype(np.float32)
+
+    r0, r1, fr = axis_coords(H0)
+    c0, c1, fc = axis_coords(W0)
+    top = img[r0][:, c0] * (1 - fc)[None, :, None] \
+        + img[r0][:, c1] * fc[None, :, None]
+    bot = img[r1][:, c0] * (1 - fc)[None, :, None] \
+        + img[r1][:, c1] * fc[None, :, None]
+    return (top * (1 - fr)[:, None, None]
+            + bot * fr[:, None, None]).astype(np.float32)
+
+
 def pack_atlas(
     tiles: Sequence[np.ndarray],
     uvs_list: Sequence[np.ndarray],
