@@ -16,10 +16,12 @@ PointsRasterizationSettings.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..cameras.perspective import PerspectiveCamera
 from ..structures.pointclouds import Pointclouds
@@ -136,8 +138,48 @@ def _select_chunk(pix, q, z, valid, radius2, K: int):
     return out
 
 
+def _winner_onehot(lane: jax.Array, live: jax.Array, P: int) -> jax.Array:
+    """(c, tp) winner lanes -> (c, tp, P) f32 one-hot (0 rows where dead)."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, P), 2)
+    return ((lane[..., None] == iota) & live[..., None]).astype(jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _winner_gather(P: int, lane, live, g):
+    """sel[c, n, t] = g[c, lane[c, t], n] (0 where dead) via ONE one-hot MXU
+    einsum. custom_vjp keeps only (lane, live) as residuals and rebuilds the
+    one-hot in the backward — without it AD stored every per-k
+    (c, tp, Pmax) mask across the chunk loop (436 MB at the 4x20k/256^2/K=8
+    bench: 10.7 ms/step of pure residual copies + dynamic-update-slices in
+    the op profile)."""
+    mk = _winner_onehot(lane, live, P)
+    return jnp.einsum(
+        "cfn,ctf->cnt", g, mk, precision=jax.lax.Precision.HIGHEST
+    )
+
+
+def _winner_gather_fwd(P, lane, live, g):
+    return _winner_gather(P, lane, live, g), (lane, live)
+
+
+def _winner_gather_bwd(P, res, d_sel):
+    lane, live = res
+    mk = _winner_onehot(lane, live, P)
+    # d_g[c, f, n] = sum_t mk[c, t, f] * d_sel[c, n, t]
+    d_g = jnp.einsum(
+        "ctf,cnt->cfn", mk, d_sel, precision=jax.lax.Precision.HIGHEST
+    )
+    d_lane = np.zeros(lane.shape, dtype=jax.dtypes.float0)
+    d_live = np.zeros(live.shape, dtype=jax.dtypes.float0)
+    return d_lane, d_live, d_g
+
+
+_winner_gather.defvjp(_winner_gather_fwd, _winner_gather_bwd)
+
+
 def _rasterize_points_binned(
     q, z, valid, radius2, settings: PointsRasterizationSettings, extra=None,
+    uniform_r2=None,
 ) -> PointFragments:
     """Coarse-to-fine point rasterization with the mesh path's machinery
     (raster._rasterize_binned): RANK binning (prefix-count slots, no
@@ -215,18 +257,25 @@ def _rasterize_points_binned(
         hint="size with points.suggest_points_per_bin",
     )
 
-    # candidate channels x, y, z, r2 + the global point id riding the
-    # one-hot contraction as one f32 channel (exact below 2^24)
+    # candidate channels x, y, z (+ r2 only with a per-point radius
+    # override — the uniform-radius case keeps it out of the gather, whose
+    # one-hot contraction cost scales with the channel count) + the global
+    # point id riding as one f32 channel (exact below 2^24)
     fid = jnp.broadcast_to(
         jax.lax.broadcasted_iota(jnp.float32, (1, N, 1), 1), (B, N, 1)
     )
-    cols = [jnp.stack([q[..., 0], q[..., 1], z, radius2], axis=-1), fid]
+    geo = [q[..., 0], q[..., 1], z]
+    if uniform_r2 is None:
+        geo.append(radius2)
+    CB = len(geo)                                    # id channel index
+    cols = [jnp.stack(geo, axis=-1), fid]
     CE = 0
     if extra is not None:                            # (B, N, CE) features
         CE = extra.shape[-1]
         cols.append(extra)
-    planes = jnp.concatenate(cols, axis=-1)          # (B, N, 5+CE)
-    ch = gather_rank_channels(planes, bins, Pmax)    # (B, T, Pmax, 5+CE)
+    planes = jnp.concatenate(cols, axis=-1)          # (B, N, CB+1+CE)
+    C = planes.shape[-1]
+    ch = gather_rank_channels(planes, bins, Pmax)    # (B, T, Pmax, C)
     capped = jnp.minimum(bins.count, Pmax)
     valid_t = (
         jax.lax.broadcasted_iota(jnp.int32, (1, 1, Pmax), 2)
@@ -234,7 +283,7 @@ def _rasterize_points_binned(
     )
 
     local = tile_pixel_coords((H, W), tile)          # (tp, 2)
-    chf = ch.reshape(B * T, Pmax, 5 + CE)
+    chf = ch.reshape(B * T, Pmax, C)
     vf = valid_t.reshape(B * T, Pmax)
     if origins is None:
         origins = jnp.broadcast_to(bins.tile_origin[None], (B, T, 2))
@@ -251,20 +300,19 @@ def _rasterize_points_binned(
     iota_p = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Pmax), 2)
     k_eff = min(K, Pmax)
 
-    def winner_channels(g, mk, px, py):
+    def winner_channels(g, lane, live, px, py):
         """ONE differentiable one-hot einsum per hit pulls all candidate
-        channels together; d2 recomputed from the winner's gathered x/y so
-        gradients flow through the gather, never a scatter."""
-        sel = jnp.einsum(
-            "cfn,ctf->cnt", g, mk.astype(jnp.float32),
-            precision=jax.lax.Precision.HIGHEST,
-        )                                            # (c, 5+CE, tp)
+        channels together (lean residuals: _winner_gather); d2 recomputed
+        from the winner's gathered x/y so gradients flow through the
+        gather, never a scatter."""
+        sel = _winner_gather(Pmax, lane, live, g)    # (c, C, tp)
         wx, wy, wz = sel[:, 0], sel[:, 1], sel[:, 2]
         ddx = px - wx
         ddy = py - wy
         d2 = ddx * ddx + ddy * ddy
-        idx = jnp.round(sel[:, 4]).astype(jnp.int32)
-        feat = jnp.moveaxis(sel[:, 5:], 1, -1) if CE else None  # (c, tp, CE)
+        idx = jnp.round(sel[:, CB]).astype(jnp.int32)
+        feat = (jnp.moveaxis(sel[:, CB + 1:], 1, -1)
+                if CE else None)                     # (c, tp, CE)
         return wz, d2, idx, feat
 
     def stack_k(zbufs, d2s, idxs, lives, featl):
@@ -294,7 +342,8 @@ def _rasterize_points_binned(
         x = gs[..., 0][:, None, :]                   # (c, 1, Pmax)
         y = gs[..., 1][:, None, :]
         zc = gs[..., 2][:, None, :]
-        r2 = gs[..., 3][:, None, :]
+        r2 = (jnp.float32(uniform_r2) if uniform_r2 is not None
+              else gs[..., 3][:, None, :])
         dx = px[..., None] - x                       # (c, tp, Pmax)
         dy = py[..., None] - y
         cover = (dx * dx + dy * dy <= r2) & v[:, None, :]
@@ -312,7 +361,7 @@ def _rasterize_points_binned(
             live = zmin < INF
             mk = (amin[..., None] == iota_p) & live[..., None]
             priority = jnp.where(mk, INF, priority)
-            wz, d2, idx, feat = winner_channels(g, mk, px, py)
+            wz, d2, idx, feat = winner_channels(g, amin, live, px, py)
             zbufs.append(wz)
             d2s.append(d2)
             idxs.append(idx)
@@ -330,8 +379,8 @@ def _rasterize_points_binned(
         zbufs, d2s, idxs, lives, featl = [], [], [], [], []
         for k in range(k_eff):
             lv = live_c[:, k, :]
-            mk = (lane_c[:, k, :, None] == iota_p) & lv[..., None]
-            wz, d2, idx, feat = winner_channels(g, mk, px, py)
+            wz, d2, idx, feat = winner_channels(
+                g, lane_c[:, k, :], lv, px, py)
             zbufs.append(wz)
             d2s.append(d2)
             idxs.append(idx)
@@ -350,9 +399,15 @@ def _rasterize_points_binned(
 
         # assemble the kernel's (N, 8, Ppad) slab: stop-grad channel rows
         # x/y/z/r2 + valid + origin/count meta rows, lanes 128-padded
+        # (uniform radius: r2 is a constant-filled row, not a gathered one)
         Ppad = Pmax + (-Pmax) % _PC
         ksl = jax.lax.stop_gradient(
-            jnp.swapaxes(ch[..., :4], 2, 3))         # (B, T, 4, Pmax)
+            jnp.swapaxes(ch[..., :CB], 2, 3))        # (B, T, CB, Pmax)
+        if uniform_r2 is not None:
+            ksl = jnp.concatenate([
+                ksl,
+                jnp.full((B, T, 1, Pmax), uniform_r2, jnp.float32),
+            ], axis=2)                               # -> rows x, y, z, r2
         padp = lambda a: jnp.pad(
             a, ((0, 0), (0, 0), (0, 0), (0, Ppad - Pmax)))
         vrow = valid_t.astype(jnp.float32)[:, :, None, :]
@@ -429,13 +484,16 @@ def rasterize_points(
     B, N = z.shape
     if radius is None:
         radius_arr = jnp.full((B, N), settings.radius, jnp.float32)
+        uniform_r2 = float(settings.radius) ** 2
     else:
         radius_arr = jnp.broadcast_to(jnp.asarray(radius, jnp.float32), (B, N))
+        uniform_r2 = None
     radius2 = radius_arr * radius_arr
 
     if settings.bin_size is not None:
         return _rasterize_points_binned(
-            q, z, valid, radius2, settings, extra=extra
+            q, z, valid, radius2, settings, extra=extra,
+            uniform_r2=uniform_r2,
         )
 
     pix_all = pixel_coords_raster((H, W))
