@@ -39,14 +39,18 @@ def main():
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--json", type=str, default=None,
                    help="write results to this JSON file")
-    p.add_argument("--workload", choices=["pose", "search", "icp"],
+    p.add_argument("--workload",
+                   choices=["pose", "search", "icp", "points"],
                    default="pose",
                    help="pose: dp+tp soft-silhouette pose step; search: "
                         "hypothesis-sharded GMM pose search; icp: object-"
-                        "sharded batched registration (weak scaling: work "
-                        "grows with the data-axis size)")
+                        "sharded batched registration; points: cloud-"
+                        "batch-sharded alpha point render (weak scaling: "
+                        "work grows with the data-axis size)")
     p.add_argument("--hypotheses-per-chip", type=int, default=128)
     p.add_argument("--objects-per-chip", type=int, default=16)
+    p.add_argument("--clouds-per-chip", type=int, default=2)
+    p.add_argument("--points-per-cloud", type=int, default=5000)
     args = p.parse_args()
 
     if args.cpu:
@@ -95,6 +99,9 @@ def main():
 
     if args.workload in ("search", "icp"):
         _run_point_workload(args, devices, shapes)
+        return
+    if args.workload == "points":
+        _run_points_render(args, devices, shapes, K, HW)
         return
 
     results = []
@@ -155,6 +162,60 @@ def main():
                  "level": args.level, "results": results},
                 fjson, indent=1,
             )
+        print(f"wrote {args.json}")
+
+
+def _run_points_render(args, devices, shapes, K, HW):
+    """Weak-scaling sweep of the cloud-batch-sharded point render
+    (parallel.sharded.render_points_sharded; SURVEY §2d — FPS/chip applies
+    to every renderer): clouds per chip stay fixed, the data axis grows."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from torch_renderer_tpu.parallel.mesh import make_mesh
+    from torch_renderer_tpu.parallel.sharded import render_points_sharded
+    from torch_renderer_tpu.renderer import AlphaPointRender
+    from torch_renderer_tpu.structures.pointclouds import Pointclouds
+
+    results = []
+    for (d, m) in shapes:
+        if m != 1:
+            continue  # the cloud axis is pure data parallelism
+        nd = d
+        B = args.clouds_per_chip * d
+        P = args.points_per_cloud
+        mesh2 = make_mesh((d, 1), ("data", "model"), devices[:nd])
+        rng = np.random.default_rng(0)
+        pts = rng.standard_normal((B, P, 3)).astype(np.float32) * 0.8
+        feats = rng.uniform(0, 1, (B, P, 3)).astype(np.float32)
+        pcd = Pointclouds(
+            points=jnp.asarray(pts),
+            num_points=jnp.full((B,), P, jnp.int32),
+            features=jnp.asarray(feats))
+        R = np.broadcast_to(np.eye(3, dtype=np.float32), (B, 3, 3))
+        t = np.tile(np.array([0.0, 0.0, 2.5], np.float32), (B, 1))
+        r = AlphaPointRender(K, HW, radius=0.02, bin_size=16,
+                             max_points_per_bin=128)
+        out = render_points_sharded(r, pcd, R, t, mesh2)
+        jax.block_until_ready(out)  # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            out = render_points_sharded(r, pcd, R, t, mesh2)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        img_s = B * args.steps / dt
+        row = {"mesh": f"({d},1)", "chips": nd, "clouds": B,
+               "img_per_sec": round(img_s, 2),
+               "img_per_sec_per_chip": round(img_s / nd, 2)}
+        results.append(row)
+        print(f"mesh ({d},1) chips={nd} clouds={B}: {img_s:8.2f} img/s"
+              f"  {img_s / nd:8.2f} img/s/chip")
+    if args.json:
+        with open(args.json, "w") as fjson:
+            json.dump({"platform": devices[0].platform,
+                       "workload": "points", "results": results}, fjson,
+                      indent=1)
         print(f"wrote {args.json}")
 
 

@@ -430,3 +430,45 @@ def test_bench_scan_step_sharded_matches_single(eight_devices, monkeypatch):
     np.testing.assert_allclose(out_sharded, out_single, rtol=0, atol=1e-6)
     # the scan must have moved the verts (a real render+backward ran)
     assert np.abs(out_sharded - np.asarray(args_s[0])).max() > 0
+
+
+def test_sharded_point_render_matches_single(eight_devices):
+    """render_points_sharded (cloud-batch over 'data', no collectives)
+    matches the single-device point renderers — incl. the uneven batch
+    (B=3 over 8 devices -> internal padding) and the sphere Pulsar
+    renderer's per-point radii. Comparison allows rare boundary-pixel
+    flips: the per-shard batch of 1 compiles different fusions than the
+    B=3 reference, and eps-level projection differences flip hard
+    `d2 <= r2` coverage tests on splat-boundary pixels (<1% of pixels;
+    every other pixel matches to 1e-5)."""
+    from torch_renderer_tpu.parallel.sharded import render_points_sharded
+    from torch_renderer_tpu.renderer import AlphaPointRender, PulsarRenderer
+    from torch_renderer_tpu.structures.pointclouds import Pointclouds
+
+    dm = make_mesh((8, 1), ("data", "model"), eight_devices)
+    Bp, P = 3, 300
+    rng = np.random.default_rng(0)
+    pts = rng.normal(0, 0.3, (Bp, P, 3)).astype(np.float32)
+    pts[..., 2] += 2.5
+    feats = rng.uniform(0, 1, (Bp, P, 3)).astype(np.float32)
+    pcl = Pointclouds(
+        points=jnp.asarray(pts), num_points=jnp.full((Bp,), P, jnp.int32),
+        features=jnp.asarray(feats))
+    S = 32
+    f = 0.8 * S
+    K = np.array([[f, 0, S / 2], [0, f, S / 2], [0, 0, 1]], np.float32)
+    R = np.broadcast_to(np.eye(3, dtype=np.float32), (Bp, 3, 3))
+    t = np.tile(np.array([0.0, 0.0, 2.5], np.float32), (Bp, 1))
+
+    for r in (
+        AlphaPointRender(K, (S, S), radius=0.05, bin_size=16,
+                         max_points_per_bin=128),
+        PulsarRenderer(K, (S, S), radius=0.05, bin_size=16,
+                       max_points_per_bin=128),
+    ):
+        want = np.asarray(r.render(pcl, R, t))
+        got = np.asarray(render_points_sharded(r, pcl, R, t, dm))
+        diff = np.abs(got - want)
+        flipped = diff > 1e-5
+        assert flipped.mean() < 0.01, flipped.mean()
+        np.testing.assert_allclose(got[~flipped], want[~flipped], atol=1e-5)

@@ -122,6 +122,47 @@ def soft_silhouette_sharded(
     return (1.0 - jnp.exp(-S))[:batch]
 
 
+def render_points_sharded(
+    renderer,
+    pointclouds,
+    R,
+    tvec,
+    device_mesh: Mesh,
+    data_axis: str = DATA_AXIS,
+):
+    """Point rendering with the CLOUD-BATCH axis sharded over `data_axis`
+    (SURVEY §2d: FPS/chip applies to every renderer, not just meshes).
+
+    renderer: any PointsRenderer subclass (AlphaPointRender /
+    NormPointRender / PulsarPointRender / PulsarRenderer). Clouds are
+    independent, so there are no collectives — each shard renders its own
+    batch slice; the batch is padded to a multiple of the data-axis size
+    and sliced back. shard_map rather than sharded-inputs jit because the
+    fused point selection kernel (pallas_points) is opaque to GSPMD's
+    auto-partitioner (same reason as bench.make_scan_step)."""
+    from .mesh import pad_batch_to
+
+    d = device_mesh.shape[data_axis]
+    B = pointclouds.points.shape[0]
+    Bp = -(-B // d) * d
+    args, _ = pad_batch_to(
+        (pointclouds, jnp.asarray(R), jnp.asarray(tvec)), Bp)
+    in_specs = jax.tree_util.tree_map(
+        lambda x: P(data_axis, *([None] * (x.ndim - 1))), args)
+
+    @jax.jit
+    def run(pcl, Rp, tp):
+        return shard_map(
+            lambda a, b, c: renderer.render(a, b, c),
+            mesh=device_mesh,
+            in_specs=tuple(in_specs),
+            out_specs=P(data_axis),
+            check_vma=False,
+        )(pcl, Rp, tp)
+
+    return run(*args)[:B]
+
+
 def data_parallel_fit(fitter, meshes: Meshes, refs, params0, device_mesh: Mesh,
                       n_steps: Optional[int] = None, data_axis: str = DATA_AXIS):
     """Run CameraPoseFitter.fit with the batch sharded over `data_axis`.

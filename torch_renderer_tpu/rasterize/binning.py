@@ -560,7 +560,18 @@ def gather_rank_channels(
     chunked over tiles to bound the fused one-hot working set."""
     B, T, F = bins.slot.shape
     C = planes.shape[-1]
-    t_chunk = max(1, min(T, 1 + vmem_budget // (per_tile * F)))
+    # chunk tiles so the per-chunk one-hot (t_chunk, per_tile, F) stays a
+    # true VMEM guest. The former `1 + budget // (per_tile * F)` rounding
+    # allowed up to 2x overshoot, which crosses a fusion cliff: at
+    # per_tile=384, F=20000 it picked t_chunk=3 (23M-element one-hot) and
+    # XLA materialized the one-hot through HBM — 59 vs 22 ms on the
+    # 4x20k-point sphere-Pulsar render, and the round-3 "32-50 ms session
+    # spread" (the suggested budget hopping across the cliff). Allow the
+    # +1 only within a 10% overshoot.
+    t_chunk = max(1, vmem_budget // (per_tile * F))
+    if (t_chunk + 1) * per_tile * F <= int(1.1 * vmem_budget):
+        t_chunk += 1
+    t_chunk = min(T, t_chunk)
     n_chunks = -(-T // t_chunk)
     # balance the chunks: ceil(T / n_chunks) keeps the same chunk count
     # but minimizes padding (A=128 with a budget of 98 would otherwise
