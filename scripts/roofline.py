@@ -197,8 +197,11 @@ def _calibrate(steps: int, repeats: int):
     floor = _scan_time(lambda x: jnp.sum(x), x0, steps, repeats)
     vpu_rate = ops_per_iter * R / max(t - floor, 1e-9) * 1e3  # ops/s
 
-    def mxu_rate(m, k, n, orient):
+    def mxu_rate(m, k, n, orient, dtype="f32"):
         RD = 100
+        op_dtype = jnp.bfloat16 if dtype == "bf16" else jnp.float32
+        prec = (None if dtype == "bf16"
+                else jax.lax.Precision.HIGHEST)
 
         def kern(a_ref, b_ref, o_ref):
             def body(i, acc):
@@ -207,11 +210,11 @@ def _calibrate(steps: int, repeats: int):
                 # factored out of the dot by the algebraic simplifier
                 # (dot(s*a, b) -> s*dot(a, b)) and the dot hoists as
                 # loop-invariant — measured as a 5e7 TFLOP/s "rate"
-                a = a_ref[...] + 1e-30 * acc[0, 0]
+                a = a_ref[...] + (1e-30 * acc[0, 0]).astype(op_dtype)
                 return acc + jax.lax.dot_general(
                     a, b_ref[...], (orient, ((), ())),
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
+                    precision=prec,
                 )
 
             o_ref[...] = jax.lax.fori_loop(
@@ -219,8 +222,8 @@ def _calibrate(steps: int, repeats: int):
 
         lsh = _dot_operand_shape(m, k, orient[0])
         rsh = _dot_operand_shape(n, k, orient[1])
-        a = jnp.ones(lsh, jnp.float32)
-        b = jnp.ones(rsh, jnp.float32)
+        a = jnp.ones(lsh, op_dtype)
+        b = jnp.ones(rsh, op_dtype)
         osh = (m, n)
         call = jax.jit(lambda a, b: pl.pallas_call(
             kern,
@@ -259,7 +262,8 @@ def _scan_time(fn, x0, steps, repeats):
             out = fn(jax.tree.unflatten(treedef, lvs))
             dep = sum(jnp.sum(l).astype(jnp.float32)
                       for l in jax.tree.leaves(out))
-            return [lvs[0] + 1e-30 * dep] + list(lvs[1:]), ()
+            bump = (lvs[0] + 1e-30 * dep).astype(lvs[0].dtype)
+            return [bump] + list(lvs[1:]), ()
 
         lf, _ = jax.lax.scan(body, list(leaves), None, length=steps)
         return lf[0]
@@ -412,13 +416,21 @@ def points_extract_ops(tile, P):
 
 def points_gather_ops(t_chunk, Pmax, N, C3):
     """One tile-chunk of the candidate slot-gather (binning._slot_gather):
-    the slot==iota one-hot compare+convert on the VPU and the packed
-    3-split bf16 dot on the MXU. This is the point path's dominant cost
-    (7.5 of 17.1 ms at the 4x20k bench) — XLA, not Pallas, but the same
-    bound logic applies."""
-    vpu = 2 * t_chunk * Pmax * N            # compare + bf16 convert
-    mxu = 2 * t_chunk * Pmax * N * C3       # the packed dot
-    dot = (t_chunk * Pmax, N, C3, 1, 1)     # m, k, n, lc, rc (lanes x ...)
+    the point path's dominant cost (7.5 of 17.1 ms at the 4x20k bench) —
+    XLA, not Pallas, but the same bound logic applies. Model: the one-hot
+    construct at ONE op per (slot, item) element (XLA fuses the compare
+    into the dot's operand generation — an explicit compare+convert
+    double-count put the VPU bound above the measured time), and the
+    packed bf16 dot at its PADDED lane width (the MXU computes 128 output
+    lanes whether the packed channel count is 21 or 128), calibrated with
+    bf16 operands (the real dot is bf16 via _split3, NOT a 3-pass f32
+    HIGHEST contraction — calibrating f32/HIGHEST overstated the bound
+    8x)."""
+    n_pad = -(-C3 // 128) * 128
+    vpu = t_chunk * Pmax * N                # fused one-hot construct
+    mxu = 2 * t_chunk * Pmax * N * n_pad    # padded-lane bf16 dot
+    # m, k, n, lc, rc, dtype — k capped for a VMEM-sized calibration
+    dot = (t_chunk * Pmax, N, n_pad, 1, 1, "bf16")
     return vpu, mxu, dot
 
 
@@ -903,7 +915,7 @@ def main():
     t_chunk_g = -(-T_pts // n_g_chunks)
     gv, gm, gdot = points_gather_ops(t_chunk_g, Pmax, N_pts, C3_pts)
     # calibrate the dot at a VMEM-sized k (rate is ~per-flop at large k)
-    gdot = (gdot[0], min(gdot[1], 2048), gdot[2], gdot[3], gdot[4])
+    gdot = (gdot[0], min(gdot[1], 2048)) + gdot[2:]
     rows.append(dict(
         name="points gather (xla)", calls=n_g_chunks * B_pts,
         vpu=gv * n_g_chunks * B_pts, mxu=gm * n_g_chunks * B_pts,
@@ -944,11 +956,13 @@ def main():
     def mxu_ms(r):
         if not r["mxu"]:
             return 0.0
-        m, k, n, lc, rc = r["dot"]
-        key = (m, k, n, lc, rc)
+        d = r["dot"]
+        m, k, n, lc, rc = d[:5]
+        dtype = d[5] if len(d) > 5 else "f32"
+        key = (m, k, n, lc, rc, dtype)
         if key not in mxu_rates:
-            mxu_rates[key] = mxu_rate_fn(m, k, n, (lc, rc))
-            print(f"MXU {m}x{k}x{n} c{lc}/{rc}: "
+            mxu_rates[key] = mxu_rate_fn(m, k, n, (lc, rc), dtype)
+            print(f"MXU {m}x{k}x{n} c{lc}/{rc} {dtype}: "
                   f"{mxu_rates[key]/1e12:.3f} TFLOP/s", flush=True)
         return r["mxu"] / mxu_rates[key] * 1e3
 

@@ -47,6 +47,53 @@ def test_camera_pose_optimizer_smoke():
     assert "translation error" in out
 
 
+def test_quick_render_check_budgets_flag(tmp_path):
+    """--check-budgets wires the process-default budget guard through
+    _common.setup_platform before the first trace (no overflow on this
+    tiny scene — the run must stay clean and succeed)."""
+    out = _run(
+        "quick_render.py", "--image-size", "64", "--check-budgets",
+        "--out-dir", str(tmp_path),
+    )
+    assert "saved" in out.lower() or "render" in out.lower()
+
+
+def test_coco_generator_distractors_and_textures(tmp_path):
+    """coco_data_generator.py end to end with the round-4 flags:
+    distractors from a second library + texture-dir materials."""
+    import numpy as np
+
+    try:
+        from PIL import Image
+    except ImportError:
+        pytest.skip("PIL not available")
+    tex_dir = tmp_path / "tex"
+    tex_dir.mkdir()
+    img = np.zeros((16, 16, 3), np.uint8)
+    img[..., 0] = 200
+    Image.fromarray(img).save(tex_dir / "t.png")
+    # a tiny tetrahedron OBJ as the distractor model
+    dobj = tmp_path / "distractor.obj"
+    dobj.write_text(
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\nv 0 0 1\n"
+        "f 1 2 3\nf 1 2 4\nf 1 3 4\nf 2 3 4\n"
+    )
+    out = _run(
+        "coco_data_generator.py", "--scenes", "1", "--views-per-scene", "2",
+        "--height", "48", "--width", "64", "--min-objects", "1",
+        "--max-objects", "2", "--distractors", "1,1",
+        "--distractor-objs", str(dobj),
+        "--material-mode", "texture", "--texture-dir", str(tex_dir),
+        "--out-dir", str(tmp_path / "out"),
+    )
+    assert "annotations" in out
+    import json
+
+    with open(tmp_path / "out" / "annotations.json") as f:
+        coco = json.load(f)
+    assert all(c["id"] in (1, 2, 3) for c in coco["categories"])
+
+
 def test_render_compare_smoke():
     out = _run("render_compare.py", "--image-size", "48")
     assert "cross-renderer gate" in out
