@@ -1046,16 +1046,16 @@ def _soft_silhouette_pallas_packed(
         "faces_per_tile", jnp.max(bins.count), Fmax, check_budgets,
         hint="size with suggest_faces_per_tile",
     )
-    if split:
+    if split and (hi_tiles % _TN or hi_tiles >= A):
+        raise ValueError(
+            f"hi_tiles must be a multiple of {_TN} and < active tiles "
+            f"({A}); got {hi_tiles}")
+    if split:  # after validation: hi_tiles < A, so the tail is non-empty
         check_budget(
             "occupancy_split lo_lanes", jnp.max(bins.count[:, hi_tiles:]),
             min(lo_lanes, Fmax), check_budgets,
             hint="size with suggest_occupancy_split",
         )
-    if split and (hi_tiles % _TN or hi_tiles >= A):
-        raise ValueError(
-            f"hi_tiles must be a multiple of {_TN} and < active tiles "
-            f"({A}); got {hi_tiles}")
 
     def gather_slabs(b, per_tile):
         ch, _ = gather_rank_planes(
