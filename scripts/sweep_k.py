@@ -74,11 +74,13 @@ def main():
         fitter = JointShapeTextureFitter(K, (H, W), cfg)
         dataset = fitter.make_dataset(tgt)
         # warm segment compiles everything; then the timed full fit
-        fitter.fit(src, verts_uvs, dataset, jax.random.PRNGKey(args.seed + 1),
-                   n_steps=min(args.steps, cfg.scan_segment))
+        jax.block_until_ready(fitter.fit(
+            src, verts_uvs, dataset, jax.random.PRNGKey(args.seed + 1),
+            n_steps=min(args.steps, cfg.scan_segment))[0])
         t0 = time.perf_counter()
         params, hist = fitter.fit(
             src, verts_uvs, dataset, jax.random.PRNGKey(args.seed))
+        jax.block_until_ready(params)  # fit() ENQUEUES segments; block
         wall = time.perf_counter() - t0
         sil = float(np.asarray(hist["sil_mse"])[-10:].mean())
         rgb = float(np.asarray(hist["rgb_mse"])[-10:].mean())
