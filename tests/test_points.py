@@ -279,6 +279,26 @@ def test_binned_pallas_select_exact_fragments():
         np.asarray(g1), np.asarray(g2), atol=1e-5, rtol=1e-5)
 
 
+def test_lane_multiple_budget_nudge_harmless():
+    """max_points_per_bin that lands on a 128 multiple is stepped up by 32
+    internally (a measured TPU gather cliff: 128-multiple slot counts run
+    1.6-3x slower); growing a budget never changes results when nothing
+    overflowed — fragments are bit-exact vs a non-multiple budget."""
+    import dataclasses
+
+    pcl = _random_cloud()
+    camera = cam()
+    base = PointsRasterizationSettings(
+        (H, W), radius=0.04, points_per_pixel=4,
+        bin_size=16, max_points_per_bin=160,
+    )
+    a = rasterize_points(pcl, camera, base)
+    b = rasterize_points(
+        pcl, camera, dataclasses.replace(base, max_points_per_bin=128))
+    np.testing.assert_array_equal(np.asarray(a.idx), np.asarray(b.idx))
+    np.testing.assert_array_equal(np.asarray(a.zbuf), np.asarray(b.zbuf))
+
+
 def test_binned_small_cloud_fewer_points_than_k():
     pcl = Pointclouds.from_padded(jnp.asarray([[[0.0, 0.0, 2.0]]]))
     frags = rasterize_points(
