@@ -101,6 +101,11 @@ def main():
         distractor_library = ObjectLibrary.from_obj_files(
             args.distractor_objs, load_textures=args.load_textures)
     d_lo, d_hi = (int(x) for x in args.distractors.split(","))
+    if args.distractor_objs and d_hi == 0:
+        # --distractor-objs with the default --distractors 0,0 would load
+        # the library and silently place zero distractors
+        d_lo, d_hi = 1, max(1, len(distractor_library.entries))
+        print(f"--distractors not given: defaulting to {d_lo},{d_hi}")
 
     cfg = DataGenConfig(
         image_size=(args.height, args.width),

@@ -910,7 +910,13 @@ def main():
         mxu=0, dot=None))
     C3_pts = 3 * gplanes.shape[-1]
     from torch_renderer_tpu.rasterize.binning import gather_rank_channels
-    t_chunk_g = max(1, min(T_pts, 1 + 16_000_000 // (Pmax * N_pts)))
+    # mirror gather_rank_channels' post-overshoot-fix chunking exactly
+    # (the old `1 + budget // x` rounding here would model t_chunk=3 at
+    # Pmax=384 — the cliff configuration the library no longer runs)
+    t_chunk_g = max(1, 16_000_000 // (Pmax * N_pts))
+    if (t_chunk_g + 1) * Pmax * N_pts <= int(1.1 * 16_000_000):
+        t_chunk_g += 1
+    t_chunk_g = min(T_pts, t_chunk_g)
     n_g_chunks = -(-T_pts // t_chunk_g)
     t_chunk_g = -(-T_pts // n_g_chunks)
     gv, gm, gdot = points_gather_ops(t_chunk_g, Pmax, N_pts, C3_pts)

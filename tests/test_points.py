@@ -279,22 +279,42 @@ def test_binned_pallas_select_exact_fragments():
         np.asarray(g1), np.asarray(g2), atol=1e-5, rtol=1e-5)
 
 
-def test_lane_multiple_budget_nudge_harmless():
+def test_lane_multiple_budget_nudge_grows_budget():
     """max_points_per_bin that lands on a 128 multiple is stepped up by 32
     internally (a measured TPU gather cliff: 128-multiple slot counts run
-    1.6-3x slower); growing a budget never changes results when nothing
-    overflowed — fragments are bit-exact vs a non-multiple budget."""
+    1.6-3x slower). The nudge only ever GROWS the budget, so a scene whose
+    max bin count lies in (128, 160] must render identically at budget 128
+    (nudged to 160) and an explicit 160 — if the nudge were deleted (or
+    stepped DOWN), budget 128 would drop the cluster's deepest points and
+    the deep K slots would differ."""
     import dataclasses
 
-    pcl = _random_cloud()
+    from torch_renderer_tpu.rasterize.binning import count_bbox_overflow
+    from torch_renderer_tpu.rasterize.points import project_points_screen
+
+    rng = np.random.default_rng(7)
+    # ~100 points clustered inside ONE 16px tile (offset off the central
+    # tile corner) + background spread: max bin count lands at 154
+    cluster = np.concatenate([
+        rng.normal(0, 0.02, (100, 2)) + 0.35, np.full((100, 1), 2.5)
+    ], axis=1)
+    spread = rng.normal(0, 0.4, (260, 3))
+    spread[:, 2] += 2.5
+    pts = np.concatenate([cluster, spread]).astype(np.float32)[None]
+    pcl = Pointclouds.from_padded(jnp.asarray(pts))
     camera = cam()
     base = PointsRasterizationSettings(
         (H, W), radius=0.04, points_per_pixel=4,
-        bin_size=16, max_points_per_bin=160,
+        bin_size=16, max_points_per_bin=128,
     )
+    q, z, valid = project_points_screen(pcl, camera, base.znear)
+    r = jnp.full(z.shape, base.radius)
+    mx = count_bbox_overflow(q - r[..., None], q + r[..., None], valid,
+                             (H, W), 16)
+    assert 128 < mx <= 160, mx  # the scene actually exercises the nudge
     a = rasterize_points(pcl, camera, base)
     b = rasterize_points(
-        pcl, camera, dataclasses.replace(base, max_points_per_bin=128))
+        pcl, camera, dataclasses.replace(base, max_points_per_bin=160))
     np.testing.assert_array_equal(np.asarray(a.idx), np.asarray(b.idx))
     np.testing.assert_array_equal(np.asarray(a.zbuf), np.asarray(b.zbuf))
 

@@ -576,9 +576,15 @@ class COCODataGenerator:
 
     def _pool_or_procedural_tile(self, rng: np.random.Generator) -> np.ndarray:
         if self._texture_pool:
-            img = self._texture_pool[int(rng.integers(
-                0, len(self._texture_pool)))]
-            return resize_texture(img, self.config.texture_size)
+            i = int(rng.integers(0, len(self._texture_pool)))
+            # resize each pool image once (the pool and tile size are
+            # fixed at __init__; re-resizing multi-megapixel images per
+            # draw is repeated host work on the scene-assembly path)
+            key = ("pool", i)
+            if key not in self._tile_cache:
+                self._tile_cache[key] = resize_texture(
+                    self._texture_pool[i], self.config.texture_size)
+            return self._tile_cache[key]
         return random_texture(rng, self.config.texture_size)
 
     def _settle_scene(self, rng: np.random.Generator, picks, xy):
@@ -683,11 +689,11 @@ class COCODataGenerator:
                     "R": R.tolist(), "t": t.tolist(),
                 })
         if self._room_geom is not None:
-            # room rides as one extra merged object AFTER the annotated
-            # objects (instance id n == len(poses)): present in rgb/depth/
-            # normals/seg, never annotated (the COCO writer loops over
-            # poses). Material randomization: per-scene albedo (or its own
-            # atlas tile in textured scenes).
+            # room rides as one extra merged object LAST (instance id
+            # n + n_d — after the annotated targets AND any distractors):
+            # present in rgb/depth/normals/seg, never annotated (the COCO
+            # writer loops over poses). Material randomization: per-scene
+            # albedo (or its own atlas tile in textured scenes).
             rv, rf = self._room_geom
             verts_list.append(rv)
             faces_list.append(rf)

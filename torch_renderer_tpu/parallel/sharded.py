@@ -147,20 +147,29 @@ def render_points_sharded(
     Bp = -(-B // d) * d
     args, _ = pad_batch_to(
         (pointclouds, jnp.asarray(R), jnp.asarray(tvec)), Bp)
-    in_specs = jax.tree_util.tree_map(
-        lambda x: P(data_axis, *([None] * (x.ndim - 1))), args)
 
-    @jax.jit
-    def run(pcl, Rp, tp):
-        return shard_map(
-            lambda a, b, c: renderer.render(a, b, c),
-            mesh=device_mesh,
-            in_specs=tuple(in_specs),
-            out_specs=P(data_axis),
-            check_vma=False,
-        )(pcl, Rp, tp)
+    # cache the jitted shard-mapped callable on the renderer: a fresh
+    # @jax.jit wrapper per call would retrace+recompile EVERY invocation
+    # (measured ~1.55 s per repeat call of a tiny scene vs milliseconds
+    # cached), turning any loop over this function into compile-bound
+    cache = renderer.__dict__.setdefault("_points_shard_jit", {})
+    key = (device_mesh, data_axis)
+    if key not in cache:
+        @jax.jit
+        def run(pcl, Rp, tp):
+            in_specs = jax.tree_util.tree_map(
+                lambda x: P(data_axis, *([None] * (x.ndim - 1))),
+                (pcl, Rp, tp))
+            return shard_map(
+                lambda a, b, c: renderer.render(a, b, c),
+                mesh=device_mesh,
+                in_specs=in_specs,
+                out_specs=P(data_axis),
+                check_vma=False,
+            )(pcl, Rp, tp)
 
-    return run(*args)[:B]
+        cache[key] = run
+    return cache[key](*args)[:B]
 
 
 def data_parallel_fit(fitter, meshes: Meshes, refs, params0, device_mesh: Mesh,

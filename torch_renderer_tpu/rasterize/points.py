@@ -249,6 +249,13 @@ def _rasterize_points_binned(
         origins = None
     T = bins.slot.shape[1]                                   # = A if compact
     Pmax = min(settings.max_points_per_bin, N)
+    if Pmax % 128 == 0 and Pmax < N:
+        # measured TPU cliff: the XLA one-hot slot gather runs 1.6-3x
+        # SLOWER when the slot count is a 128 multiple (4x20k/256^2 alpha
+        # forward: Pmax 384 -> 28.3 ms, 416 -> 17.3; 512 -> 54.7, 448 ->
+        # 18.4 — same t_chunk). Growing the budget is always safe (drops
+        # strictly decrease), so step off the lane multiple.
+        Pmax = min(Pmax + 32, N)
     from .binning import check_budget
 
     check_budget(
