@@ -147,15 +147,30 @@ def _winner_onehot(lane: jax.Array, live: jax.Array, P: int) -> jax.Array:
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _winner_gather(P: int, lane, live, g):
     """sel[c, n, t] = g[c, lane[c, t], n] (0 where dead) via ONE one-hot MXU
-    einsum. custom_vjp keeps only (lane, live) as residuals and rebuilds the
-    one-hot in the backward — without it AD stored every per-k
-    (c, tp, Pmax) mask across the chunk loop (436 MB at the 4x20k/256^2/K=8
-    bench: 10.7 ms/step of pure residual copies + dynamic-update-slices in
-    the op profile)."""
-    mk = _winner_onehot(lane, live, P)
-    return jnp.einsum(
-        "cfn,ctf->cnt", g, mk, precision=jax.lax.Precision.HIGHEST
-    )
+    contraction. custom_vjp keeps only (lane, live) as residuals and
+    rebuilds the one-hot in the backward — without it AD stored every
+    per-k (c, tp, Pmax) mask across the chunk loop (436 MB at the
+    4x20k/256^2/K=8 bench: 10.7 ms/step of pure residual copies +
+    dynamic-update-slices in the op profile).
+
+    Exact f32 at bf16-dot cost via the 3-way split (binning._split3, the
+    _slot_gather trick): the one-hot is exactly bf16, g splits exactly,
+    and each forward output element has a SINGLE nonzero term, so
+    hi+mid+lo reconstructs the f32 value bit-for-bit — at half the MXU
+    passes of a Precision.HIGHEST (6-pass) f32 einsum."""
+    from .binning import _split3
+
+    mk = _winner_onehot(lane, live, P).astype(jnp.bfloat16)  # (c, tp, P)
+    hi, mid, lo = _split3(g)                                 # (c, P, C)
+    C = g.shape[-1]
+    packed = jnp.concatenate([hi, mid, lo], axis=-1).astype(jnp.bfloat16)
+    # y[c, t, 3C] = sum_f mk[c, t, f] * packed[c, f, 3C]
+    y = jax.lax.dot_general(
+        mk, packed, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                                        # (c, tp, 3C)
+    sel = (y[..., :C] + y[..., C:2 * C]) + y[..., 2 * C:]
+    return jnp.swapaxes(sel, 1, 2)                           # (c, C, tp)
 
 
 def _winner_gather_fwd(P, lane, live, g):
@@ -163,12 +178,21 @@ def _winner_gather_fwd(P, lane, live, g):
 
 
 def _winner_gather_bwd(P, res, d_sel):
+    from .binning import _split3
+
     lane, live = res
-    mk = _winner_onehot(lane, live, P)
-    # d_g[c, f, n] = sum_t mk[c, t, f] * d_sel[c, n, t]
-    d_g = jnp.einsum(
-        "ctf,cnt->cfn", mk, d_sel, precision=jax.lax.Precision.HIGHEST
-    )
+    mk = _winner_onehot(lane, live, P).astype(jnp.bfloat16)
+    # d_g[c, f, n] = sum_t mk[c, t, f] * d_sel[c, n, t]; same packed
+    # 3-pass split on the cotangent (multi-term sums: equal to a plain
+    # f32 accumulation up to summation-order eps, like _slot_gather_bwd)
+    hi, mid, lo = _split3(d_sel)
+    C = d_sel.shape[1]
+    packed = jnp.concatenate([hi, mid, lo], axis=1).astype(jnp.bfloat16)
+    y = jax.lax.dot_general(
+        mk, packed, (((1,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                                        # (c, P, 3C)
+    d_g = (y[..., :C] + y[..., C:2 * C]) + y[..., 2 * C:]
     d_lane = np.zeros(lane.shape, dtype=jax.dtypes.float0)
     d_live = np.zeros(live.shape, dtype=jax.dtypes.float0)
     return d_lane, d_live, d_g
