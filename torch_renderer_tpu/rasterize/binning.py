@@ -616,6 +616,65 @@ def gather_rank_planes(
     return out, mask
 
 
+def _winner_onehot(lane: jax.Array, live: jax.Array, P: int) -> jax.Array:
+    """(c, tp) winner lanes -> (c, tp, P) bf16 one-hot (0 rows where dead
+    or lane < 0)."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, P), 2)
+    return ((lane[..., None] == iota) & live[..., None]).astype(jnp.bfloat16)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def winner_gather(P: int, lane, live, g):
+    """sel[c, n, t] = g[c, lane[c, t], n] (0 where dead): the per-pixel
+    winner pick shared by the binned mesh and point interpolation
+    epilogues, as ONE one-hot MXU contraction.
+
+    Exact f32 at bf16-dot cost via the 3-way split (_split3, as
+    _slot_gather): the one-hot is exactly bf16, g splits exactly, and
+    each forward output element has a SINGLE nonzero term, so hi+mid+lo
+    reconstructs the f32 value bit-for-bit — at half the MXU passes of a
+    Precision.HIGHEST (6-pass) f32 einsum. custom_vjp keeps only
+    (lane, live) as residuals and rebuilds the one-hot in the backward —
+    plain AD stored every per-k (c, tp, P) mask across the chunk loop
+    (436 MB / 10.7 ms of residual copies at the 4x20k point bench)."""
+    mk = _winner_onehot(lane, live, P)                       # (c, tp, P)
+    hi, mid, lo = _split3(g)                                 # (c, P, C)
+    C = g.shape[-1]
+    packed = jnp.concatenate([hi, mid, lo], axis=-1).astype(jnp.bfloat16)
+    y = jax.lax.dot_general(
+        mk, packed, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                                        # (c, tp, 3C)
+    sel = (y[..., :C] + y[..., C:2 * C]) + y[..., 2 * C:]
+    return jnp.swapaxes(sel, 1, 2)                           # (c, C, tp)
+
+
+def _winner_gather_fwd(P, lane, live, g):
+    return winner_gather(P, lane, live, g), (lane, live)
+
+
+def _winner_gather_bwd(P, res, d_sel):
+    lane, live = res
+    mk = _winner_onehot(lane, live, P)
+    # d_g[c, f, n] = sum_t mk[c, t, f] * d_sel[c, n, t]; same packed
+    # 3-pass split on the cotangent (multi-term sums: equal to a plain
+    # f32 accumulation up to summation-order eps, like _slot_gather_bwd)
+    hi, mid, lo = _split3(d_sel)
+    C = d_sel.shape[1]
+    packed = jnp.concatenate([hi, mid, lo], axis=1).astype(jnp.bfloat16)
+    y = jax.lax.dot_general(
+        mk, packed, (((1,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                                        # (c, P, 3C)
+    d_g = (y[..., :C] + y[..., C:2 * C]) + y[..., 2 * C:]
+    d_lane = np.zeros(lane.shape, dtype=jax.dtypes.float0)
+    d_live = np.zeros(live.shape, dtype=jax.dtypes.float0)
+    return d_lane, d_live, d_g
+
+
+winner_gather.defvjp(_winner_gather_fwd, _winner_gather_bwd)
+
+
 # ---------------------------------------------------------------------------
 # Active-tile compaction
 # ---------------------------------------------------------------------------

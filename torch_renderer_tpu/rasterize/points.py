@@ -16,12 +16,10 @@ PointsRasterizationSettings.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..cameras.perspective import PerspectiveCamera
 from ..structures.pointclouds import Pointclouds
@@ -138,69 +136,6 @@ def _select_chunk(pix, q, z, valid, radius2, K: int):
     return out
 
 
-def _winner_onehot(lane: jax.Array, live: jax.Array, P: int) -> jax.Array:
-    """(c, tp) winner lanes -> (c, tp, P) f32 one-hot (0 rows where dead)."""
-    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, P), 2)
-    return ((lane[..., None] == iota) & live[..., None]).astype(jnp.float32)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _winner_gather(P: int, lane, live, g):
-    """sel[c, n, t] = g[c, lane[c, t], n] (0 where dead) via ONE one-hot MXU
-    contraction. custom_vjp keeps only (lane, live) as residuals and
-    rebuilds the one-hot in the backward — without it AD stored every
-    per-k (c, tp, Pmax) mask across the chunk loop (436 MB at the
-    4x20k/256^2/K=8 bench: 10.7 ms/step of pure residual copies +
-    dynamic-update-slices in the op profile).
-
-    Exact f32 at bf16-dot cost via the 3-way split (binning._split3, the
-    _slot_gather trick): the one-hot is exactly bf16, g splits exactly,
-    and each forward output element has a SINGLE nonzero term, so
-    hi+mid+lo reconstructs the f32 value bit-for-bit — at half the MXU
-    passes of a Precision.HIGHEST (6-pass) f32 einsum."""
-    from .binning import _split3
-
-    mk = _winner_onehot(lane, live, P).astype(jnp.bfloat16)  # (c, tp, P)
-    hi, mid, lo = _split3(g)                                 # (c, P, C)
-    C = g.shape[-1]
-    packed = jnp.concatenate([hi, mid, lo], axis=-1).astype(jnp.bfloat16)
-    # y[c, t, 3C] = sum_f mk[c, t, f] * packed[c, f, 3C]
-    y = jax.lax.dot_general(
-        mk, packed, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )                                                        # (c, tp, 3C)
-    sel = (y[..., :C] + y[..., C:2 * C]) + y[..., 2 * C:]
-    return jnp.swapaxes(sel, 1, 2)                           # (c, C, tp)
-
-
-def _winner_gather_fwd(P, lane, live, g):
-    return _winner_gather(P, lane, live, g), (lane, live)
-
-
-def _winner_gather_bwd(P, res, d_sel):
-    from .binning import _split3
-
-    lane, live = res
-    mk = _winner_onehot(lane, live, P).astype(jnp.bfloat16)
-    # d_g[c, f, n] = sum_t mk[c, t, f] * d_sel[c, n, t]; same packed
-    # 3-pass split on the cotangent (multi-term sums: equal to a plain
-    # f32 accumulation up to summation-order eps, like _slot_gather_bwd)
-    hi, mid, lo = _split3(d_sel)
-    C = d_sel.shape[1]
-    packed = jnp.concatenate([hi, mid, lo], axis=1).astype(jnp.bfloat16)
-    y = jax.lax.dot_general(
-        mk, packed, (((1,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )                                                        # (c, P, 3C)
-    d_g = (y[..., :C] + y[..., C:2 * C]) + y[..., 2 * C:]
-    d_lane = np.zeros(lane.shape, dtype=jax.dtypes.float0)
-    d_live = np.zeros(live.shape, dtype=jax.dtypes.float0)
-    return d_lane, d_live, d_g
-
-
-_winner_gather.defvjp(_winner_gather_fwd, _winner_gather_bwd)
-
-
 def _rasterize_points_binned(
     q, z, valid, radius2, settings: PointsRasterizationSettings, extra=None,
     uniform_r2=None,
@@ -221,6 +156,7 @@ def _rasterize_points_binned(
         gather_rank_channels,
         tile_pixel_coords,
         untile_image,
+        winner_gather,
     )
 
     H, W = settings.image_size
@@ -333,10 +269,11 @@ def _rasterize_points_binned(
 
     def winner_channels(g, lane, live, px, py):
         """ONE differentiable one-hot einsum per hit pulls all candidate
-        channels together (lean residuals: _winner_gather); d2 recomputed
+        channels together (lean residuals + exact bf16 split:
+        binning.winner_gather); d2 recomputed
         from the winner's gathered x/y so gradients flow through the
         gather, never a scatter."""
-        sel = _winner_gather(Pmax, lane, live, g)    # (c, C, tp)
+        sel = winner_gather(Pmax, lane, live, g)     # (c, C, tp)
         wx, wy, wz = sel[:, 0], sel[:, 1], sel[:, 2]
         ddx = px - wx
         ddy = py - wy

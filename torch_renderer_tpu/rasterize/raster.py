@@ -452,7 +452,6 @@ def _rasterize_binned(fd: FaceRasterData, settings: RasterizationSettings) -> Fr
             a, [(0, padn)] + [(0, 0)] * (a.ndim - 1)
         ).reshape((n_chunks, tiles_per_chunk) + a.shape[1:])
 
-        iota_f = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Fmax), 2)
         ch_idx = {n: c for c, n in enumerate(_PLANE_ORDER)}
 
         def per_chunk(args):
@@ -475,25 +474,28 @@ def _rasterize_binned(fd: FaceRasterData, settings: RasterizationSettings) -> Fr
                 v[:, None, :],
             )  # (c, tp, K)
 
-            # winner gather: one one-hot einsum over the tile's Fmax lanes
-            # per hit (MXU) instead of 13 masked VPU reductions per channel
-            # — measured 3.06 -> ~0.5 ms of the 720p 12-view call
+            # winner gather: one one-hot contraction over the tile's Fmax
+            # lanes per hit (MXU) instead of 13 masked VPU reductions per
+            # channel — measured 3.06 -> ~0.5 ms of the 720p 12-view call
             # (fusion.152 in the op profile). Exact: a single nonzero per
-            # (pixel, lane) row and f32 HIGHEST (3-pass bf16 split)
-            # reconstruct the f32 values bit-for-bit, as in
-            # pallas_hard._xla_reinterpolate.
+            # (pixel, lane) row, so binning.winner_gather's 3-way bf16
+            # split reconstructs the f32 values bit-for-bit at half the
+            # MXU passes of a HIGHEST einsum — and its custom_vjp keeps
+            # only (lane, live) as residuals instead of the per-k
+            # (c, tp, Fmax) masks AD stored across the chunk loop.
+            # Channel-MAJOR output (c, 13, tp): the channel slices below
+            # are then contiguous (c, tp) planes — the (c, tp, 13)
+            # orientation forced XLA to materialize a full relayout copy
+            # of the winner channels (0.50 ms of the 12-view 720p call,
+            # copy.384 in the op profile) before the fragment math could
+            # read them.
+            from .binning import winner_gather
+
             zbufs, pcs, dists_l, p2fs = [], [], [], []
             for k in range(K):
-                mk = idx_local[:, :, k][..., None] == iota_f  # (c, tp, Fmax)
-                # channel-MAJOR output (c, 13, tp): the channel slices below
-                # are then contiguous (c, tp) planes — the (c, tp, 13)
-                # orientation forced XLA to materialize a full relayout copy
-                # of the winner channels (0.50 ms of the 12-view 720p call,
-                # copy.384 in the op profile) before the fragment math could
-                # read them.
-                sel = jnp.einsum(
-                    "cfn,ctf->cnt", g, mk.astype(jnp.float32),
-                    precision=jax.lax.Precision.HIGHEST,
+                lane_k = idx_local[:, :, k]                   # (c, tp)
+                sel = winner_gather(
+                    Fmax, lane_k, lane_k >= 0, g
                 )  # (c, 13, tp)
                 qx = [sel[:, ch_idx[f"qx{j}"]] for j in range(3)]
                 qy = [sel[:, ch_idx[f"qy{j}"]] for j in range(3)]
