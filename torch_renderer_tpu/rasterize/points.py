@@ -464,6 +464,21 @@ def rasterize_points(
             uniform_r2=uniform_r2,
         )
 
+    if N >= 4096:
+        # pytorch3d's bin_size=None means AUTO-binning in CUDA; here it
+        # means dense O(pixels x points) selection — users porting
+        # reference code with large clouds would silently run 14x slower
+        # (247 vs 17 ms at 4x20k/256^2 on v5e)
+        import warnings
+
+        warnings.warn(
+            f"dense point rasterization over {N} points is "
+            "O(pixels x points); pass bin_size=16 (+ max_points_per_bin "
+            "from suggest_points_per_bin) for the coarse-to-fine path "
+            "(~14x at 20k points)",
+            stacklevel=2,
+        )
+
     pix_all = pixel_coords_raster((H, W))
     HW = pix_all.shape[0]
     chunk = min(settings.pixel_chunk, HW)
