@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--image", type=int, default=256)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--repeats", type=int, default=5)
+    ap.add_argument("--skip-dense", action="store_true",
+                    help="skip the O(pixels x points) dense row (minutes "
+                         "per forward at 100k-point/512^2 scales)")
     args = ap.parse_args()
 
     import jax
@@ -104,7 +107,8 @@ def main():
     print(f"auto active_tiles = {act} (sphere {act_s})")
     bkw = dict(radius=0.01, bin_size=16, max_points_per_bin=mpb)
     renderers = {
-        "alpha (dense)": AlphaPointRender(K, (S, S), radius=0.01),
+        **({} if args.skip_dense else {
+            "alpha (dense)": AlphaPointRender(K, (S, S), radius=0.01)}),
         "alpha (binned xla)": AlphaPointRender(K, (S, S), impl="xla", **bkw),
         "alpha (binned pallas)": AlphaPointRender(
             K, (S, S), impl="pallas", **bkw),
