@@ -18,10 +18,12 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--obj", type=str, default=None, help="input OBJ mesh path")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument(
-        "--check-budgets", action="store_true",
+        "--check-budgets", nargs="?", const="warn", default="warn",
+        choices=["warn", "checkify", "off"],
         help="runtime guard for every silent-drop budget (face/point bins, "
-             "active tiles, group lanes): warn on the host whenever a true "
-             "candidate count exceeds its configured budget",
+             "active tiles, group lanes): 'warn' (default) warns on the "
+             "host whenever a true candidate count exceeds its configured "
+             "budget; 'off' disables the guards (benching)",
     )
     return p
 
@@ -33,14 +35,16 @@ def setup_platform(args) -> None:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    if getattr(args, "check_budgets", False):
-        # process-wide default, set BEFORE any trace (the binned paths read
-        # it at trace time); per-settings check_budgets values still win
+    mode = getattr(args, "check_budgets", None)
+    if mode:
+        # process-wide default ('warn' unless --check-budgets off), set
+        # BEFORE any trace (the binned paths read it at trace time);
+        # per-settings check_budgets values still win
         from torch_renderer_tpu.rasterize.binning import (
             set_budget_check_default,
         )
 
-        set_budget_check_default("warn")
+        set_budget_check_default(mode)
     # Persistent compilation cache: repeat app runs with unchanged shapes
     # skip the (multi-minute on the tunneled TPU) XLA/Mosaic compiles.
     cache_dir = os.path.join(

@@ -745,10 +745,12 @@ def build_points_planes():
     padN = (-(B * T)) % _TN
     if padN:
         planes_k = jnp.pad(planes_k, ((0, padN), (0, 0), (0, 0)))
-    s = min(S, S) / 2.0
+    from torch_renderer_tpu.rasterize.binning import tile_pixel_coords
+
+    plocal = tile_pixel_coords((S, S), TILE)          # (tp, 2)
     n_chunks = int(np.asarray(
         (-(-jnp.minimum(bins.count, Pmax) // _PC)).sum()))
-    return (planes_k, planes, bins, Pmax, TILE, 1.0 / s, K_PTS,
+    return (planes_k, planes, bins, Pmax, TILE, plocal, K_PTS,
             n_chunks, B, T, P)
 
 
@@ -897,7 +899,7 @@ def main():
         mxu=0, dot=None))
 
     # ---- point selection kernel + candidate gather (bench_points scene) ----
-    (pplanes, gplanes, pbins, Pmax, PTILE, pinv_s, K_PTS, chunks_pts,
+    (pplanes, gplanes, pbins, Pmax, PTILE, plocal, K_PTS, chunks_pts,
      B_pts, T_pts, N_pts) = build_points_planes()
     Ppad = pplanes.shape[2]
     ptp = PTILE * PTILE
@@ -995,7 +997,7 @@ def main():
     )
 
     def pts_cut(p):
-        lane, live = points_select_pallas(p, PTILE, pinv_s, 1e-5, K_PTS)
+        lane, live = points_select_pallas(p, PTILE, plocal, 1e-5, K_PTS)
         return jnp.sum(lane) + jnp.sum(live)
 
     t_pts = _scan_time(pts_cut, pplanes, args.steps, args.repeats) - floor

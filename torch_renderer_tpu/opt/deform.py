@@ -240,6 +240,17 @@ class VertexColorFitter:
         if verts_rgb0 is None:
             verts_rgb0 = jnp.full(meshes.verts.shape[-2:], 0.5, jnp.float32)
 
+        # size auto bin settings from the concrete views before the jitted
+        # scan traces (see CameraPoseFitter.fit)
+        if self.renderer.settings.bin_size is None:
+            from ..rasterize.autotune import is_concrete
+
+            if is_concrete(meshes, Rs, ts):
+                self.renderer.prepare(
+                    self._views_batch(meshes, jnp.asarray(refs).shape[0]),
+                    Rs, ts,
+                )
+
         if n not in self._run_cache:
 
             @jax.jit

@@ -69,7 +69,8 @@ class JointFitConfig:
     # Coarse-to-fine rasterization. The fused Pallas top-K kernel
     # (rasterize/pallas_hard._topk_select_kernel) makes binning the clear winner
     # at K=8: 5.9 ms vs 163 ms dense-XLA render+backward at the
-    # reference's 128^2 scale (27x). bin_size=None = dense XLA.
+    # reference's 128^2 scale (27x). bin_size=None = the renderer's AUTO
+    # resolution (rasterize.autotune); bin_size=0 = dense XLA.
     # max_faces_per_bin=None = auto-size: measure the true max tile
     # occupancy of the concrete scene at make_dataset/fit setup and give
     # it 1.5x headroom (overflowing bins silently drop faces — a level-4

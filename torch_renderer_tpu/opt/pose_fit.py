@@ -277,6 +277,18 @@ class CameraPoseFitter:
         tx = optax.adam(cfg.lr)
         step = self.step_fn(tx)
 
+        # auto bin settings resolve from CONCRETE scenes only — size them
+        # from the start pose before the jitted scan traces (traced auto
+        # calls with no cached resolution fall back to the dense path)
+        if self.renderer.settings.bin_size is None:
+            from ..rasterize.autotune import is_concrete
+
+            if is_concrete(meshes, params0):
+                R0, t0 = pose_params_to_Rt(
+                    jax.tree_util.tree_map(jnp.asarray, params0)
+                )
+                self.renderer.prepare(meshes, R0, t0)
+
         if n not in self._fit_cache:
 
             @jax.jit

@@ -111,6 +111,15 @@ class FiniteDifferencePoseFitter:
         cfg = self.config
         n = int(n_steps if n_steps is not None else cfg.n_steps)
 
+        # size auto bin settings from the concrete start pose before the
+        # jitted scan traces (see CameraPoseFitter.fit)
+        if self.renderer.settings.bin_size is None:
+            from ..rasterize.autotune import is_concrete
+
+            if is_concrete(meshes, params0):
+                R0, t0 = self.unpack(jnp.asarray(params0))
+                self.renderer.prepare(meshes, R0[None], t0[None])
+
         if n not in self._fit_cache:
 
             @jax.jit

@@ -148,6 +148,14 @@ def render_points_sharded(
     args, _ = pad_batch_to(
         (pointclouds, jnp.asarray(R), jnp.asarray(tvec)), Bp)
 
+    # auto bin settings resolve from concrete inputs only: size them here
+    # on the PER-SHARD slice (the shapes the shard_map body will see) so
+    # the traced renders inside hit the resolution cache instead of
+    # falling back to the dense path
+    if getattr(renderer.settings, "bin_size", 0) is None:
+        local = jax.tree_util.tree_map(lambda x: x[: Bp // d], args)
+        renderer.prepare(*local)
+
     # cache the jitted shard-mapped callable on the renderer: a fresh
     # @jax.jit wrapper per call would retrace+recompile EVERY invocation
     # (measured ~1.55 s per repeat call of a tiny scene vs milliseconds

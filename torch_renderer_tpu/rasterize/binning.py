@@ -51,17 +51,20 @@ _BUDGET_CHECK_DEFAULT = [None]
 
 def set_budget_check_default(mode) -> None:
     """Process-wide default for the binned paths' check_budgets settings
-    (None | 'warn' | 'checkify'); an explicit per-settings value wins. Set
-    BEFORE the first traced call — the default is read at trace time, so
-    flipping it later does not affect already-compiled functions (apps'
-    --check-budgets flag sets it at startup)."""
-    if mode not in (None, "warn", "checkify"):
+    (None | 'off' | 'warn' | 'checkify'); an explicit per-settings value
+    wins. Set BEFORE the first traced call — the default is read at trace
+    time, so flipping it later does not affect already-compiled functions
+    (apps' --check-budgets flag sets it at startup). 'off' forces the
+    guards off (auto-resolved settings default them to 'warn' —
+    rasterize.autotune)."""
+    if mode not in (None, "off", "warn", "checkify"):
         raise ValueError(f"unknown budget check mode {mode!r}")
     _BUDGET_CHECK_DEFAULT[0] = mode
 
 
 def resolve_budget_check(mode):
-    return _BUDGET_CHECK_DEFAULT[0] if mode is None else mode
+    mode = _BUDGET_CHECK_DEFAULT[0] if mode is None else mode
+    return None if mode == "off" else mode
 
 
 def check_budget(name: str, actual: jax.Array, budget: int, mode,

@@ -28,6 +28,14 @@ planes (N, 8, P) f32 slab per flattened tile (P a 128-multiple):
   row 6    tile origin in lanes 0, 1
   row 7    point-chunk trip count in lane 0
 
+offs (2, tp, 128): the tile's local pixel offsets (binning.tile_pixel_coords
+values — THE SAME array the XLA epilogue adds to the origin), broadcast
+across the 128 point-chunk lanes; using the epilogue's own offsets (rather
+than re-deriving idx * (1/s) in-kernel) keeps the kernel's d2 <= r2
+coverage decision bit-identical to the epilogue's recomputed d2, so
+impl='pallas' vs impl='xla' selection can never flip on exact-boundary
+splat pixels.
+
 out (N, K*8, tp) bands: row k*8 = winner local lane (f32, -1 = no hit),
 row k*8+1 = live; rows k*8+2..7 zero (dynamic sublane stores need 8-row
 alignment, as pallas_hard).
@@ -51,19 +59,12 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _pixel_offsets(tile: int, inv_s: float):
-    tp = tile * tile
-    idx = jax.lax.broadcasted_iota(jnp.int32, (tp, 1), 0)
-    xoff = (idx % tile).astype(jnp.float32) * inv_s
-    yoff = (idx // tile).astype(jnp.float32) * inv_s
-    return xoff, yoff
-
-
-def _points_select_kernel(tile, inv_s, znear, K, P,
-                          planes_ref, out_ref, prio_ref):
+def _points_select_kernel(tile, znear, K, P,
+                          planes_ref, offs_ref, out_ref, prio_ref):
     tp = tile * tile
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (tp, P), 1)
-    xoff, yoff = _pixel_offsets(tile, inv_s)
+    xoff = offs_ref[0]                                       # (tp, 128)
+    yoff = offs_ref[1]
     zero = jnp.zeros((tp,), jnp.float32)
     neg1 = -1.0 * jnp.ones((tp,), jnp.float32)
     empty_band = jnp.stack([neg1] + [zero] * 7, axis=0)      # (8, tp)
@@ -81,7 +82,7 @@ def _points_select_kernel(tile, inv_s, znear, K, P,
 
         @pl.when(count > 0)
         def _full():
-            px = planes_ref[i, 6, 0] + xoff                  # (tp, 1)
+            px = planes_ref[i, 6, 0] + xoff                  # (tp, 128)
             py = planes_ref[i, 6, 1] + yoff
 
             # phase 1: coverage priority slab, chunk by chunk
@@ -132,27 +133,51 @@ def _points_select_kernel(tile, inv_s, znear, K, P,
     jax.lax.fori_loop(0, _TN, row, 0)
 
 
-def points_select_pallas(planes: jax.Array, tile: int, inv_s: float,
+SUPPORTED_TILES = (16, 32)
+
+
+def points_select_pallas(planes: jax.Array, tile: int, local_offs: jax.Array,
                          znear: float, K: int):
     """planes (N, 8, P) -> (lane (N, K, tp) int32 local winner lane
     (-1 = empty), live (N, K, tp) bool). N must be a _TN multiple and P a
-    128-multiple; selection only — no gradients flow (consume the output
-    in a winner one-hot einsum over differentiable candidate channels).
-    Falls back to interpret mode off-TPU."""
+    128-multiple; tile must be in SUPPORTED_TILES (the out/offset blocks
+    need tp = tile*tile to be a 128-lane multiple — Mosaic rejects
+    non-128-granule lane extents, and interpret mode would hide the
+    compile failure; points.py falls back to the XLA impl for other bin
+    sizes under impl='auto'). local_offs: the (tp, 2) local pixel offsets
+    from binning.tile_pixel_coords — passed through verbatim so coverage
+    is bit-identical to the XLA epilogue (module docstring). Selection
+    only — no gradients flow (consume the output in a winner one-hot
+    einsum over differentiable candidate channels). Falls back to
+    interpret mode off-TPU."""
     N, rows, P = planes.shape
     if rows != 8:
         raise ValueError(f"planes must have 8 rows, got {rows}")
     if N % _TN or P % _PC:
         raise ValueError(f"N ({N}) must be a multiple of {_TN} and P ({P}) "
                          f"of {_PC}")
+    if tile not in SUPPORTED_TILES:
+        raise ValueError(
+            f"points_select_pallas supports tile in {SUPPORTED_TILES}, got "
+            f"{tile} (tp must be a 128-lane multiple)"
+        )
     tp = tile * tile
+    if local_offs.shape != (tp, 2):
+        raise ValueError(
+            f"local_offs must be (tp, 2) = ({tp}, 2), got {local_offs.shape}"
+        )
+    offs = jnp.broadcast_to(
+        jnp.moveaxis(local_offs, -1, 0)[:, :, None], (2, tp, _PC)
+    ).astype(jnp.float32)
     out = pl.pallas_call(
         functools.partial(
-            _points_select_kernel, tile, inv_s, znear, K, P
+            _points_select_kernel, tile, znear, K, P
         ),
         grid=(N // _TN,),
         in_specs=[
             pl.BlockSpec((_TN, 8, P), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, tp, _PC), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((_TN, K * 8, tp), lambda i: (i, 0, 0),
@@ -160,7 +185,7 @@ def points_select_pallas(planes: jax.Array, tile: int, inv_s: float,
         out_shape=jax.ShapeDtypeStruct((N, K * 8, tp), jnp.float32),
         scratch_shapes=[pltpu.VMEM((tp, P), jnp.float32)],
         interpret=_interpret(),
-    )(planes)
+    )(planes, offs)
     bands = out.reshape(N, K, 8, tp)
     lane = jnp.round(bands[:, :, 0, :]).astype(jnp.int32)    # -1 = empty
     live = bands[:, :, 1, :] > 0.5

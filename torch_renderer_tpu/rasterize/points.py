@@ -57,12 +57,16 @@ class PointFragments:
 class PointsRasterizationSettings:
     """pytorch3d PointsRasterizationSettings mirror (radius in NDC units).
 
-    bin_size switches on coarse-to-fine binning (pytorch3d's bin_size /
-    max_points_per_bin): points are bucketed into bin_size-pixel tiles by
-    their radius-expanded bbox, and each tile evaluates only its own
-    candidates — the large-cloud path (dense is O(pixels x points)).
-    Overflowing tiles silently drop high-index points; size
-    max_points_per_bin with headroom."""
+    bin_size follows pytorch3d's contract: None = AUTO — coarse-to-fine
+    binning with tile size and budgets (max_points_per_bin, active_tiles)
+    measured from the first concrete cloud per shape
+    (rasterize.autotune.resolve_points_settings; the runtime overflow
+    guard defaults on); 0 = force the dense O(pixels x points) path;
+    k > 0 = explicit binned settings — points are bucketed into
+    bin_size-pixel tiles by their radius-expanded bbox and each tile
+    evaluates only its own candidates. Overflowing tiles silently drop
+    high-index points; size explicit max_points_per_bin with headroom
+    (suggest_points_per_bin)."""
 
     image_size: Tuple[int, int]
     radius: float = 0.01
@@ -363,6 +367,28 @@ def _rasterize_points_binned(
         settings.impl == "auto" and jax.default_backend() == "tpu"
     )
     if use_pallas:
+        from .pallas_points import SUPPORTED_TILES
+
+        if tile not in SUPPORTED_TILES:
+            # the kernel's out/offset blocks need tp = tile*tile to be a
+            # 128-lane multiple; Mosaic rejects other granules at compile
+            # time on real TPUs (interpret mode would hide it)
+            if settings.impl == "pallas":
+                raise ValueError(
+                    f"impl='pallas' supports bin_size in {SUPPORTED_TILES}, "
+                    f"got {tile}"
+                )
+            import warnings
+
+            warnings.warn(
+                f"bin_size={tile} is outside the fused point-selection "
+                f"kernel's supported tiles {SUPPORTED_TILES}; impl='auto' "
+                "falls back to the XLA selection path (bit-exact, slower "
+                "at scale)",
+                stacklevel=2,
+            )
+            use_pallas = False
+    if use_pallas:
         from .pallas_points import _PC, _TN, points_select_pallas
 
         # assemble the kernel's (N, 8, Ppad) slab: stop-grad channel rows
@@ -392,9 +418,8 @@ def _rasterize_points_binned(
         padN = (-(B * T)) % _TN
         if padN:
             planes_k = jnp.pad(planes_k, ((0, padN), (0, 0), (0, 0)))
-        s = min(H, W) / 2.0
         lane, live = points_select_pallas(
-            planes_k, tile, 1.0 / s, settings.znear, k_eff
+            planes_k, tile, local, settings.znear, k_eff
         )
         lane = lane[:NT]
         live = live[:NT]
@@ -458,25 +483,15 @@ def rasterize_points(
         uniform_r2 = None
     radius2 = radius_arr * radius_arr
 
-    if settings.bin_size is not None:
+    from .autotune import resolve_points_settings
+
+    settings = resolve_points_settings(
+        settings, q=q, z=z, valid=valid, radius_arr=radius_arr
+    )
+    if settings.bin_size:
         return _rasterize_points_binned(
             q, z, valid, radius2, settings, extra=extra,
             uniform_r2=uniform_r2,
-        )
-
-    if N >= 4096:
-        # pytorch3d's bin_size=None means AUTO-binning in CUDA; here it
-        # means dense O(pixels x points) selection — users porting
-        # reference code with large clouds would silently run 14x slower
-        # (247 vs 17 ms at 4x20k/256^2 on v5e)
-        import warnings
-
-        warnings.warn(
-            f"dense point rasterization over {N} points is "
-            "O(pixels x points); pass bin_size=16 (+ max_points_per_bin "
-            "from suggest_points_per_bin) for the coarse-to-fine path "
-            "(~14x at 20k points)",
-            stacklevel=2,
         )
 
     pix_all = pixel_coords_raster((H, W))
@@ -532,7 +547,7 @@ def suggest_points_per_bin(
         r = jnp.full((B, N), settings.radius, jnp.float32)
     else:
         r = jnp.broadcast_to(jnp.asarray(radius, jnp.float32), (B, N))
-    if settings.bin_size is None:
+    if not settings.bin_size:
         raise ValueError(
             "suggest_points_per_bin needs settings.bin_size (the budget is "
             "per-tile; sizing for a default tile then rendering at another "
@@ -566,7 +581,7 @@ def suggest_active_tiles_points(
         r = jnp.full((B, N), settings.radius, jnp.float32)
     else:
         r = jnp.broadcast_to(jnp.asarray(radius, jnp.float32), (B, N))
-    if settings.bin_size is None:
+    if not settings.bin_size:
         raise ValueError("suggest_active_tiles_points needs settings.bin_size")
     n = count_bbox_active_tiles(
         q - r[..., None], q + r[..., None], valid,

@@ -62,9 +62,13 @@ class RasterizationSettings:
     clip_barycentric_coords: Optional[bool] = None  # default: blur_radius > 0
     # Coarse-to-fine selection: bucket faces into bin_size-pixel tiles and
     # evaluate only each tile's candidates (pytorch3d's bin_size /
-    # max_faces_per_bin). None = dense selection over all faces. Size with
-    # enough headroom (overflowing tiles silently drop high-index faces) —
-    # pallas_soft.suggest_faces_per_tile measures the true maximum.
+    # max_faces_per_bin, SAME contract): None = AUTO — tile size and
+    # budgets (max_faces_per_bin, active_tiles) are measured from the first
+    # concrete scene per shape via rasterize.autotune and the runtime
+    # overflow guard defaults on; 0 = force the dense O(pixels x faces)
+    # path; k > 0 = explicit binned settings (size with enough headroom:
+    # overflowing tiles silently drop high-index faces —
+    # pallas_soft.suggest_faces_per_tile measures the true maximum).
     bin_size: Optional[int] = None
     max_faces_per_bin: int = 128
     # Binned-path implementation: 'auto' picks the fused Pallas kernel
@@ -647,8 +651,12 @@ def uses_binned_pallas(settings: RasterizationSettings) -> bool:
     """Whether rasterize_face_data will route to the fused Pallas binned
     kernels (see the dispatch comment in rasterize_face_data): explicitly
     forced via impl='pallas', or auto-picked for K>1 on TPU. Only these
-    fragments carry Fragments.binned attribute slabs."""
-    if settings.bin_size is None or settings.impl == "xla":
+    fragments carry Fragments.binned attribute slabs.
+
+    NB: auto settings (bin_size=None) must be resolved first
+    (autotune.resolve_mesh_settings — rasterize_meshes / MeshRenderer do);
+    unresolved auto conservatively reports False here."""
+    if not settings.bin_size or settings.impl == "xla":
         return False
     if settings.occupancy_split is not None:
         return False  # split is an XLA-binned-path tuning (routing intent)
@@ -675,17 +683,20 @@ def rasterize_face_data(
     bin-local interpolation (fragments.interpolate_binned); other paths
     ignore them (shading falls back to global interpolation).
     """
+    from .autotune import resolve_mesh_settings
+
+    settings = resolve_mesh_settings(settings, fd=fd)
     if (
         settings.impl == "pallas"
         and settings.layout != "packed"
-        and (settings.bin_size is None or settings.bin_size > 16)
+        and (not settings.bin_size or settings.bin_size > 16)
     ):
         raise ValueError(
             "impl='pallas' requires bin_size <= 16 (per-tile tile=32 "
             "kernels crash the Mosaic compiler; the packed layout supports "
             f"bin_size 32); got bin_size={settings.bin_size}"
         )
-    if settings.layout == "packed" and settings.bin_size is None:
+    if settings.layout == "packed" and not settings.bin_size:
         raise ValueError("layout='packed' requires bin_size (binned path)")
     if settings.occupancy_split is not None:
         # the split only exists on the XLA binned path. impl='auto' treats
@@ -695,7 +706,7 @@ def rasterize_face_data(
         # fail loudly instead of silently dropping the tuning (mirrors
         # the impl='pallas' bin_size guard).
         if (
-            settings.bin_size is None
+            not settings.bin_size
             or settings.impl == "pallas"
             or settings.layout == "packed"
         ):
@@ -712,7 +723,7 @@ def rasterize_face_data(
         if (
             settings.faces_per_pixel != 1
             or settings.blur_radius > 0.0
-            or settings.bin_size is None
+            or not settings.bin_size
             or settings.impl == "pallas"
             or settings.layout == "packed"
         ):
@@ -738,7 +749,7 @@ def rasterize_face_data(
             f"{settings.faces_per_pixel} (K>1 uses the per-tile top-K "
             "kernel — drop layout='packed')"
         )
-    if settings.bin_size is not None:
+    if settings.bin_size:
         # auto: the fused Pallas top-K kernel on TPU for K>1 — it beats the
         # XLA tile path 19-27x there (the XLA K>1 interpolation does
         # K x Fmax masked reductions per channel). K=1 stays on the XLA
@@ -805,7 +816,10 @@ def rasterize_meshes(
     settings: RasterizationSettings, extra_face_attrs=None,
 ) -> Fragments:
     """End-to-end: meshes + camera -> Fragments (the MeshRasterizer call)."""
-    if settings.bin_size is not None:
+    from .autotune import resolve_mesh_settings
+
+    settings = resolve_mesh_settings(settings, meshes, camera)
+    if settings.bin_size:
         # the binned paths read only scalar channel planes — the
         # channel-plane setup skips the tiny-trailing-dim corner tensors
         # (up to 42x TPU tile-padding); bit-exact vs setup_faces

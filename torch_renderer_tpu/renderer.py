@@ -100,7 +100,12 @@ class MeshRenderer(DifferentiableRenderer):
         recon_points: bool = False,
         check_budgets: Optional[str] = None,
     ):
-        """shade_k: shade only the nearest shade_k fragment slots for RGB
+        """bin_size follows pytorch3d's contract (None = AUTO coarse-to-
+        fine with budgets measured from the first concrete scene per
+        shape, 0 = force dense, k > 0 = explicit — see
+        RasterizationSettings / rasterize.autotune).
+
+        shade_k: shade only the nearest shade_k fragment slots for RGB
         (silhouette/depth keep all K); at the default gamma=1e-4 the
         z-softmax blend weights beyond slot ~2 are negligible and shading
         cost scales with the slot count. layout/group_lanes: the K=1
@@ -132,6 +137,25 @@ class MeshRenderer(DifferentiableRenderer):
         self.lights = lights if lights is not None else PointLights.make()
         self.materials = materials if materials is not None else Materials.make()
 
+    def resolved_settings(self, meshes: Meshes, R, tvec) -> RasterizationSettings:
+        """The concrete settings this scene will rasterize with: auto
+        (bin_size=None) resolves via rasterize.autotune (cached per shape);
+        explicit settings pass through."""
+        if self.settings.bin_size is not None:
+            return self.settings
+        from .rasterize.autotune import resolve_mesh_settings
+
+        return resolve_mesh_settings(
+            self.settings, meshes, self.camera_with_pose(R, tvec)
+        )
+
+    def prepare(self, meshes: Meshes, R, tvec) -> RasterizationSettings:
+        """Force auto-settings resolution from CONCRETE inputs (outside
+        jit). Call once at fit/loop setup when every later render happens
+        under jit — traced auto calls with no cached resolution fall back
+        to the dense path."""
+        return self.resolved_settings(meshes, R, tvec)
+
     def rasterize(
         self, meshes: Meshes, R, tvec, extra_face_attrs=None,
     ) -> Tuple[Fragments, PerspectiveCamera]:
@@ -155,7 +179,7 @@ class MeshRenderer(DifferentiableRenderer):
         if with_rgb:
             from .rasterize.raster import uses_binned_pallas
 
-            if uses_binned_pallas(self.settings):
+            if uses_binned_pallas(self.resolved_settings(meshes, R, tvec)):
                 # Pre-gather the shading attributes per tile (rides the
                 # rasterizer's bin-gather einsum) so Phong interpolation
                 # runs bin-locally over <=Fmax candidates.
@@ -257,11 +281,13 @@ class PointsRenderer(DifferentiableRenderer):
         bin_size=None, max_points_per_bin: int = 128,
         active_tiles=None, impl: str = "auto", check_budgets=None,
     ):
-        """bin_size: coarse-to-fine point binning (strongly recommended
-        past ~10k points: dense selection is O(pixels x points) — measured
-        247 ms dense vs 27.5 ms binned forward at 4x20k points, 256^2,
-        K=8 on v5e; scripts/bench_points.py). Size max_points_per_bin for
-        the CONCRETE cloud with rasterize.points.suggest_points_per_bin
+        """bin_size follows pytorch3d's contract: None (default) = AUTO
+        coarse-to-fine binning with budgets measured from the first
+        concrete cloud per shape (rasterize.autotune; the dense selection
+        it replaces is O(pixels x points) — measured 247 ms dense vs
+        ~17 ms binned forward at 4x20k points, 256^2, K=8 on v5e);
+        0 = force dense; k > 0 = explicit binned — size max_points_per_bin
+        for the CONCRETE cloud with rasterize.points.suggest_points_per_bin
         (overflowing tiles silently drop points)."""
         from .rasterize.points import PointsRasterizationSettings
 
@@ -274,12 +300,34 @@ class PointsRenderer(DifferentiableRenderer):
             check_budgets=check_budgets,
         )
 
-    def rasterize(self, pointclouds, R, tvec, radius=None, extra=None):
+    def resolved_settings(self, pointclouds, R, tvec, radius=None):
+        """Concrete settings for this cloud: auto (bin_size=None) resolves
+        via rasterize.autotune (cached per shape); explicit pass through.
+        radius: the per-point NDC selection radii the rasterization will
+        actually use (PulsarRenderer passes its sphere extents)."""
+        if self.settings.bin_size is not None:
+            return self.settings
+        from .rasterize.autotune import resolve_points_settings
+
+        return resolve_points_settings(
+            self.settings, pointclouds, self.camera_with_pose(R, tvec),
+            radius,
+        )
+
+    def prepare(self, pointclouds, R, tvec, radius=None):
+        """Force auto-settings resolution from CONCRETE inputs (outside
+        jit) — see MeshRenderer.prepare."""
+        return self.resolved_settings(pointclouds, R, tvec, radius)
+
+    def rasterize(self, pointclouds, R, tvec, radius=None, extra=None,
+                  settings=None):
         from .rasterize.points import rasterize_points
 
         cam = self.camera_with_pose(R, tvec)
         return rasterize_points(
-            pointclouds, cam, self.settings, radius, extra=extra
+            pointclouds, cam,
+            self.settings if settings is None else settings,
+            radius, extra=extra,
         ), cam
 
     def _splats(self, pointclouds, R, tvec, radius=None):
@@ -292,7 +340,8 @@ class PointsRenderer(DifferentiableRenderer):
         # the candidate gather + winner einsum (PointFragments.features)
         # instead of the near-scalar per-pixel TPU gather whose backward
         # is a serializing scatter-add
-        binned = self.settings.bin_size is not None
+        st = self.resolved_settings(pointclouds, R, tvec, radius)
+        binned = bool(st.bin_size)
         r_arr = None
         if radius is not None:
             B, N = pointclouds.points.shape[:2]
@@ -310,7 +359,9 @@ class PointsRenderer(DifferentiableRenderer):
                 cols.append(r_arr[..., None])
             if cols:
                 extra = jnp.concatenate(cols, axis=-1)
-        frags, _ = self.rasterize(pointclouds, R, tvec, radius, extra=extra)
+        frags, _ = self.rasterize(
+            pointclouds, R, tvec, radius, extra=extra, settings=st
+        )
 
         # splat weights follow the RASTERIZATION radius: with a per-point
         # override, w = 1 - d2/r_settings^2 would silently zero out (or
@@ -407,13 +458,13 @@ class PulsarRenderer(PointsRenderer):
         self.background = background
         self.eps = eps
 
-    def render(self, pointclouds, R, tvec, radius=None, opacity=None):
+    def _selection_radii(self, pointclouds, cam, radius=None):
+        """(pts_cam, r_w, r_ndc): world radii + the conservative NDC
+        selection radii — the world sphere's screen extent at its NEAR
+        surface, so the rasterizer's top-K candidate set contains every
+        sphere the ray can intersect."""
         import jax.numpy as jnp
 
-        from .rasterize.points import rasterize_points
-        from .shading.compositing import pulsar_sphere_composite
-
-        cam = self.camera_with_pose(R, tvec)
         pts_cam = cam.world_to_camera(pointclouds.points)   # (B, N, 3)
         B, N = pts_cam.shape[:2]
         r_w = jnp.broadcast_to(
@@ -423,17 +474,40 @@ class PulsarRenderer(PointsRenderer):
             ),
             (B, N),
         )
-        o = jnp.broadcast_to(
-            jnp.asarray(1.0 if opacity is None else opacity, jnp.float32),
-            (B, N),
-        )
-        # selection radius in NDC units: the world sphere's screen extent
-        # at its NEAR surface (conservative), so the rasterizer's top-K
-        # candidate set contains every sphere the ray can intersect
         fmax = jnp.maximum(cam.fx, cam.fy)[:, None]          # (B, 1)
         z = pts_cam[..., 2]
         r_ndc = r_w * fmax / (
             cam.ndc_scale * jnp.maximum(z - r_w, self.settings.znear)
+        )
+        return pts_cam, r_w, r_ndc
+
+    def resolved_settings(self, pointclouds, R, tvec, radius=None):
+        """Auto settings size against the NDC selection radii this renderer
+        actually rasterizes with (near-camera spheres blow r_ndc up well
+        past the world radius — see the sizing caveat above). `radius`
+        here is the WORLD radius override, matching render()."""
+        if self.settings.bin_size is not None:
+            return self.settings
+        from .rasterize.autotune import resolve_points_settings
+
+        cam = self.camera_with_pose(R, tvec)
+        _, _, r_ndc = self._selection_radii(pointclouds, cam, radius)
+        return resolve_points_settings(
+            self.settings, pointclouds, cam, r_ndc
+        )
+
+    def render(self, pointclouds, R, tvec, radius=None, opacity=None):
+        import jax.numpy as jnp
+
+        from .rasterize.points import rasterize_points
+        from .shading.compositing import pulsar_sphere_composite
+
+        cam = self.camera_with_pose(R, tvec)
+        pts_cam, r_w, r_ndc = self._selection_radii(pointclouds, cam, radius)
+        B, N = pts_cam.shape[:2]
+        o = jnp.broadcast_to(
+            jnp.asarray(1.0 if opacity is None else opacity, jnp.float32),
+            (B, N),
         )
         if pointclouds.features is None:
             feats = jnp.ones((B, N, 3), jnp.float32)
@@ -441,14 +515,21 @@ class PulsarRenderer(PointsRenderer):
             feats = pointclouds.features
         # binned path: pack every per-sphere channel the compositor needs
         # (camera center xyz, world radius, opacity, features) into the
-        # candidate gather so the composite skips its per-hit gathers
+        # candidate gather so the composite skips its per-hit gathers.
+        # Auto settings resolve against the NDC selection radii actually
+        # rasterized with (see resolved_settings above).
+        st = self.settings
+        if st.bin_size is None:
+            from .rasterize.autotune import resolve_points_settings
+
+            st = resolve_points_settings(st, pointclouds, cam, r_ndc)
         extra = None
-        if self.settings.bin_size is not None:
+        if st.bin_size:
             extra = jnp.concatenate(
                 [pts_cam, r_w[..., None], o[..., None], feats], axis=-1
             )
         frags = rasterize_points(
-            pointclouds, cam, self.settings, r_ndc, extra=extra
+            pointclouds, cam, st, r_ndc, extra=extra
         )
         packed = frags.features if extra is not None else None
         bcast = lambda a: jnp.broadcast_to(a, (B,))
