@@ -73,8 +73,10 @@ def main():
     p.add_argument("--distractor-objs", type=str, nargs="*", default=None,
                    help="OBJ paths rendered as occluding, non-annotated "
                         "distractors (the reference's BOP distractor mix)")
-    p.add_argument("--distractors", type=str, default="0,0",
-                   help="min,max distractors per scene")
+    p.add_argument("--distractors", type=str, default=None,
+                   help="min,max distractors per scene (default 0,0; with "
+                        "--distractor-objs and no explicit value: "
+                        "1,len(library))")
     args = p.parse_args()
     setup_platform(args)
 
@@ -100,12 +102,17 @@ def main():
     if args.distractor_objs:
         distractor_library = ObjectLibrary.from_obj_files(
             args.distractor_objs, load_textures=args.load_textures)
-    d_lo, d_hi = (int(x) for x in args.distractors.split(","))
-    if args.distractor_objs and d_hi == 0:
-        # --distractor-objs with the default --distractors 0,0 would load
-        # the library and silently place zero distractors
-        d_lo, d_hi = 1, max(1, len(distractor_library.entries))
-        print(f"--distractors not given: defaulting to {d_lo},{d_hi}")
+    if args.distractors is None:
+        # auto-default only when the flag was NOT given: an explicit
+        # "--distractors 0,0" with --distractor-objs means "load the
+        # libraries but place zero distractors this run" and is honored
+        if args.distractor_objs:
+            d_lo, d_hi = 1, max(1, len(distractor_library.entries))
+            print(f"--distractors not given: defaulting to {d_lo},{d_hi}")
+        else:
+            d_lo, d_hi = 0, 0
+    else:
+        d_lo, d_hi = (int(x) for x in args.distractors.split(","))
 
     cfg = DataGenConfig(
         image_size=(args.height, args.width),
