@@ -16,6 +16,53 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 from apps._common import base_parser, load_scene_mesh, setup_platform
 
 
+def write_iteration_plots(plot_dir: str, out, gt_t=None) -> None:
+    """Per-EM-iteration hypothesis scatter + GMM ellipse overlay PNGs
+    (translation x/y dims), the reference's PUResults diagnostic
+    (pytorch3d_icp_evaluation.py:244-279 saves one scatter+ellipse figure
+    per EM iteration)."""
+    import os
+    from types import SimpleNamespace
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    from torch_renderer_tpu.utils.plotting import plot_gmm_ellipses
+
+    os.makedirs(plot_dir, exist_ok=True)
+    poses = np.asarray(out["iter_poses"])      # (n_iters, H, 6)
+    scores = np.asarray(out["iter_scores"])    # (n_iters, H)
+    means = np.asarray(out["gmm_means"])
+    var = np.asarray(out["gmm_var"])
+    weights = np.asarray(out["gmm_weights"])
+    for i in range(poses.shape[0]):
+        gmm_i = SimpleNamespace(
+            means=means[i], var=var[i], weights=weights[i]
+        )
+        _, ax = plt.subplots(figsize=(5, 5))
+        plot_gmm_ellipses(gmm_i, ax=ax)
+        sc = ax.scatter(
+            poses[i, :, 0], poses[i, :, 1], c=scores[i], s=6,
+            cmap="viridis",
+        )
+        plt.colorbar(sc, ax=ax, label="chamfer")
+        if gt_t is not None:
+            g = np.asarray(gt_t)
+            ax.plot(g[0], g[1], "r*", markersize=12, label="gt")
+            ax.legend(loc="upper right")
+        ax.set_xlabel("t_x")
+        ax.set_ylabel("t_y")
+        ax.set_title(
+            f"EM iter {i}: best {float(np.min(scores[i])):.4f}"
+        )
+        path = os.path.join(plot_dir, f"em_iter_{i:02d}.png")
+        plt.savefig(path, dpi=110, bbox_inches="tight")
+        plt.close()
+    print(f"wrote {poses.shape[0]} EM-iteration plots to {plot_dir}/")
+
+
 def main():
     p = base_parser(__doc__)
     p.add_argument("--points", type=int, default=500)
@@ -30,6 +77,10 @@ def main():
                    help="'d,m' device-mesh shape: shard the hypothesis sweep "
                         "(and --batch targets) over the 'data' axis "
                         "(d*m must equal the device count)")
+    p.add_argument("--plot-dir", type=str, default=None,
+                   help="write a per-EM-iteration hypothesis scatter + GMM "
+                        "ellipse overlay PNG (the reference's PUResults "
+                        "diagnostic, pytorch3d_icp_evaluation.py:244-279)")
     args = p.parse_args()
     setup_platform(args)
 
@@ -87,6 +138,9 @@ def main():
           f"rot {np.degrees(float(rerr[0])):.2f} deg")
     hist = np.asarray(out["best_history"])
     print("best-score history:", np.array2string(hist, precision=4))
+
+    if args.plot_dir:
+        write_iteration_plots(args.plot_dir, out, gt_t)
 
     if args.refine:
         init = SimilarityTransform(

@@ -108,6 +108,21 @@ def test_icp_registration_smoke():
     assert "err" in out.lower() or "converged" in out.lower()
 
 
+def test_pose_search_iteration_plots(tmp_path):
+    """--plot-dir writes one hypothesis scatter + GMM ellipse PNG per EM
+    iteration (the reference saves the same diagnostic to PUResults/ every
+    iteration, pytorch3d_icp_evaluation.py:244-279)."""
+    plot_dir = tmp_path / "em_plots"
+    out = _run(
+        "pose_search.py", "--points", "64", "--hypotheses", "32",
+        "--elite", "8", "--iters", "3", "--plot-dir", str(plot_dir),
+    )
+    assert "wrote 3 EM-iteration plots" in out, out
+    files = sorted(p.name for p in plot_dir.glob("em_iter_*.png"))
+    assert files == ["em_iter_00.png", "em_iter_01.png", "em_iter_02.png"]
+    assert all((plot_dir / f).stat().st_size > 1000 for f in files)
+
+
 def test_batch_render_bench_sharded_smoke():
     """batch_render_bench with the view axis sharded over the 8-virtual-CPU
     mesh (conftest's XLA_FLAGS propagate to the subprocess env): the

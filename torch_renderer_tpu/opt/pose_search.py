@@ -136,12 +136,23 @@ class GMMPoseSearch:
             improved = e_scores[0] < best_score
             best_pose = jnp.where(improved, e_poses[0], best_pose)
             best_score = jnp.where(improved, e_scores[0], best_score)
-            return (e_poses, best_pose, best_score), (best_score, e_scores[0])
+            # per-iteration population + fitted GMM ride the scan outputs
+            # (tiny: (H, 6) + (C, 6) leaves x n_iters) — the reference's
+            # main diagnostic is a per-EM-iteration scatter+ellipse plot
+            # of the hypothesis population saved to PUResults/
+            # (pytorch3d_icp_evaluation.py:244-279); utils.plotting.
+            # plot_gmm_ellipses + apps/pose_search.py --plot-dir render
+            # the same artifact from these
+            per_iter = (best_score, e_scores[0], poses, scores,
+                        gmm.means, gmm.var, gmm.weights)
+            return (e_poses, best_pose, best_score), per_iter
 
         keys = jax.random.split(k_scan, cfg.n_iters)
-        (e_poses, best_pose, best_score), (best_hist, elite_hist) = jax.lax.scan(
+        (e_poses, best_pose, best_score), outs = jax.lax.scan(
             body, (e_poses, best_pose, best_score), keys
         )
+        (best_hist, elite_hist, iter_poses, iter_scores,
+         gmm_means, gmm_var, gmm_weights) = outs
         R, t = poses6d_to_Rt(best_pose[None])
         return {
             "pose6d": best_pose,
@@ -151,6 +162,11 @@ class GMMPoseSearch:
             "best_history": best_hist,
             "elite_best_history": elite_hist,
             "final_elite": e_poses,
+            "iter_poses": iter_poses,        # (n_iters, H, 6)
+            "iter_scores": iter_scores,      # (n_iters, H)
+            "gmm_means": gmm_means,          # (n_iters, C, 6)
+            "gmm_var": gmm_var,              # (n_iters, C, 6)
+            "gmm_weights": gmm_weights,      # (n_iters, C)
         }
 
     def _sharded_search_fn(self, device_mesh):
