@@ -353,6 +353,92 @@ def test_reformat_remaps_to_contiguous():
     assert out["annotations"][0]["category_id"] == 1
 
 
+def _decode_rle(rle):
+    """Uncompressed COCO RLE (column-major, zero-run first) -> bool mask."""
+    h, w = rle["size"]
+    flat = np.zeros(h * w, bool)
+    pos, val = 0, False
+    for run in rle["counts"]:
+        if val:
+            flat[pos: pos + run] = True
+        pos += run
+        val = not val
+    assert pos == h * w
+    return flat.reshape((w, h)).T  # column-major
+
+
+def test_coco_output_contract(tmp_path):
+    """Schema round-trip on a written annotations.json: the dataset contract
+    the reference feeds to detectron2 (coco_data_generator.py:361-366) is
+    pinned by assertion — id cross-references, RLE/bbox/area consistency
+    against the decoded mask AND the written seg .npy, file references on
+    disk, and reformat_coco_annotations idempotence."""
+    cfg = DataGenConfig(
+        image_size=(48, 64), views_per_scene=2, objects_per_scene=(2, 2),
+        min_visibility=0.0005,
+    )
+    gen = COCODataGenerator(ObjectLibrary.primitives(), cfg)
+    gen.generate(str(tmp_path), n_scenes=1, rng=np.random.default_rng(3))
+
+    with open(tmp_path / "annotations.json") as f:
+        coco = json.load(f)
+
+    # -- structural schema + unique ids --------------------------------------
+    for key in ("images", "annotations", "categories"):
+        assert key in coco and isinstance(coco[key], list)
+    img_ids = [im["id"] for im in coco["images"]]
+    ann_ids = [a["id"] for a in coco["annotations"]]
+    cat_ids = [c["id"] for c in coco["categories"]]
+    assert len(set(img_ids)) == len(img_ids)
+    assert len(set(ann_ids)) == len(ann_ids)
+    assert len(set(cat_ids)) == len(cat_ids)
+    for c in coco["categories"]:
+        assert isinstance(c["name"], str) and c["name"]
+
+    # -- cross-references + files on disk ------------------------------------
+    by_img = {im["id"]: im for im in coco["images"]}
+    for im in coco["images"]:
+        assert im["height"] == 48 and im["width"] == 64
+        assert (tmp_path / im["file_name"]).exists()
+    assert len(coco["annotations"]) >= 1
+    for a in coco["annotations"]:
+        assert a["image_id"] in by_img
+        assert a["category_id"] in set(cat_ids)
+        assert a["iscrowd"] == 0
+
+        # -- RLE / bbox / area consistency -----------------------------------
+        rle = a["segmentation"]
+        assert rle["size"] == [48, 64]
+        assert sum(rle["counts"]) == 48 * 64
+        mask = _decode_rle(rle)
+        assert float(mask.sum()) == a["area"] > 0
+        ys, xs = np.nonzero(mask)
+        x, y, w, h = a["bbox"]
+        assert [x, y] == [float(xs.min()), float(ys.min())]
+        assert [w, h] == [float(xs.max() - xs.min() + 1),
+                          float(ys.max() - ys.min() + 1)]
+
+        # the decoded mask IS one object's region of the written seg pass
+        fname = os.path.basename(by_img[a["image_id"]]["file_name"])
+        seg = np.load(tmp_path / "aux" / fname.replace(".png", "_seg.npy"))
+        obj_ids = {int(i) for i in np.unique(seg[mask])}
+        assert len(obj_ids) == 1                  # mask covers one object id
+        assert np.array_equal(mask, seg == obj_ids.pop())
+
+    # -- reformat: contiguous 1..N, idempotent, annotations preserved --------
+    ref = reformat_coco_annotations(coco)
+    assert [c["id"] for c in sorted(ref["categories"], key=lambda c: c["id"])] \
+        == list(range(1, len(ref["categories"]) + 1))
+    assert len(ref["annotations"]) == len(coco["annotations"])
+    assert {a["category_id"] for a in ref["annotations"]} <= \
+        {c["id"] for c in ref["categories"]}
+    again = reformat_coco_annotations(ref)
+    assert again == ref
+
+    # the whole contract survives a JSON round-trip (what detectron2 reads)
+    assert json.loads(json.dumps(ref)) == ref
+
+
 def test_edge_maps_option(tmp_path):
     cfg = DataGenConfig(
         image_size=(48, 64), views_per_scene=1, objects_per_scene=(1, 1),
