@@ -106,9 +106,21 @@ def main():
     act_s = suggest_active_tiles_points(pcd, cam_s, probe, radius=r_ndc)
     print(f"auto active_tiles = {act} (sphere {act_s})")
     bkw = dict(radius=0.01, bin_size=16, max_points_per_bin=mpb)
+    # DEFAULT config: no binning/layout flags at all — the auto resolution
+    # (rasterize.autotune) must land within noise of the best explicit row
+    # (VERDICT r4 task 1's done-criterion). prepare() resolves from the
+    # concrete cloud so the jitted scan hits the cache.
+    default_r = AlphaPointRender(K, (S, S), radius=0.01)
+    st_auto = default_r.prepare(pcd, R, t)
+    print(f"DEFAULT auto-resolved: bin_size={st_auto.bin_size} "
+          f"max_points_per_bin={st_auto.max_points_per_bin} "
+          f"active_tiles={st_auto.active_tiles} "
+          f"check_budgets={st_auto.check_budgets}")
     renderers = {
         **({} if args.skip_dense else {
-            "alpha (dense)": AlphaPointRender(K, (S, S), radius=0.01)}),
+            "alpha (dense)": AlphaPointRender(
+                K, (S, S), radius=0.01, bin_size=0)}),
+        "alpha (DEFAULT auto)": default_r,
         "alpha (binned xla)": AlphaPointRender(K, (S, S), impl="xla", **bkw),
         "alpha (binned pallas)": AlphaPointRender(
             K, (S, S), impl="pallas", **bkw),

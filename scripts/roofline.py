@@ -671,8 +671,9 @@ def topk_select_call(planes, tile, inv_s, blur, K):
     )(planes)
 
 
-def build_points_planes():
-    """scripts/bench_points.py's 4x20k/256^2/K=8 alpha scene -> the point
+def build_points_planes(B=4, P=20000, S=256, K_PTS=8):
+    """scripts/bench_points.py's point scene (default the 4x20k/256^2/K=8
+    bench; pass B=2, P=100000, S=512 for the scale envelope) -> the point
     selection kernel's (N, 8, Ppad) planes slab + the gather's inputs
     (planes (B, N, C), RankBins, Pmax) — the same assembly as
     points._rasterize_points_binned's pallas branch."""
@@ -689,7 +690,7 @@ def build_points_planes():
     )
     from torch_renderer_tpu.structures.pointclouds import Pointclouds
 
-    B, P, S, K_PTS, TILE = 4, 20000, 256, 8, 16
+    TILE = 16
     rng = np.random.default_rng(0)
     pts = rng.standard_normal((B, P, 3)).astype(np.float32) * 0.8
     feats = rng.uniform(0.0, 1.0, (B, P, 3)).astype(np.float32)
@@ -845,6 +846,10 @@ def main():
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--counts-only", action="store_true",
                     help="print op models and exit (no timing)")
+    ap.add_argument("--envelope", action="store_true",
+                    help="add the 2x100k-point/512^2 scale-envelope rows "
+                         "for the point selection kernel + candidate "
+                         "gather (VERDICT r4 task 4)")
     ap.add_argument("--step", action="store_true",
                     help="whole-step anatomy of the north-star scan pass "
                          "(device op profile, ops >= 1%)")
@@ -929,6 +934,32 @@ def main():
         vpu=gv * n_g_chunks * B_pts, mxu=gm * n_g_chunks * B_pts,
         dot=gdot))
 
+    # ---- scale envelope: 2x100k points at 512^2 (--envelope) ----
+    env = None
+    if args.envelope:
+        (eplanes, egplanes, ebins, ePmax, _, eplocal, eK, echunks,
+         eB, eT, eN) = build_points_planes(B=2, P=100000, S=512)
+        ePpad = eplanes.shape[2]
+        e_live = int((np.asarray(eplanes[:, 7, 0]) > 0).sum())
+        e2_v, _, _ = points_extract_ops(PTILE, ePpad)
+        rows.append(dict(
+            name="points select @2x100k/512", calls=echunks,
+            vpu=p1_v * echunks + e2_v * eK * e_live, mxu=0, dot=None))
+        et_chunk = max(1, 16_000_000 // (ePmax * eN))
+        if (et_chunk + 1) * ePmax * eN <= int(1.1 * 16_000_000):
+            et_chunk += 1
+        et_chunk = min(eT, et_chunk)
+        e_n_chunks = -(-eT // et_chunk)
+        et_chunk = -(-eT // e_n_chunks)
+        egv, egm, egdot = points_gather_ops(
+            et_chunk, ePmax, eN, 3 * egplanes.shape[-1])
+        egdot = (egdot[0], min(egdot[1], 2048)) + egdot[2:]
+        rows.append(dict(
+            name="points gather @2x100k/512", calls=e_n_chunks * eB,
+            vpu=egv * e_n_chunks * eB, mxu=egm * e_n_chunks * eB,
+            dot=egdot))
+        env = (eplanes, egplanes, ebins, ePmax, eplocal, eK)
+
     # ---- texsample fwd/bwd (joint-fit texture scale) ----
     from torch_renderer_tpu.ops import pallas_texsample as pt
 
@@ -1005,6 +1036,20 @@ def main():
         lambda g: jnp.sum(gather_rank_channels(g, pbins, Pmax)),
         gplanes, args.steps, args.repeats) - floor
 
+    t_epts = t_egather = None
+    if env is not None:
+        eplanes, egplanes, ebins, ePmax, eplocal, eK = env
+
+        def epts_cut(p):
+            lane, live = points_select_pallas(p, PTILE, eplocal, 1e-5, eK)
+            return jnp.sum(lane) + jnp.sum(live)
+
+        t_epts = _scan_time(epts_cut, eplanes, args.steps,
+                            args.repeats) - floor
+        t_egather = _scan_time(
+            lambda g: jnp.sum(gather_rank_channels(g, ebins, ePmax)),
+            egplanes, args.steps, args.repeats) - floor
+
     key = jax.random.PRNGKey(0)
     maps = jax.random.uniform(key, (Btex, TH, TW, C), jnp.float32)
     y0 = jax.random.randint(key, (Btex, P), 0, TH - 2).astype(jnp.float32)
@@ -1037,6 +1082,9 @@ def main():
         "texsample fwd": t_texf,
         "texsample bwd": t_texb,
     }
+    if t_epts is not None:
+        measured["points select @2x100k/512"] = t_epts
+        measured["points gather @2x100k/512"] = t_egather
 
     # ---- table ----
     bounds = [(r["vpu"] / vpu_rate * 1e3, mxu_ms(r)) for r in rows]
