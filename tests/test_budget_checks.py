@@ -154,3 +154,27 @@ def test_process_default_mode(scene):
     finally:
         set_budget_check_default(None)
     assert any("max_faces_per_bin overflow" in m for m in msgs), msgs
+
+
+def test_warn_mode_degrades_without_callbacks(scene, monkeypatch):
+    """On the axon backend (no host send/recv callbacks) warn mode must not
+    emit a jax.debug.callback — it would crash the guarded call at run time
+    with UNIMPLEMENTED (round-5 regression: the auto-resolved default
+    check_budgets='warn' broke every default-config TPU render). It
+    degrades to a trace-time notice instead."""
+    import warnings
+
+    import jax as _jax
+
+    from torch_renderer_tpu.rasterize import binning
+
+    monkeypatch.setattr(binning, "_axon_backend", lambda: True)
+
+    def _boom(*a, **k):  # any callback emission is the bug
+        raise AssertionError("debug.callback emitted on axon")
+
+    monkeypatch.setattr(_jax.debug, "callback", _boom)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        binning.check_budget("max_faces_per_bin", jnp.int32(999), 8, "warn")
+    assert any("axon" in str(w.message) for w in rec)

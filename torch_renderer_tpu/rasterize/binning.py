@@ -39,7 +39,9 @@ from .geometry import FaceRasterData
 # by 0.85 with no signal). check_budget() is the opt-in runtime guard: the
 # binned paths call it with the TRUE candidate counts they already compute,
 # and it either warns on the host (mode="warn", jax.debug.callback — works
-# under jit/scan on any backend) or emits a checkify check
+# under jit/scan on CPU/GPU/TPU-pjrt; the axon backend rejects host
+# callbacks, so warn mode degrades to a one-time trace-time notice there)
+# or emits a checkify check
 # (mode="checkify"; the caller must be wrapped with
 # utils.debug.checked_budgets, otherwise JAX fails at trace time with a
 # "not functionalized" error). pytorch3d's CUDA binner warns on bin
@@ -67,6 +69,17 @@ def resolve_budget_check(mode):
     return None if mode == "off" else mode
 
 
+def _axon_backend() -> bool:
+    """True when the default backend is the axon TPU plugin (which rejects
+    host send/recv callbacks at run time). The plugin registers platform
+    'tpu', so sniff the PJRT platform_version string instead."""
+    try:
+        client = jax.devices()[0].client
+        return "axon" in getattr(client, "platform_version", "")
+    except Exception:
+        return False
+
+
 def check_budget(name: str, actual: jax.Array, budget: int, mode,
                  hint: str = "") -> None:
     """Emit a runtime overflow guard: `actual` (traced int scalar — the true
@@ -81,6 +94,23 @@ def check_budget(name: str, actual: jax.Array, budget: int, mode,
 
         checkify.check(actual <= budget, msg, a=actual)
     elif mode == "warn":
+        if _axon_backend():
+            # axon_pjrt rejects host send/recv callbacks at RUN time
+            # (UNIMPLEMENTED), so an in-jit debug.callback would crash the
+            # very call it guards. Downgrade to a one-time trace-time
+            # notice; checkify mode (pure dataflow) still works there.
+            import warnings
+
+            warnings.warn(
+                f"{name}: check_budgets='warn' needs host callbacks, which "
+                "the axon TPU backend does not support — runtime overflow "
+                "warnings are disabled for this trace. Use "
+                "check_budgets='checkify' (utils.debug.checked_budgets) "
+                "for guarded runs, or size budgets via suggest_* / "
+                "renderer.prepare.", RuntimeWarning, stacklevel=2,
+            )
+            return
+
         def _cb(a):
             if int(a) > budget:
                 import warnings
@@ -507,6 +537,85 @@ def _slot_gather_bwd(n_slots, slot, g):
 _slot_gather.defvjp(_slot_gather_fwd, _slot_gather_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _slot_gather_grouped(slot: jax.Array, planes: jax.Array, n_slots: int,
+                         group: int):
+    """Bit-identical to ``_slot_gather`` with a group-factored forward.
+
+    The plain forward's MXU dot has n = 3C output lanes (21 for the
+    7-channel point path) but pays the full 128-lane padded width, and its
+    one-hot compare covers (t, n_slots, F) elements. Factoring
+    slot = group*g + s shrinks both by ~``group``x (the round-5 probe,
+    scripts/probe_point_gather.py, measured the padded-lane cost real:
+    0.111 -> 0.190 ms/chunk going 21 -> 128 lanes on identical inputs):
+
+      * the one-hot runs over groups only: (t, G, F) with G = ceil(K/group);
+      * each item's 3C split channels are scattered into the s(f)-th
+        21-lane block of a (t, F, group*3C <= 128) RHS (an elementwise
+        select XLA fuses into the dot operand, like the one-hot);
+      * one batched dot (batch (b, t), m=G, k=F, n=group*3C) then holds
+        output slot g*group+s in row g, lane block s.
+
+    Exactness: slots are unique per tile, so every output element is an
+    f32 accumulation of exactly one nonzero bf16-exact product — the same
+    value the plain forward accumulates — and the final 3-part add runs in
+    the same (hi+mid)+lo order. The backward is the plain ungrouped
+    transpose (the s-selection depends on (t, f), which blocks a grouped
+    factoring of the cotangent contraction); residual stays slot-only."""
+    B, t, F = slot.shape
+    C = planes.shape[-1]
+    G = -(-n_slots // group)
+    hi, mid, lo = _split3(planes)
+    packed = jnp.concatenate([hi, mid, lo], axis=-1).astype(jnp.bfloat16)
+    live = slot < n_slots
+    g_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, G, 1), 2)
+    oh_g = (((slot // group)[:, :, None, :] == g_iota)
+            & live[:, :, None, :]).astype(jnp.bfloat16)
+    s_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, group), 3)
+    s_mask = ((slot % group)[..., None] == s_iota).astype(jnp.bfloat16)
+    # rhs[b,i,f, s*3C+c'] = packed[b,f,c'] iff slot[b,i,f] % group == s
+    rhs = (s_mask[..., None] * packed[:, None, :, None, :]).reshape(
+        B, t, F, group * 3 * C)
+    y = jax.lax.dot_general(
+        oh_g, rhs,
+        (((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32,
+    )  # (B, t, G, group*3C)
+    y = y.reshape(B, t, G * group, 3 * C)[:, :, :n_slots]
+    return (y[..., :C] + y[..., C:2 * C]) + y[..., 2 * C:]
+
+
+def _slot_gather_grouped_fwd(slot, planes, n_slots, group):
+    return _slot_gather_grouped(slot, planes, n_slots, group), slot
+
+
+def _slot_gather_grouped_bwd(n_slots, group, slot, g):
+    return _slot_gather_bwd(n_slots, slot, g)
+
+
+_slot_gather_grouped.defvjp(_slot_gather_grouped_fwd, _slot_gather_grouped_bwd)
+
+
+def _gather_group(n_slots: int, C: int) -> int:
+    """Slot-group factor for _slot_gather_grouped; 1 = keep the plain path.
+
+    MEASURED NEGATIVE (round 5, TPU v5e, the 4x20k/256^2 point bench):
+    grouping is ~3x SLOWER in situ despite ~6x fewer padded MACs and ~2x
+    fewer generated operand elements — 26.5 ms (t_chunk=2) / 12.3 ms
+    (t_chunk=1) vs 9.3 ms ungrouped for the full 128-chunk gather. The
+    tile-dependent RHS scatter (s-block select) does not fuse into the
+    batched dot's operand generation the way the plain one-hot does, so
+    its (B, t, F, group*3C) bf16 product materializes through HBM (~5 GB
+    per gather at the bench shape). The gather is one-hot-CONSTRUCTION
+    bound, not MAC bound: a transposed dot (m = 3C streamed rows, n = t*K
+    lanes, no padded-lane waste at all) measured only 8.2 vs 9.3 ms. The
+    ~2 ms channel-packed model in docs/ROUND4_NOTES.md double-counted the
+    dot; scripts/probe_point_gather.py and this measurement retire it.
+    Grouping therefore stays OFF; the grouped kernel remains (bit-exact,
+    tested) for future hardware where operand fusion covers batched dots."""
+    return 1
+
+
 class RankBins(NamedTuple):
     """Rank-encoded tile bins: slot[b,t,f] = candidate position of item f in
     tile t (ascending id among overlaps), or _NO_SLOT (int32 max) for
@@ -563,16 +672,23 @@ def gather_rank_channels(
     chunked over tiles to bound the fused one-hot working set."""
     B, T, F = bins.slot.shape
     C = planes.shape[-1]
-    # chunk tiles so the per-chunk one-hot (t_chunk, per_tile, F) stays a
-    # true VMEM guest. The former `1 + budget // (per_tile * F)` rounding
-    # allowed up to 2x overshoot, which crosses a fusion cliff: at
-    # per_tile=384, F=20000 it picked t_chunk=3 (23M-element one-hot) and
-    # XLA materialized the one-hot through HBM — 59 vs 22 ms on the
-    # 4x20k-point sphere-Pulsar render, and the round-3 "32-50 ms session
-    # spread" (the suggested budget hopping across the cliff). Allow the
-    # +1 only within a 10% overshoot.
-    t_chunk = max(1, vmem_budget // (per_tile * F))
-    if (t_chunk + 1) * per_tile * F <= int(1.1 * vmem_budget):
+    # chunk tiles so the per-chunk fused operands stay a true VMEM guest.
+    # The former `1 + budget // (per_tile * F)` rounding allowed up to 2x
+    # overshoot, which crosses a fusion cliff: at per_tile=384, F=20000 it
+    # picked t_chunk=3 (23M-element one-hot) and XLA materialized the
+    # one-hot through HBM — 59 vs 22 ms on the 4x20k-point sphere-Pulsar
+    # render, and the round-3 "32-50 ms session spread" (the suggested
+    # budget hopping across the cliff). Allow the +1 only within a 10%
+    # overshoot. With the grouped forward the per-tile operand footprint
+    # is G one-hot rows + group*3C RHS lanes instead of per_tile one-hot
+    # rows, so the same budget admits larger chunks.
+    group = _gather_group(per_tile, C)
+    if group > 1:
+        eff_per_tile = -(-per_tile // group) + group * 3 * C
+    else:
+        eff_per_tile = per_tile
+    t_chunk = max(1, vmem_budget // (eff_per_tile * F))
+    if (t_chunk + 1) * eff_per_tile * F <= int(1.1 * vmem_budget):
         t_chunk += 1
     t_chunk = min(T, t_chunk)
     n_chunks = -(-T // t_chunk)
@@ -587,6 +703,8 @@ def gather_rank_channels(
     slot_c = jnp.swapaxes(slot_p.reshape(B, n_chunks, t_chunk, F), 0, 1)
 
     def chunk(sc):
+        if group > 1:
+            return _slot_gather_grouped(sc, planes, per_tile, group)
         return _slot_gather(sc, planes, per_tile)
 
     g = jax.lax.map(chunk, slot_c)  # (n_chunks, B, t_chunk, K, C)
