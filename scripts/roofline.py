@@ -427,8 +427,18 @@ def points_gather_ops(t_chunk, Pmax, N, C3):
     HIGHEST contraction — calibrating f32/HIGHEST overstated the bound
     8x)."""
     n_pad = -(-C3 // 128) * 128
+    # Narrow-lane saturation (round-5 probe_point_gather on v5e): the dot's
+    # per-chunk cost is AFFINE in the output lane count, cost = b*(n0 + n)
+    # with n0 ~ 129 lanes (measured 0.111 ms at n=21 vs 0.190 ms at n=128
+    # on identical operands), NOT proportional to the padded width. The old
+    # n_pad=128 charge overstated the bound 1.7x at C3=21 (the row then
+    # read "1.36x headroom" that two rearrangements — group-factored
+    # 126-lane packing and a transposed m=3C dot — both failed to collect:
+    # 12.3 / 8.2 ms vs 9.3 ms shipped; the gather is construction-bound).
+    N0_LANES = 129
+    n_eff = n_pad * (N0_LANES + C3) / (N0_LANES + n_pad)
     vpu = t_chunk * Pmax * N                # fused one-hot construct
-    mxu = 2 * t_chunk * Pmax * N * n_pad    # padded-lane bf16 dot
+    mxu = 2 * t_chunk * Pmax * N * n_eff    # saturation-model bf16 dot
     # m, k, n, lc, rc, dtype — k capped for a VMEM-sized calibration
     dot = (t_chunk * Pmax, N, n_pad, 1, 1, "bf16")
     return vpu, mxu, dot

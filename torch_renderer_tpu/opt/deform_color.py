@@ -46,7 +46,18 @@ class JointFitConfig:
     views_per_step: int = 2
     texture_size: int = 256
     n_steps: int = 2000
-    lr_verts: float = 1.0
+    # Vertex lr: Adam, so lr IS the per-coordinate step scale. 1.0 (the
+    # value the reference's commented-out SGD used) made every vertex
+    # jump ~a sphere radius per step: the fit then GEOMETRICALLY
+    # DIVERGES while the visible silhouette still chases the target —
+    # |deform| grew to ~9 units and surface chamfer to ~70 (vs a 0.0012
+    # sampling floor), masked for three rounds by silhouette-only
+    # metrics. The reference's live optimizer is Adam(5e-4) with
+    # StepLR(20, 0.5) (deform_mesh_with_color.py:289-300); our decay is
+    # gentler (500/0.5), so 3e-3 measured best on the round-5 lr sweep:
+    # chamfer 0.0017 (at the floor), full-view sil MSE 5.3e-3 — 30x the
+    # old config's converged silhouette quality.
+    lr_verts: float = 3e-3
     lr_texture: float = 0.05
     lr_decay_steps: int = 500
     lr_decay_rate: float = 0.5
@@ -54,7 +65,9 @@ class JointFitConfig:
     w_rgb: float = 1.0
     w_edge: float = 1.0
     w_normal: float = 0.01
-    w_laplacian: float = 0.1
+    # reference WEIGHTS[3] = 1.0 for the uniform laplacian
+    # (deform_mesh_with_color.py:234); 0.1 measured 2.4x worse chamfer
+    w_laplacian: float = 1.0
     w_clamp: float = 1.0
     sigma: float = 1e-4
     faces_per_pixel: int = 8
