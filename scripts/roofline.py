@@ -1042,9 +1042,14 @@ def main():
         return jnp.sum(lane) + jnp.sum(live)
 
     t_pts = _scan_time(pts_cut, pplanes, args.steps, args.repeats) - floor
+    # the bins ride the carried pytree, NOT the closure: a closure-captured
+    # slot array is baked into the HLO as a constant — 820 MB at the
+    # 2x100k/512^2 envelope shape, which the tunnel's remote-compile
+    # endpoint rejects with HTTP 413
     t_pgather = _scan_time(
-        lambda g: jnp.sum(gather_rank_channels(g, pbins, Pmax)),
-        gplanes, args.steps, args.repeats) - floor
+        lambda gs: jnp.sum(gather_rank_channels(
+            gs[0], pbins._replace(slot=gs[1]), Pmax)),
+        (gplanes, pbins.slot), args.steps, args.repeats) - floor
 
     t_epts = t_egather = None
     if env is not None:
@@ -1057,8 +1062,9 @@ def main():
         t_epts = _scan_time(epts_cut, eplanes, args.steps,
                             args.repeats) - floor
         t_egather = _scan_time(
-            lambda g: jnp.sum(gather_rank_channels(g, ebins, ePmax)),
-            egplanes, args.steps, args.repeats) - floor
+            lambda gs: jnp.sum(gather_rank_channels(
+                gs[0], ebins._replace(slot=gs[1]), ePmax)),
+            (egplanes, ebins.slot), args.steps, args.repeats) - floor
 
     key = jax.random.PRNGKey(0)
     maps = jax.random.uniform(key, (Btex, TH, TW, C), jnp.float32)
