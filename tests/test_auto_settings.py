@@ -224,3 +224,94 @@ def test_points_auto_impl_tile_fallback():
     )
     with pytest.raises(ValueError, match="supports bin_size"):
         rasterize_points(pcl, cam, st_force)
+
+
+def test_pallas_impl_with_auto_dense_warns_not_raises():
+    """impl='pallas' + bin_size=None on a scene auto resolves to dense
+    (small mesh) must RENDER with a warning, not raise a ValueError about
+    a bin_size the user never set; the dense point path likewise says so
+    instead of silently ignoring the explicit impl (round-5 review)."""
+    m, K, R, t = _scene(level=1)  # 80 faces: below MIN_BINNED_FACES
+    r = MeshRenderer(K, (128, 128), impl="pallas")  # bin_size default None
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        out = r.render(m, R, t)
+    assert np.isfinite(np.asarray(out.depth)).all()
+    assert any("DENSE" in str(w.message) for w in rec), \
+        [str(w.message) for w in rec]
+
+    pcd = _cloud(N=512)  # below MIN_BINNED_POINTS -> auto dense
+    pr = AlphaPointRender(K, (128, 128), radius=0.02, impl="pallas")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        img = pr.render(pcd, jnp.asarray(R), jnp.asarray(t))
+    assert np.isfinite(np.asarray(img)).all()
+    assert any("DENSE" in str(w.message) for w in rec), \
+        [str(w.message) for w in rec]
+
+    # explicit bin_size=0 + impl='pallas' points: warns in the dense
+    # branch rather than silently ignoring the impl
+    pr0 = AlphaPointRender(K, (128, 128), radius=0.02, impl="pallas",
+                           bin_size=0)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        img0 = pr0.render(pcd, jnp.asarray(R), jnp.asarray(t))
+    assert np.isfinite(np.asarray(img0)).all()
+    assert any("DENSE point path" in str(w.message) for w in rec), \
+        [str(w.message) for w in rec]
+
+    # explicit bin_size=0 with impl='pallas' on the MESH path keeps the
+    # hard error (the user chose both, they conflict)
+    r2 = MeshRenderer(K, (128, 128), impl="pallas", bin_size=0)
+    with pytest.raises(ValueError, match="bin_size"):
+        r2.render(m, R, t)
+
+
+def test_points_auto_grow_merges_budgets():
+    """grow=True re-measures a cached resolution and max-merges budgets:
+    the sharded render path sizes from EVERY shard's slice this way, so a
+    denser cloud on a later shard cannot silently overflow a budget sized
+    from shard 0 (round-5 review finding)."""
+    from torch_renderer_tpu.cameras.perspective import PerspectiveCamera
+    from torch_renderer_tpu.rasterize.autotune import resolve_points_settings
+    from torch_renderer_tpu.rasterize.points import PointsRasterizationSettings
+
+    N = 4000
+    rng = np.random.RandomState(0)
+    sparse = Pointclouds.from_padded(
+        jnp.asarray(rng.randn(1, N, 3).astype(np.float32) * 0.8))
+    dense = Pointclouds.from_padded(
+        jnp.asarray(rng.randn(1, N, 3).astype(np.float32) * 0.05))  # clustered
+    f = 0.8 * 128
+    K = np.array([[f, 0, 64], [0, f, 64], [0, 0, 1]], np.float32)
+    cam = PerspectiveCamera.from_K(
+        K, (128, 128), R=np.eye(3, dtype=np.float32)[None],
+        t=np.array([[0, 0, 3.0]], np.float32))
+    s = PointsRasterizationSettings(image_size=(128, 128), radius=0.02,
+                                    bin_size=None)
+    r0 = resolve_points_settings(s, sparse, cam)
+    # cache hit without grow: dense cloud does NOT change the budget
+    r1 = resolve_points_settings(s, dense, cam)
+    assert r1.max_points_per_bin == r0.max_points_per_bin
+    # grow=True: re-measured and merged upward
+    r2 = resolve_points_settings(s, dense, cam, grow=True)
+    assert r2.max_points_per_bin > r0.max_points_per_bin
+    # growing with the SPARSE cloud again never shrinks
+    r3 = resolve_points_settings(s, sparse, cam, grow=True)
+    assert r3.max_points_per_bin == r2.max_points_per_bin
+
+
+def test_pose_fit_prepare_uses_motion_margin():
+    """Pose fits size auto budgets at 2x (moving footprint — the pose
+    apps' documented protocol) and GROW an earlier 1.5x cached
+    resolution instead of silently reusing it (round-5 review)."""
+    from torch_renderer_tpu.rasterize.autotune import resolve_mesh_settings
+
+    m, K, R, t = _scene()
+    r = MeshRenderer(K, (128, 128), faces_per_pixel=4)
+    st_static = r.prepare(m, R, t)                       # 1.5x, cached
+    st_pose = r.prepare(m, R, t, grow=True, margin=2.0)  # re-measured at 2x
+    assert st_pose.max_faces_per_bin > st_static.max_faces_per_bin
+    # subsequent plain resolution sees the grown entry (never shrinks)
+    st_after = r.resolved_settings(m, R, t)
+    assert st_after.max_faces_per_bin == st_pose.max_faces_per_bin

@@ -178,3 +178,24 @@ def test_warn_mode_degrades_without_callbacks(scene, monkeypatch):
         warnings.simplefilter("always")
         binning.check_budget("max_faces_per_bin", jnp.int32(999), 8, "warn")
     assert any("axon" in str(w.message) for w in rec)
+
+
+def test_auto_resolution_honors_process_default_off(scene):
+    """--check-budgets off must reach auto-resolved (bin_size=None)
+    settings too: _auto_guard used to bake 'warn' over the process-wide
+    default, silently disabling the documented benching opt-out (round-5
+    review finding)."""
+    from torch_renderer_tpu.rasterize.autotune import _auto_guard
+    from torch_renderer_tpu.rasterize.binning import set_budget_check_default
+
+    class S:  # minimal settings stand-in
+        check_budgets = None
+
+    set_budget_check_default("off")
+    try:
+        assert _auto_guard(S()) == "off"
+    finally:
+        set_budget_check_default(None)
+    assert _auto_guard(S()) == "warn"          # nothing asked: default on
+    S.check_budgets = "checkify"
+    assert _auto_guard(S()) == "checkify"      # explicit always wins

@@ -110,3 +110,25 @@ def test_default_config_geometry_converges(setup):
     c0 = cham(src)
     c1 = cham(src.offset_verts(params["deform"]))
     assert c1 < 0.5 * c0, f"chamfer {c0} -> {c1}: geometry did not converge"
+
+
+def test_auto_bin_size_fit_stays_binned(setup):
+    """JointFitConfig(bin_size=None): the jitted fit renders
+    views_per_step views — a different shape key than make_dataset's
+    n_views batch — so fit setup must seed the autotune cache for that
+    key or every step silently warn-falls-back to dense (round-5 review
+    finding)."""
+    import warnings
+
+    src, verts_uvs, tgt = setup
+    cfg = JointFitConfig(n_views=6, views_per_step=2, texture_size=64,
+                         bin_size=None)
+    fitter = JointShapeTextureFitter(K, IMAGE, cfg)
+    ds = fitter.make_dataset(tgt)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        params, hist = fitter.fit(src, verts_uvs, ds, jax.random.PRNGKey(0),
+                                  n_steps=4)
+    dense_falls = [w for w in rec if "falling back to DENSE" in str(w.message)]
+    assert not dense_falls, [str(w.message) for w in dense_falls]
+    assert np.all(np.isfinite(np.asarray(hist["loss"])))

@@ -139,6 +139,14 @@ class JointShapeTextureFitter:
 
         cfg = self.config
         if cfg.bin_size is None:
+            # AUTO bin_size: seed the autotune cache for the jitted fit's
+            # ACTUAL shape key — the loss renders views_per_step views,
+            # not the n_views dataset batch, and a traced auto call with
+            # no cached resolution falls back to dense (163 vs 5.9 ms at
+            # the reference scale) with only a one-time warning.
+            v = min(cfg.views_per_step, meshes.batch_size)
+            sliced = jax.tree.map(lambda x: x[:v], meshes)
+            self.renderer.prepare(sliced, Rs[:v], ts[:v])
             return
         from ..rasterize.binning import (
             count_active_tiles,

@@ -287,7 +287,12 @@ class CameraPoseFitter:
                 R0, t0 = pose_params_to_Rt(
                     jax.tree_util.tree_map(jnp.asarray, params0)
                 )
-                self.renderer.prepare(meshes, R0, t0)
+                # the footprint MOVES as the pose converges: 2x margin
+                # (the pose apps' documented both-poses protocol) instead
+                # of the static 1.5x AUTO_MARGIN, and grow=True so an
+                # earlier 1.5x resolution (e.g. from rendering the refs)
+                # is expanded rather than silently reused
+                self.renderer.prepare(meshes, R0, t0, grow=True, margin=2.0)
 
         if n not in self._fit_cache:
 

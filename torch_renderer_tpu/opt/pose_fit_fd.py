@@ -118,7 +118,9 @@ class FiniteDifferencePoseFitter:
 
             if is_concrete(meshes, params0):
                 R0, t0 = self.unpack(jnp.asarray(params0))
-                self.renderer.prepare(meshes, R0[None], t0[None])
+                # moving footprint: 2x margin + grow, like CameraPoseFitter
+                self.renderer.prepare(meshes, R0[None], t0[None],
+                                      grow=True, margin=2.0)
 
         if n not in self._fit_cache:
 

@@ -149,12 +149,18 @@ def render_points_sharded(
         (pointclouds, jnp.asarray(R), jnp.asarray(tvec)), Bp)
 
     # auto bin settings resolve from concrete inputs only: size them here
-    # on the PER-SHARD slice (the shapes the shard_map body will see) so
-    # the traced renders inside hit the resolution cache instead of
-    # falling back to the dense path
+    # at the PER-SHARD shapes (what the shard_map body will see) so the
+    # traced renders inside hit the resolution cache instead of falling
+    # back to the dense path — and from EVERY shard's slice (grow=True
+    # max-merges budgets into the cached resolution): sizing from shard 0
+    # alone would let a denser cloud on another shard silently overflow
+    # the shared budget (round-5 review finding)
     if getattr(renderer.settings, "bin_size", 0) is None:
-        local = jax.tree_util.tree_map(lambda x: x[: Bp // d], args)
-        renderer.prepare(*local)
+        Bs = Bp // d
+        for i in range(d):
+            local = jax.tree_util.tree_map(
+                lambda x: x[i * Bs:(i + 1) * Bs], args)
+            renderer.prepare(*local, grow=True)
 
     # cache the jitted shard-mapped callable on the renderer: a fresh
     # @jax.jit wrapper per call would retrace+recompile EVERY invocation

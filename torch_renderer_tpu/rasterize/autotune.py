@@ -83,11 +83,34 @@ def _settings_key(settings) -> tuple:
 def _auto_guard(settings):
     """Auto-resolved budgets are reused across calls on matching shapes, so
     they are heuristic, not proven — default the runtime overflow guard on
-    ("warn"), with "off" as the explicit opt-out (kept for benching)."""
-    return "warn" if settings.check_budgets is None else settings.check_budgets
+    ("warn") when NOTHING else asked for a mode. An explicit per-settings
+    value wins, then the process-wide set_budget_check_default (the apps'
+    --check-budgets flag — baking 'warn' over it silently disabled the
+    documented 'off' benching opt-out and the 'checkify' escalation for
+    every bin_size=None path)."""
+    if settings.check_budgets is not None:
+        return settings.check_budgets
+    from .binning import _BUDGET_CHECK_DEFAULT
+
+    return "warn" if _BUDGET_CHECK_DEFAULT[0] is None \
+        else _BUDGET_CHECK_DEFAULT[0]
 
 
 def _dense(settings):
+    if getattr(settings, "impl", None) == "pallas":
+        # auto routed this scene dense (too small to bin, or a traced
+        # call with no cached resolution): the fused Pallas kernels only
+        # run binned, so an explicit impl='pallas' cannot be honored —
+        # say so and downgrade instead of silently ignoring it (points)
+        # or raising about a bin_size the user never set (mesh).
+        warnings.warn(
+            "impl='pallas' with bin_size=None: auto resolution chose the "
+            "DENSE path for this scene (below the binning thresholds, or "
+            "a traced call before any concrete resolution) — the Pallas "
+            "binned kernel does not apply; rendering dense XLA. Pass an "
+            "explicit bin_size to force binning.", RuntimeWarning,
+        )
+        return dataclasses.replace(settings, bin_size=0, impl="auto")
     return dataclasses.replace(settings, bin_size=0)
 
 
@@ -106,13 +129,18 @@ def _warn_tracer_fallback(key, kind: str) -> None:
     )
 
 
-def resolve_mesh_settings(settings, meshes=None, camera=None, fd=None):
+def resolve_mesh_settings(settings, meshes=None, camera=None, fd=None,
+                          grow=False, margin=None):
     """Resolve ``RasterizationSettings.bin_size=None`` (auto) into explicit
     binned (or dense) settings for this scene. Explicit settings
     (bin_size=0 dense / k>0 binned) pass through untouched.
 
     Provide either (meshes, camera) or a pre-projected fd
-    (FaceRasterData / FacePlanes). Cached per (batch, faces, settings)."""
+    (FaceRasterData / FacePlanes). Cached per (batch, faces, settings).
+    grow=True re-measures concrete inputs against a cached resolution and
+    max-merges the budgets; margin overrides AUTO_MARGIN (pose fitters
+    size their moving footprints at 2x — the pose apps' documented
+    protocol)."""
     if settings.bin_size is not None:
         return settings
     H, W = settings.image_size
@@ -124,11 +152,13 @@ def resolve_mesh_settings(settings, meshes=None, camera=None, fd=None):
         return _dense(settings)
     key = ("mesh", B, F, _settings_key(settings))
     hit = _CACHE.get(key)
-    if hit is not None:
+    if hit is not None and not grow:
         return hit
 
     concrete = is_concrete(fd) if fd is not None else is_concrete(meshes, camera)
     if not concrete:
+        if hit is not None:
+            return hit
         _warn_tracer_fallback(key, "mesh")
         return _dense(settings)
 
@@ -139,11 +169,17 @@ def resolve_mesh_settings(settings, meshes=None, camera=None, fd=None):
 
         fd = setup_face_planes(meshes, camera, znear=settings.znear)
     tile = AUTO_TILE
+    m = AUTO_MARGIN if margin is None else margin
     pad = math.sqrt(settings.blur_radius) if settings.blur_radius > 0 else 0.0
     mx, _ = count_overflow(fd, (H, W), tile, 0, pad)
-    mfb = int(min(F, max(32, math.ceil(float(mx) * AUTO_MARGIN / 32) * 32)))
-    act = suggest_active_tiles_fd(fd, (H, W), tile, pad, margin=AUTO_MARGIN)
+    mfb = int(min(F, max(32, math.ceil(float(mx) * m / 32) * 32)))
+    act = suggest_active_tiles_fd(fd, (H, W), tile, pad, margin=m)
     TH, TW, _ = tile_grid((H, W), tile)
+    if hit is not None:
+        # grow: budgets only ever expand (see resolve_points_settings)
+        mfb = max(mfb, hit.max_faces_per_bin)
+        act = TH * TW if hit.active_tiles is None else max(
+            act, hit.active_tiles)
     resolved = dataclasses.replace(
         settings,
         bin_size=tile,
@@ -156,7 +192,8 @@ def resolve_mesh_settings(settings, meshes=None, camera=None, fd=None):
 
 
 def resolve_points_settings(settings, pcls=None, camera=None, radius=None,
-                            q=None, z=None, valid=None, radius_arr=None):
+                            q=None, z=None, valid=None, radius_arr=None,
+                            grow=False):
     """Resolve ``PointsRasterizationSettings.bin_size=None`` (auto) for this
     cloud. Explicit settings (0 dense / k>0 binned) pass through.
 
@@ -173,11 +210,13 @@ def resolve_points_settings(settings, pcls=None, camera=None, radius=None,
         return _dense(settings)
     key = ("points", B, N, _settings_key(settings))
     hit = _CACHE.get(key)
-    if hit is not None:
+    if hit is not None and not grow:
         return hit
 
     concrete = (is_concrete(q, z, valid, radius_arr) if q is not None
                 else is_concrete(pcls, camera, radius))
+    if hit is not None and not concrete:
+        return hit
     if not concrete:
         _warn_tracer_fallback(key, "points")
         return _dense(settings)
@@ -207,6 +246,14 @@ def resolve_points_settings(settings, pcls=None, camera=None, radius=None,
     TH, TW, _ = tile_grid((H, W), tile)
     T = TH * TW
     act = max(8, min(int(math.ceil(na * AUTO_MARGIN / 8) * 8), T))
+    if hit is not None:
+        # grow=True re-measure: budgets only ever GROW (shrinking would
+        # invalidate callers already traced against the cached settings;
+        # growing is always safe — drops strictly decrease). Used by the
+        # sharded render path to size from EVERY shard's slice, not just
+        # the first one resolved.
+        ppb = max(ppb, hit.max_points_per_bin)
+        act = T if hit.active_tiles is None else max(act, hit.active_tiles)
     resolved = dataclasses.replace(
         settings,
         bin_size=tile,

@@ -494,6 +494,20 @@ def rasterize_points(
             uniform_r2=uniform_r2,
         )
 
+    if settings.impl == "pallas":
+        # small cloud / tiny image: auto (or explicit bin_size=0) routed
+        # to the dense path, where the fused selection kernel does not
+        # apply — say so instead of silently ignoring the explicit impl
+        # (the mesh path warns the same way; round-5 review finding)
+        import warnings
+
+        warnings.warn(
+            "impl='pallas' resolved to the DENSE point path (bin_size 0 "
+            "or auto below the binning thresholds) — the fused selection "
+            "kernel only runs binned; rendering dense XLA. Pass an "
+            "explicit bin_size to force binning.", RuntimeWarning,
+        )
+
     pix_all = pixel_coords_raster((H, W))
     HW = pix_all.shape[0]
     chunk = min(settings.pixel_chunk, HW)

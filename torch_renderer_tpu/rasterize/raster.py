@@ -691,6 +691,10 @@ def rasterize_face_data(
         and settings.layout != "packed"
         and (not settings.bin_size or settings.bin_size > 16)
     ):
+        # NB: bin_size=None AUTO never reaches this error — when auto
+        # resolution picks the dense path it downgrades an impl='pallas'
+        # request to 'auto' with a warning (autotune._dense), so the
+        # error below always names a bin_size the user actually set.
         raise ValueError(
             "impl='pallas' requires bin_size <= 16 (per-tile tile=32 "
             "kernels crash the Mosaic compiler; the packed layout supports "

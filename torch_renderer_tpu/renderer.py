@@ -137,7 +137,8 @@ class MeshRenderer(DifferentiableRenderer):
         self.lights = lights if lights is not None else PointLights.make()
         self.materials = materials if materials is not None else Materials.make()
 
-    def resolved_settings(self, meshes: Meshes, R, tvec) -> RasterizationSettings:
+    def resolved_settings(self, meshes: Meshes, R, tvec, grow=False,
+                          margin=None) -> RasterizationSettings:
         """The concrete settings this scene will rasterize with: auto
         (bin_size=None) resolves via rasterize.autotune (cached per shape);
         explicit settings pass through."""
@@ -146,15 +147,20 @@ class MeshRenderer(DifferentiableRenderer):
         from .rasterize.autotune import resolve_mesh_settings
 
         return resolve_mesh_settings(
-            self.settings, meshes, self.camera_with_pose(R, tvec)
+            self.settings, meshes, self.camera_with_pose(R, tvec),
+            grow=grow, margin=margin,
         )
 
-    def prepare(self, meshes: Meshes, R, tvec) -> RasterizationSettings:
+    def prepare(self, meshes: Meshes, R, tvec, grow=False,
+                margin=None) -> RasterizationSettings:
         """Force auto-settings resolution from CONCRETE inputs (outside
         jit). Call once at fit/loop setup when every later render happens
         under jit — traced auto calls with no cached resolution fall back
-        to the dense path."""
-        return self.resolved_settings(meshes, R, tvec)
+        to the dense path. margin overrides the 1.5x AUTO_MARGIN (pose
+        fits size moving footprints at 2x); grow=True max-merges into an
+        existing cached resolution instead of being ignored by it."""
+        return self.resolved_settings(meshes, R, tvec, grow=grow,
+                                      margin=margin)
 
     def rasterize(
         self, meshes: Meshes, R, tvec, extra_face_attrs=None,
@@ -300,24 +306,29 @@ class PointsRenderer(DifferentiableRenderer):
             check_budgets=check_budgets,
         )
 
-    def resolved_settings(self, pointclouds, R, tvec, radius=None):
+    def resolved_settings(self, pointclouds, R, tvec, radius=None,
+                          grow=False):
         """Concrete settings for this cloud: auto (bin_size=None) resolves
         via rasterize.autotune (cached per shape); explicit pass through.
         radius: the per-point NDC selection radii the rasterization will
-        actually use (PulsarRenderer passes its sphere extents)."""
+        actually use (PulsarRenderer passes its sphere extents).
+        grow=True re-measures a cached resolution from these concrete
+        inputs and max-merges the budgets (sharded paths size from every
+        shard's slice this way)."""
         if self.settings.bin_size is not None:
             return self.settings
         from .rasterize.autotune import resolve_points_settings
 
         return resolve_points_settings(
             self.settings, pointclouds, self.camera_with_pose(R, tvec),
-            radius,
+            radius, grow=grow,
         )
 
-    def prepare(self, pointclouds, R, tvec, radius=None):
+    def prepare(self, pointclouds, R, tvec, radius=None, grow=False):
         """Force auto-settings resolution from CONCRETE inputs (outside
         jit) — see MeshRenderer.prepare."""
-        return self.resolved_settings(pointclouds, R, tvec, radius)
+        return self.resolved_settings(pointclouds, R, tvec, radius,
+                                      grow=grow)
 
     def rasterize(self, pointclouds, R, tvec, radius=None, extra=None,
                   settings=None):
@@ -481,19 +492,26 @@ class PulsarRenderer(PointsRenderer):
         )
         return pts_cam, r_w, r_ndc
 
-    def resolved_settings(self, pointclouds, R, tvec, radius=None):
+    def resolved_settings(self, pointclouds, R, tvec, radius=None,
+                          grow=False):
         """Auto settings size against the NDC selection radii this renderer
         actually rasterizes with (near-camera spheres blow r_ndc up well
         past the world radius — see the sizing caveat above). `radius`
         here is the WORLD radius override, matching render()."""
         if self.settings.bin_size is not None:
             return self.settings
-        from .rasterize.autotune import resolve_points_settings
-
         cam = self.camera_with_pose(R, tvec)
         _, _, r_ndc = self._selection_radii(pointclouds, cam, radius)
+        return self._resolve_with_radii(pointclouds, cam, r_ndc, grow=grow)
+
+    def _resolve_with_radii(self, pointclouds, cam, r_ndc, grow=False):
+        """Single auto-resolution code path for this renderer — render()
+        reuses it with its already-computed cam/r_ndc so the radii
+        semantics live in exactly one place."""
+        from .rasterize.autotune import resolve_points_settings
+
         return resolve_points_settings(
-            self.settings, pointclouds, cam, r_ndc
+            self.settings, pointclouds, cam, r_ndc, grow=grow
         )
 
     def render(self, pointclouds, R, tvec, radius=None, opacity=None):
@@ -520,9 +538,7 @@ class PulsarRenderer(PointsRenderer):
         # rasterized with (see resolved_settings above).
         st = self.settings
         if st.bin_size is None:
-            from .rasterize.autotune import resolve_points_settings
-
-            st = resolve_points_settings(st, pointclouds, cam, r_ndc)
+            st = self._resolve_with_radii(pointclouds, cam, r_ndc)
         extra = None
         if st.bin_size:
             extra = jnp.concatenate(
